@@ -1,0 +1,200 @@
+"""Multi-chip decode: device-mesh sharding for corpus-scale batches.
+
+Design (scaling-book recipe: pick a mesh, annotate shardings, let XLA insert
+collectives):
+
+* mesh axes ``('data', 'model')``;
+* **data parallelism**: the stream/frame batch axis is sharded over 'data'
+  (corpus decode is embarrassingly parallel across streams — the reference's
+  only scale path was a 10-thread file pool, demo_live_extract.py:576-586);
+* **tensor parallelism**: the IMDCT cosine matrix is column-sharded over
+  'model', so each device computes a column slice of every frame's time
+  output; the windowed result is re-gathered (XLA inserts the all-gather on
+  the ICI) before the overlap-add scan, which is sequential in time but
+  independent across streams and channels.
+
+No collective sits on the per-sample critical path; the only cross-device
+traffic is the output-column all-gather, which scales with the matmul output
+and rides ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..dsp.imdct import imdct_matrix_f32
+from ..dsp.tables import INVERSE_DB_TABLE
+from ..vorbis.mode import make_window
+from ..runtime.jax_backend import frame_pipeline, ola_scan
+
+
+def make_mesh(n_devices: Optional[int] = None, model: int = 1) -> Mesh:
+    """Build a ('data', 'model') mesh over the first *n_devices* devices.
+
+    Falls back to the (virtual) CPU backend when the default backend has
+    fewer devices than requested — this is how multi-chip sharding is
+    validated on a single-chip host (xla_force_host_platform_device_count).
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if len(devices) < n_devices:
+        devices = jax.devices("cpu")
+    if len(devices) < n_devices:
+        raise ValueError(
+            "need %d devices, have %d (set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=%d for a "
+            "virtual mesh)" % (n_devices, len(devices), n_devices)
+        )
+    devices = devices[:n_devices]
+    if n_devices % model != 0:
+        raise ValueError("n_devices %d not divisible by model=%d" % (n_devices, model))
+    arr = np.array(devices).reshape(n_devices // model, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def sharded_decode_step(
+    mesh: Mesh,
+    n: int,
+    num_channels: int,
+    couplings: Tuple[Tuple[int, int], ...] = (),
+    num_windows: int = 1,
+):
+    """Build the jitted multi-chip decode step: [S, T, ...] batch -> PCM chunks.
+
+    Inputs (S = streams sharded over 'data', T = frames per stream):
+      residue       [S, T, C, n/2] f32
+      floor_curve   [S, T, C, n/2] i32
+      floor_decoded [S, T, C] bool
+      floor_used    [S, T, C] bool
+      win_sel       [S, T] i32
+      n_half        [S, T] i32   (per-frame half blocksize, for mixed blocks)
+
+    Returns (emitted [S, T, C, n/2], lengths [S, T]) — the overlap-added PCM
+    region per frame with its valid length (left-aligned padding).
+    """
+    half = n // 2
+    imdct_m = jnp.asarray(imdct_matrix_f32(n))
+    inverse_db = jnp.asarray(INVERSE_DB_TABLE)
+    windows = jnp.asarray(
+        np.stack([make_window(n, half, half)] * num_windows)
+    )
+
+    def step(residue, floor_curve, floor_decoded, floor_used, win_sel, n_half):
+        s, t = residue.shape[:2]
+        flat = lambda x: x.reshape((s * t,) + x.shape[2:])
+        windowed = frame_pipeline(
+            flat(residue), flat(floor_curve), flat(floor_decoded),
+            flat(floor_used), flat(win_sel),
+            imdct_m=imdct_m, windows=windows, inverse_db=inverse_db,
+            couplings=couplings,
+        ).reshape(s, t, num_channels, n)
+        # per-stream overlap-add scan over the frame axis
+        emitted, lengths = jax.vmap(lambda w, nh: ola_scan(w, nh, n))(
+            windowed, n_half
+        )
+        return emitted, lengths
+
+    dp = P("data")
+    shard3 = NamedSharding(mesh, P("data", None, None, None))
+    shard2 = NamedSharding(mesh, P("data", None, None))
+    shard1 = NamedSharding(mesh, P("data", None))
+    return jax.jit(
+        step,
+        in_shardings=(shard3, shard3, shard2, shard2, shard1, shard1),
+        out_shardings=(shard3, shard1),
+    )
+
+
+def sharded_decode_step_tp(
+    mesh: Mesh,
+    n: int,
+    num_channels: int,
+    couplings: Tuple[Tuple[int, int], ...] = (),
+):
+    """Tensor-parallel variant: IMDCT matrix column-sharded over 'model'.
+
+    Used when frames are huge (n=8192) or the per-device batch is small:
+    the matmul's output columns split across 'model'; windowing is applied on
+    the shards and XLA all-gathers the columns before the OLA scan.
+    """
+    half = n // 2
+    imdct_m = jnp.asarray(imdct_matrix_f32(n))
+    inverse_db = jnp.asarray(INVERSE_DB_TABLE)
+    window = jnp.asarray(make_window(n, half, half))
+
+    mat_sharding = NamedSharding(mesh, P(None, "model"))
+    imdct_sharded = jax.device_put(imdct_m, mat_sharding)
+
+    def step(residue, floor_curve, floor_decoded, floor_used, n_half):
+        s, t = residue.shape[:2]
+        flat = lambda x: x.reshape((s * t,) + x.shape[2:])
+        res = flat(residue)
+        for mag, ang in reversed(couplings):
+            m, a = res[:, mag, :], res[:, ang, :]
+            new_m = jnp.where(m > 0, jnp.where(a > 0, m, m + a), jnp.where(a > 0, m, m - a))
+            new_a = jnp.where(m > 0, jnp.where(a > 0, m - a, m), jnp.where(a > 0, m + a, m))
+            res = res.at[:, mag, :].set(new_m).at[:, ang, :].set(new_a)
+        env = jnp.take(inverse_db, flat(floor_curve).astype(jnp.int32), axis=0)
+        env = jnp.where(flat(floor_decoded)[..., None], env, 0.0)
+        spec = res * jnp.where(flat(floor_used)[..., None], env, 1.0)
+        b = spec.shape[0]
+        pcm = jnp.matmul(
+            spec.reshape(b * num_channels, half),
+            imdct_sharded,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(s, t, num_channels, n)
+        windowed = pcm * window
+        emitted, lengths = jax.vmap(lambda w, nh: ola_scan(w, nh, n))(
+            windowed, n_half
+        )
+        return emitted, lengths
+
+    shard3 = NamedSharding(mesh, P("data", None, None, None))
+    shard2 = NamedSharding(mesh, P("data", None, None))
+    shard1 = NamedSharding(mesh, P("data", None))
+    return jax.jit(
+        step,
+        in_shardings=(shard3, shard3, shard2, shard2, shard1),
+        out_shardings=(shard3, shard1),
+    )
+
+
+def dryrun_multichip(n_devices: int) -> None:
+    """Compile + execute the full multi-chip decode step on tiny shapes.
+
+    Exercises both data parallelism (streams over 'data') and tensor
+    parallelism (IMDCT columns over 'model') on an *n_devices* mesh.
+    """
+    model = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    mesh = make_mesh(n_devices, model=model)
+    n, c = 128, 2
+    s = mesh.shape["data"] * 2  # 2 streams per data shard
+    t = 4
+    half = n // 2
+    rng = np.random.RandomState(0)
+    residue = rng.randn(s, t, c, half).astype(np.float32)
+    curve = rng.randint(0, 256, size=(s, t, c, half)).astype(np.int32)
+    decoded = np.ones((s, t, c), dtype=bool)
+    used = np.ones((s, t, c), dtype=bool)
+    win_sel = np.zeros((s, t), dtype=np.int32)
+    n_half = np.full((s, t), half, dtype=np.int32)
+
+    with mesh:
+        step = sharded_decode_step(mesh, n, c, couplings=((0, 1),))
+        emitted, lengths = step(residue, curve, decoded, used, win_sel, n_half)
+        jax.block_until_ready((emitted, lengths))
+        assert emitted.shape == (s, t, c, half)
+
+        step_tp = sharded_decode_step_tp(mesh, n, c, couplings=((0, 1),))
+        emitted2, lengths2 = step_tp(residue, curve, decoded, used, n_half)
+        jax.block_until_ready((emitted2, lengths2))
+        assert emitted2.shape == (s, t, c, half)
+    np.testing.assert_allclose(np.asarray(emitted), np.asarray(emitted2), atol=2e-5)

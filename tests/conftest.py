@@ -3,13 +3,19 @@ import os
 import sys
 
 # Tests run on a virtual 8-device CPU mesh (multi-chip sharding is validated
-# without TPU hardware); must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# without TPU hardware).  XLA_FLAGS must be set before jax initializes; the
+# platform is forced to cpu via jax.config because this environment's TPU
+# plugin overrides the JAX_PLATFORMS env var at import time.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

@@ -1,0 +1,100 @@
+"""Device pipeline tests: batched JAX path vs the oracle-validated scalar
+path, the OLA scan vs the streaming decode state, and multi-chip sharding on
+the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _scalar_pcm(path):
+    from parseoggvorbis_tpu.runtime.decoder import OggReader, ParseCallbacks
+
+    class Collect(ParseCallbacks):
+        def __init__(self):
+            self.chunks = []
+
+        def got_pcm_data(self, pcm):
+            self.chunks.append(pcm.copy())
+            return True
+
+    cb = Collect()
+    OggReader(cb).full_read(path)
+    return np.concatenate(cb.chunks, axis=1)
+
+
+@pytest.mark.parametrize("which", ["mono", "stereo"])
+def test_batched_matches_scalar(which, mono_ogg, stereo_ogg):
+    from parseoggvorbis_tpu.runtime.batch import decode_file
+
+    path = {"mono": mono_ogg, "stereo": stereo_ogg}[which]
+    scalar = _scalar_pcm(path)
+    out = decode_file(path)
+    assert out.pcm.shape == scalar.shape
+    assert out.sample_rate == 44100
+    err = np.max(np.abs(out.pcm - scalar))
+    assert err < 2e-6, err
+
+
+def test_ola_scan_matches_decode_state():
+    """Device OLA scan == streaming DecodeState on a mixed-blocksize stream."""
+    from parseoggvorbis_tpu.runtime.jax_backend import ola_scan
+    from parseoggvorbis_tpu.runtime.state import DecodeState
+
+    from parseoggvorbis_tpu.vorbis.mode import make_window
+
+    rng = np.random.RandomState(7)
+    max_n = 256
+    c = 2
+    sizes = [256, 256, 64, 64, 256, 64, 256, 256]
+    frames = []
+    padded = np.zeros((len(sizes), c, max_n), dtype=np.float32)
+    for t, n in enumerate(sizes):
+        # real Vorbis transition windows: slope sizes follow the neighbors
+        # (frames are zero outside the lapped region, which the scan's
+        # single-frame carry relies on)
+        prev_n = sizes[t - 1] if t > 0 else n
+        next_n = sizes[t + 1] if t + 1 < len(sizes) else n
+        win = make_window(n, min(n, prev_n) // 2, min(n, next_n) // 2)
+        f = (rng.randn(c, n) * win).astype(np.float32)
+        frames.append(f)
+        padded[t, :, :n] = f
+
+    # streaming reference
+    state = DecodeState(c)
+    emitted_ref = []
+    for t, n in enumerate(sizes):
+        state.begin_frame(n)
+        off = state.frame_pos - state.buf_start
+        state.buf[:, off : off + n] += frames[t]
+        out = state.ready_pcm()
+        emitted_ref.append(out if out is not None else np.zeros((c, 0), np.float32))
+
+    n_half = np.array([n // 2 for n in sizes], dtype=np.int32)
+    emitted, lengths = ola_scan(
+        np.asarray(padded), np.asarray(n_half), max_n
+    )
+    emitted = np.asarray(emitted)
+    lengths = np.asarray(lengths)
+    for t in range(len(sizes)):
+        ref = emitted_ref[t]
+        assert lengths[t] == ref.shape[1], (t, lengths[t], ref.shape)
+        got = emitted[t, :, : lengths[t]]
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_dryrun_multichip_virtual8():
+    from parseoggvorbis_tpu.parallel.mesh import dryrun_multichip
+
+    assert len(jax.devices("cpu")) >= 8
+    dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out.shape == (16, 2, 2048)
