@@ -1,0 +1,37 @@
+#!/usr/bin/env python3
+"""Build the native host front-end shared library.
+
+g++ -O3 -march=native -shared -fPIC native/pov_frontend.cpp
+    -> parseoggvorbis_tpu/native/_libpov.so
+
+The Python package falls back to the pure-Python front-end when the library
+is absent, so this build is an optimization, not a requirement.
+"""
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+SRC = os.path.join(HERE, "pov_frontend.cpp")
+OUT_DIR = os.path.join(REPO, "parseoggvorbis_tpu", "native")
+OUT = os.path.join(OUT_DIR, "_libpov.so")
+
+
+def build(verbose: bool = True) -> str:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-Wall", "-Wextra",
+        SRC, "-o", OUT,
+    ]
+    if verbose:
+        print("$", " ".join(cmd))
+    subprocess.check_call(cmd)
+    return OUT
+
+
+if __name__ == "__main__":
+    build()
+    print("built", OUT)
+    sys.exit(0)

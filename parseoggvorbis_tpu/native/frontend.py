@@ -1,0 +1,180 @@
+"""ctypes binding for the C++ host front-end (_libpov.so).
+
+``parse_stream_native(data)`` mirrors ``runtime.batch.parse_stream`` but runs
+the bit-serial host pass (Ogg demux + Huffman/VQ + floor/residue symbol
+decode) in native code.  ctypes releases the GIL during the parse call, so
+corpus decode can run one native parse per thread.
+
+Falls back (``available() == False``) when the library hasn't been built;
+build it with ``python3 native/build.py``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_libpov.so")
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            # try to build it (best effort)
+            try:
+                import subprocess
+                import sys
+
+                build = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                    "native", "build.py",
+                )
+                if os.path.exists(build):
+                    subprocess.run(
+                        [sys.executable, build], check=True,
+                        capture_output=True, timeout=120,
+                    )
+            except Exception:
+                return None
+        if not os.path.exists(_LIB_PATH):
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.pov_parse.restype = ctypes.c_void_p
+        lib.pov_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.pov_free.argtypes = [ctypes.c_void_p]
+        lib.pov_info.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+        lib.pov_mode_info.restype = ctypes.c_int32
+        lib.pov_mode_info.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
+        lib.pov_frame_meta.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+        lib.pov_export_frames.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+@dataclass
+class NativeParsed:
+    """Native front-end product: frame metadata + bulk tensor exporters."""
+
+    sample_rate: int
+    channels: int
+    blocksize0: int
+    blocksize1: int
+    mode_idx: np.ndarray  # [T] i32
+    win_sel: np.ndarray  # [T] i32
+    frame_n: np.ndarray  # [T] i32
+    granules: np.ndarray  # [T] i64
+    mode_block_flag: List[bool]
+    mode_couplings: List[tuple]
+    _handle: int = 0
+
+    def export_frames(self, frame_ids: np.ndarray, n: int):
+        """Bulk-export tensors for frames (all sharing blocksize n).
+
+        Returns (curve u8 [B,C,half], decoded bool [B,C], used bool [B,C],
+        residue f32 [B,C,half]).
+        """
+        lib = _load()
+        b = len(frame_ids)
+        c = self.channels
+        half = n // 2
+        ids = np.ascontiguousarray(frame_ids, dtype=np.int64)
+        curve = np.empty((b, c, half), dtype=np.uint8)
+        decoded = np.empty((b, c), dtype=np.uint8)
+        used = np.empty((b, c), dtype=np.uint8)
+        residue = np.empty((b, c, half), dtype=np.float32)
+        lib.pov_export_frames(
+            self._handle,
+            ids.ctypes.data, b,
+            curve.ctypes.data, decoded.ctypes.data, used.ctypes.data,
+            residue.ctypes.data,
+        )
+        return curve, decoded.astype(bool), used.astype(bool), residue
+
+    def close(self) -> None:
+        if self._handle:
+            _load().pov_free(self._handle)
+            self._handle = 0
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def parse_stream_native(data: bytes) -> NativeParsed:
+    """Parse an in-memory single-stream Ogg Vorbis file natively."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native front-end not built (run native/build.py)")
+    err = ctypes.create_string_buffer(512)
+    handle = lib.pov_parse(data, len(data), err, len(err))
+    if not handle:
+        from ..utils.errors import ParseError
+
+        raise ParseError(err.value.decode("utf8", errors="replace"))
+
+    sr = ctypes.c_uint32()
+    ch = ctypes.c_int32()
+    bs0 = ctypes.c_int32()
+    bs1 = ctypes.c_int32()
+    nframes = ctypes.c_int64()
+    nmodes = ctypes.c_int32()
+    lib.pov_info(handle, ctypes.byref(sr), ctypes.byref(ch), ctypes.byref(bs0),
+                 ctypes.byref(bs1), ctypes.byref(nframes), ctypes.byref(nmodes))
+
+    t = nframes.value
+    mode_idx = np.empty(t, dtype=np.int32)
+    win_sel = np.empty(t, dtype=np.int32)
+    frame_n = np.empty(t, dtype=np.int32)
+    granules = np.empty(t, dtype=np.int64)
+    if t:
+        lib.pov_frame_meta(handle, mode_idx.ctypes.data, win_sel.ctypes.data,
+                           frame_n.ctypes.data, granules.ctypes.data)
+
+    block_flags: List[bool] = []
+    couplings: List[tuple] = []
+    for m in range(nmodes.value):
+        bf = ctypes.c_int32()
+        buf = np.empty(2 * 64, dtype=np.int32)
+        cnt = lib.pov_mode_info(handle, m, ctypes.byref(bf), buf.ctypes.data, 64)
+        block_flags.append(bool(bf.value))
+        couplings.append(tuple(
+            (int(buf[2 * i]), int(buf[2 * i + 1])) for i in range(min(cnt, 64))
+        ))
+
+    return NativeParsed(
+        sample_rate=sr.value,
+        channels=ch.value,
+        blocksize0=bs0.value,
+        blocksize1=bs1.value,
+        mode_idx=mode_idx,
+        win_sel=win_sel,
+        frame_n=frame_n,
+        granules=granules,
+        mode_block_flag=block_flags,
+        mode_couplings=couplings,
+        _handle=handle,
+    )

@@ -1,45 +1,69 @@
 """Batched file decode: host front-end pass + bucketed device dispatch + OLA.
 
 This is the TPU-native replacement for the reference's thread-per-file batch
-decode (demo_live_extract.py:576-586): instead of running the whole scalar
-pipeline per file, the host performs only the bit-serial symbol pass and the
-device decodes *all frames of all files* in a few large batched dispatches,
-bucketed by (stream, mode) so every dispatch has a fixed shape.
+decode (demo_live_extract.py:576-586): the host performs only the bit-serial
+symbol pass (in C++ when the native front-end is built, pure Python
+otherwise) and the device decodes frames in large fixed-shape batches,
+bucketed by (blocksize, channel topology) — across *all files of a corpus*
+in one dispatch per bucket, not per file.
 
-Flow per file:
+Flow:
   1. host: Ogg demux + setup parse + per-packet symbol decode
-     (``VorbisStream.decode_packet_symbols``) -> list of FrameSymbols
-  2. device: for each mode bucket, one ``BucketPipeline`` call over the
-     [B, C, n/2] batch -> windowed time frames
+     -> per-frame tensors (uint8 floor curves, channel flags, f32 residues)
+  2. device: one ``BucketPipeline`` call per bucket over the [B, C, n/2]
+     batch -> windowed time frames (coupling, inverse-dB floor, IMDCT
+     matmul, window)
   3. overlap-add + granule truncation (host, bandwidth-bound) -> final PCM
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..ogg.page import read_page
 from ..utils.errors import check
-from ..vorbis.header import IdHeader
+from ..vorbis.header import IdHeader, parse_comment_header, parse_id_header
+from ..vorbis.mode import make_window
 from ..vorbis.setup import Setup
 from .decoder import FrameSymbols, VorbisStream
 from .jax_backend import get_bucket_pipeline
 from .state import DecodeState
 
+_MAX_DISPATCH_FRAMES = 8192  # cap one device call's batch
+
 
 @dataclass
-class ParsedStream:
-    """Host front-end product for one file/logical stream."""
+class ModeInfo:
+    block_flag: bool
+    couplings: Tuple[Tuple[int, int], ...]
+    blocksize: int
+    windows: np.ndarray  # [W, n] float32 (W=4 long, 1 short)
 
-    header: IdHeader
-    setup: Setup
-    frames: List[FrameSymbols]
-    granules: List[int]  # expected ending pos per frame (-1 = unknown)
-    vendor: str = ""
-    comments: Optional[List[str]] = None
+
+@dataclass
+class StreamFrames:
+    """Uniform host front-end product (native or Python path)."""
+
+    sample_rate: int
+    channels: int
+    blocksize0: int
+    blocksize1: int
+    mode_idx: np.ndarray  # [T] i32
+    win_sel: np.ndarray  # [T] i32
+    frame_n: np.ndarray  # [T] i32
+    granules: np.ndarray  # [T] i64
+    modes: List[ModeInfo]
+    # exporter(frame_ids, n) -> (curve u8 [B,C,n/2], decoded [B,C] bool,
+    #                            used [B,C] bool, residue f32 [B,C,n/2])
+    exporter: Callable
+
+    @property
+    def num_frames(self) -> int:
+        return len(self.mode_idx)
 
 
 @dataclass
@@ -56,13 +80,22 @@ class DecodedAudio:
         return self.pcm.shape[1]
 
 
-def parse_stream(data: bytes) -> ParsedStream:
-    """Host pass 1: parse a single-stream Ogg Vorbis file to frame symbols."""
+# ---------------------------------------------------------------- parsing --
+
+def _mode_windows(block_flag: bool, bs0: int, bs1: int) -> np.ndarray:
+    if block_flag:
+        return np.stack([
+            make_window(bs1, (bs1 if i & 1 else bs0) // 2, (bs1 if i & 2 else bs0) // 2)
+            for i in range(4)
+        ])
+    return make_window(bs0, bs0 // 2, bs0 // 2)[None, :]
+
+
+def parse_stream_python(data: bytes) -> StreamFrames:
+    """Pure-Python host pass (fallback + oracle for the native path)."""
     stream = VorbisStream()
     frames: List[FrameSymbols] = []
     granules: List[int] = []
-    vendor = ""
-    comments: List[str] = []
     offset = 0
     while True:
         page, offset = read_page(data, offset)
@@ -71,13 +104,9 @@ def parse_stream(data: bytes) -> ParsedStream:
         for packet, is_last in page.packets():
             granule = page.absolute_granule_pos if is_last else -1
             if stream.packet_count == 0:
-                from ..vorbis.header import parse_id_header
-
                 stream.header = parse_id_header(packet)
             elif stream.packet_count == 1:
-                from ..vorbis.header import parse_comment_header
-
-                vendor, comments = parse_comment_header(packet)
+                parse_comment_header(packet)
             elif stream.packet_count == 2:
                 stream.setup = Setup.parse_packet(packet, stream.header)
             else:
@@ -85,97 +114,204 @@ def parse_stream(data: bytes) -> ParsedStream:
                 granules.append(granule)
             stream.packet_count += 1
     check(stream.setup is not None, "no setup packet found")
-    return ParsedStream(
-        header=stream.header,
-        setup=stream.setup,
-        frames=frames,
-        granules=granules,
-        vendor=vendor,
-        comments=comments,
-    )
+    header = stream.header
+    setup = stream.setup
 
+    modes = [
+        ModeInfo(
+            block_flag=m.block_flag,
+            couplings=tuple(setup.mappings[m.mapping].couplings),
+            blocksize=m.blocksize,
+            windows=_mode_windows(m.block_flag, header.blocksize_0, header.blocksize_1),
+        )
+        for m in setup.modes
+    ]
 
-def decode_frames_device(parsed: ParsedStream) -> List[np.ndarray]:
-    """Device pass: decode all frames to windowed time frames (in order).
-
-    Buckets frames by mode index so each dispatch is one fixed-shape batched
-    pipeline call; returns per-frame [C, n] float32 windowed frames.
-    """
-    setup = parsed.setup
-    num_channels = parsed.header.audio_channels
-    by_mode: Dict[int, List[int]] = {}
-    for t, sym in enumerate(parsed.frames):
-        by_mode.setdefault(sym.mode_idx, []).append(t)
-
-    results: List[Optional[np.ndarray]] = [None] * len(parsed.frames)
-    for mode_idx, frame_ids in by_mode.items():
-        mode = setup.modes[mode_idx]
-        mapping = setup.mappings[mode.mapping]
-        n = mode.blocksize
-        half = n // 2
-        # window variants stacked [W, n]: index = prev + 2*next (W=4 long, 1 short)
-        if mode.block_flag:
-            windows = np.stack(
-                [mode.windows[(bool(i & 1), bool(i & 2))] for i in range(4)]
-            )
-        else:
-            windows = mode.windows[(False, False)][None, :]
-        pipe = get_bucket_pipeline(n, tuple(mapping.couplings), windows)
-
+    def exporter(frame_ids, n):
         b = len(frame_ids)
-        residue = np.empty((b, num_channels, half), dtype=np.float32)
-        curve = np.empty((b, num_channels, half), dtype=np.int32)
-        decoded = np.empty((b, num_channels), dtype=bool)
-        used = np.empty((b, num_channels), dtype=bool)
-        win_sel = np.empty((b,), dtype=np.int32)
+        c = header.audio_channels
+        half = n // 2
+        curve = np.empty((b, c, half), dtype=np.uint8)
+        decoded = np.empty((b, c), dtype=bool)
+        used = np.empty((b, c), dtype=bool)
+        residue = np.empty((b, c, half), dtype=np.float32)
         for i, t in enumerate(frame_ids):
-            sym = parsed.frames[t]
-            residue[i] = sym.residues
+            sym = frames[t]
             curve[i] = sym.floor_curves[:, :half]
             decoded[i] = sym.floor_decoded
             used[i] = sym.floor_used
-            win_sel[i] = sym.win_sel if mode.block_flag else 0
-        out = pipe(residue, curve, decoded, used, win_sel)  # [B, C, n]
-        for i, t in enumerate(frame_ids):
-            results[t] = out[i]
+            residue[i] = sym.residues
+        return curve, decoded, used, residue
+
+    return StreamFrames(
+        sample_rate=header.audio_sample_rate,
+        channels=header.audio_channels,
+        blocksize0=header.blocksize_0,
+        blocksize1=header.blocksize_1,
+        mode_idx=np.array([f.mode_idx for f in frames], dtype=np.int32),
+        win_sel=np.array([f.win_sel for f in frames], dtype=np.int32),
+        frame_n=np.array([f.n for f in frames], dtype=np.int32),
+        granules=np.array(granules, dtype=np.int64),
+        modes=modes,
+        exporter=exporter,
+    )
+
+
+def parse_stream(data: bytes, prefer_native: bool = True) -> StreamFrames:
+    """Host pass 1: parse a single-stream Ogg Vorbis file to frame tensors."""
+    if prefer_native:
+        from ..native import frontend as native
+
+        if native.available():
+            p = native.parse_stream_native(data)
+            modes = [
+                ModeInfo(
+                    block_flag=bf,
+                    couplings=cpl,
+                    blocksize=p.blocksize1 if bf else p.blocksize0,
+                    windows=_mode_windows(bf, p.blocksize0, p.blocksize1),
+                )
+                for bf, cpl in zip(p.mode_block_flag, p.mode_couplings)
+            ]
+            return StreamFrames(
+                sample_rate=p.sample_rate,
+                channels=p.channels,
+                blocksize0=p.blocksize0,
+                blocksize1=p.blocksize1,
+                mode_idx=p.mode_idx,
+                win_sel=p.win_sel,
+                frame_n=p.frame_n,
+                granules=p.granules,
+                modes=modes,
+                exporter=p.export_frames,
+            )
+    return parse_stream_python(data)
+
+
+# ------------------------------------------------------------ device pass --
+
+def _bucket_key(sf: StreamFrames, mode_idx: int):
+    mi = sf.modes[mode_idx]
+    return (mi.blocksize, mi.couplings, mi.block_flag, sf.blocksize0,
+            sf.blocksize1, sf.channels)
+
+
+def decode_frames_device(sf: StreamFrames) -> List[np.ndarray]:
+    """Device pass for one stream; returns per-frame [C, n] windowed frames."""
+    outs = decode_corpus_frames([sf])
+    return outs[0]
+
+
+def decode_corpus_frames(streams: Sequence[StreamFrames]) -> List[List[np.ndarray]]:
+    """Device pass over many streams: one dispatch per bucket across files.
+
+    Returns, per stream, the list of windowed [C, n] frames in decode order.
+    """
+    # bucket: key -> list of (stream_idx, local_frame_ids np.ndarray)
+    buckets: Dict[tuple, List[Tuple[int, np.ndarray]]] = {}
+    for si, sf in enumerate(streams):
+        for m in np.unique(sf.mode_idx):
+            ids = np.nonzero(sf.mode_idx == m)[0]
+            buckets.setdefault(_bucket_key(sf, int(m)), []).append((si, ids, int(m)))
+
+    results: List[List[Optional[np.ndarray]]] = [
+        [None] * sf.num_frames for sf in streams
+    ]
+    for key, members in buckets.items():
+        n = key[0]
+        sf0 = streams[members[0][0]]
+        mi0 = sf0.modes[members[0][2]]
+        pipe = get_bucket_pipeline(n, mi0.couplings, mi0.windows)
+
+        # gather all frames of this bucket across streams
+        curves, decodeds, useds, residues, win_sels, owners = [], [], [], [], [], []
+        for si, ids, m in members:
+            sf = streams[si]
+            curve, decoded, used, residue = sf.exporter(ids, n)
+            curves.append(curve)
+            decodeds.append(decoded)
+            useds.append(used)
+            residues.append(residue)
+            win_sels.append(sf.win_sel[ids] if sf.modes[m].block_flag
+                            else np.zeros(len(ids), np.int32))
+            owners.extend((si, int(t)) for t in ids)
+        curve = np.concatenate(curves)
+        decoded = np.concatenate(decodeds)
+        used = np.concatenate(useds)
+        residue = np.concatenate(residues)
+        win_sel = np.concatenate(win_sels).astype(np.int32)
+
+        # dispatch in chunks to bound device memory
+        total = len(owners)
+        pos = 0
+        while pos < total:
+            stop = min(pos + _MAX_DISPATCH_FRAMES, total)
+            out = pipe(residue[pos:stop], curve[pos:stop], decoded[pos:stop],
+                       used[pos:stop], win_sel[pos:stop])
+            for i in range(pos, stop):
+                si, t = owners[i]
+                results[si][t] = out[i - pos]
+            pos = stop
     return results
 
 
-def overlap_add(parsed: ParsedStream, windowed: Sequence[np.ndarray]) -> DecodedAudio:
+# ------------------------------------------------------------ overlap-add --
+
+def overlap_add(sf: StreamFrames, windowed: Sequence[np.ndarray]) -> DecodedAudio:
     """Host pass 3: overlap-add windowed frames into the final PCM stream."""
-    num_channels = parsed.header.audio_channels
-    state = DecodeState(num_channels)
+    state = DecodeState(sf.channels)
     chunks: List[np.ndarray] = []
-    for sym, frames_t, granule in zip(parsed.frames, windowed, parsed.granules):
-        state.set_expected_ending_pos(granule)
-        state.begin_frame(sym.n)
+    for t in range(sf.num_frames):
+        n = int(sf.frame_n[t])
+        state.set_expected_ending_pos(int(sf.granules[t]))
+        state.begin_frame(n)
         off = state.frame_pos - state.buf_start
-        state.buf[:, off : off + sym.n] += frames_t
+        state.buf[:, off : off + n] += windowed[t]
         ready = state.ready_pcm()
         if ready is not None:
             chunks.append(ready)
     if chunks:
         pcm = np.concatenate(chunks, axis=1)
     else:
-        pcm = np.zeros((num_channels, 0), dtype=np.float32)
-    return DecodedAudio(pcm=pcm, sample_rate=parsed.header.audio_sample_rate)
+        pcm = np.zeros((sf.channels, 0), dtype=np.float32)
+    return DecodedAudio(pcm=pcm, sample_rate=sf.sample_rate)
 
 
-def decode_bytes(data: bytes) -> DecodedAudio:
-    parsed = parse_stream(data)
-    windowed = decode_frames_device(parsed)
-    return overlap_add(parsed, windowed)
+# -------------------------------------------------------------- front API --
+
+def decode_bytes(data: bytes, prefer_native: bool = True) -> DecodedAudio:
+    sf = parse_stream(data, prefer_native=prefer_native)
+    windowed = decode_frames_device(sf)
+    return overlap_add(sf, windowed)
 
 
-def decode_file(path: str) -> DecodedAudio:
+def decode_file(path: str, prefer_native: bool = True) -> DecodedAudio:
     with open(path, "rb") as f:
-        return decode_bytes(f.read())
+        return decode_bytes(f.read(), prefer_native=prefer_native)
 
 
-def decode_files(paths: Sequence[str]) -> List[DecodedAudio]:
-    """Decode many files; device work is batched per file (and per bucket).
+def decode_corpus(
+    blobs: Sequence[bytes],
+    prefer_native: bool = True,
+    host_threads: int = 8,
+) -> List[DecodedAudio]:
+    """Decode a corpus of in-memory oggs with cross-file device batching.
 
-    For corpus-scale throughput use ``parallel.mesh.decode_corpus`` which
-    additionally shards across devices.
+    Host symbol decode runs with a thread pool (the native front-end releases
+    the GIL); all files' frames are batched per bucket into shared device
+    dispatches; overlap-add runs per file.
     """
-    return [decode_file(p) for p in paths]
+    if host_threads > 1 and len(blobs) > 1:
+        with ThreadPoolExecutor(max_workers=host_threads) as ex:
+            streams = list(ex.map(
+                lambda b: parse_stream(b, prefer_native=prefer_native), blobs
+            ))
+    else:
+        streams = [parse_stream(b, prefer_native=prefer_native) for b in blobs]
+    all_windowed = decode_corpus_frames(streams)
+    return [overlap_add(sf, w) for sf, w in zip(streams, all_windowed)]
+
+
+def decode_files(paths: Sequence[str], prefer_native: bool = True) -> List[DecodedAudio]:
+    return decode_corpus([open(p, "rb").read() for p in paths],
+                         prefer_native=prefer_native)
