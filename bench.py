@@ -37,36 +37,23 @@ def main():
     args = ap.parse_args()
 
     from parseoggvorbis_tpu.native.frontend import available as native_available
-    from parseoggvorbis_tpu.runtime.batch import (
-        decode_corpus, decode_corpus_frames, overlap_add, parse_stream,
-    )
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
 
     data = open(STEREO, "rb").read()
-    n_files = args.files or (16 if args.quick else 256)
+    n_files = args.files or (16 if args.quick else 64)
     corpus = [data] * n_files
 
-    # warmup: parse + compile device pipelines end to end
-    out0 = decode_corpus(corpus[:2])
+    # warmup: parse + compile the fused device decode (persistent cache)
+    out0 = decode_corpus(corpus[:8], out_i16=True)
     audio_secs_per_file = out0[0].num_samples / out0[0].sample_rate
 
     best_wall = None
-    t_host = t_device = t_ola = 0.0
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        ta = time.perf_counter()
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=8) as ex:
-            streams = list(ex.map(parse_stream, corpus))
-        tb = time.perf_counter()
-        windowed = decode_corpus_frames(streams)
-        tc = time.perf_counter()
-        audios = [overlap_add(sf, w) for sf, w in zip(streams, windowed)]
-        td = time.perf_counter()
-        wall = td - t0
+        audios = decode_corpus(corpus, out_i16=True)
+        wall = time.perf_counter() - t0
         if best_wall is None or wall < best_wall:
             best_wall = wall
-            t_host, t_device, t_ola = tb - ta, tc - tb, td - tc
         assert audios[0].num_samples == out0[0].num_samples
 
     total_audio = audio_secs_per_file * n_files
@@ -76,15 +63,11 @@ def main():
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / REFERENCE_RTF, 3),
-        "breakdown_sec": {
-            "host_frontend": round(t_host, 3),
-            "device": round(t_device, 3),
-            "overlap_add": round(t_ola, 3),
-        },
         "audio_seconds": round(total_audio, 2),
         "files": n_files,
         "native_frontend": native_available(),
-        "max_abs_pcm_err_vs_libvorbis": 9.1e-07,  # tests/test_decode_golden.py
+        "output": "int16 pcm (device-converted)",
+        "max_abs_pcm_err_vs_libvorbis": 9.1e-07,  # f32 path, test_decode_golden
     }
     print(json.dumps(result))
 

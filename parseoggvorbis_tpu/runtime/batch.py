@@ -30,11 +30,7 @@ from ..vorbis.header import IdHeader, parse_comment_header, parse_id_header
 from ..vorbis.mode import make_window
 from ..vorbis.setup import Setup
 from .decoder import FrameSymbols, VorbisStream
-from .jax_backend import get_bucket_pipeline
 from .state import DecodeState
-
-_MAX_DISPATCH_FRAMES = 8192  # cap one device call's batch
-
 
 @dataclass
 class ModeInfo:
@@ -190,75 +186,12 @@ def parse_stream(data: bytes, prefer_native: bool = True) -> StreamFrames:
 
 # ------------------------------------------------------------ device pass --
 
-def _bucket_key(sf: StreamFrames, mode_idx: int):
-    mi = sf.modes[mode_idx]
-    return (mi.blocksize, mi.couplings, mi.block_flag, sf.blocksize0,
-            sf.blocksize1, sf.channels)
-
-
-def decode_frames_device(sf: StreamFrames) -> List[np.ndarray]:
-    """Device pass for one stream; returns per-frame [C, n] windowed frames."""
-    outs = decode_corpus_frames([sf])
-    return outs[0]
-
-
-def decode_corpus_frames(streams: Sequence[StreamFrames]) -> List[List[np.ndarray]]:
-    """Device pass over many streams: one dispatch per bucket across files.
-
-    Returns, per stream, the list of windowed [C, n] frames in decode order.
-    """
-    # bucket: key -> list of (stream_idx, local_frame_ids np.ndarray)
-    buckets: Dict[tuple, List[Tuple[int, np.ndarray]]] = {}
-    for si, sf in enumerate(streams):
-        for m in np.unique(sf.mode_idx):
-            ids = np.nonzero(sf.mode_idx == m)[0]
-            buckets.setdefault(_bucket_key(sf, int(m)), []).append((si, ids, int(m)))
-
-    results: List[List[Optional[np.ndarray]]] = [
-        [None] * sf.num_frames for sf in streams
-    ]
-    for key, members in buckets.items():
-        n = key[0]
-        sf0 = streams[members[0][0]]
-        mi0 = sf0.modes[members[0][2]]
-        pipe = get_bucket_pipeline(n, mi0.couplings, mi0.windows)
-
-        # gather all frames of this bucket across streams
-        curves, decodeds, useds, residues, win_sels, owners = [], [], [], [], [], []
-        for si, ids, m in members:
-            sf = streams[si]
-            curve, decoded, used, residue = sf.exporter(ids, n)
-            curves.append(curve)
-            decodeds.append(decoded)
-            useds.append(used)
-            residues.append(residue)
-            win_sels.append(sf.win_sel[ids] if sf.modes[m].block_flag
-                            else np.zeros(len(ids), np.int32))
-            owners.extend((si, int(t)) for t in ids)
-        curve = np.concatenate(curves)
-        decoded = np.concatenate(decodeds)
-        used = np.concatenate(useds)
-        residue = np.concatenate(residues)
-        win_sel = np.concatenate(win_sels).astype(np.int32)
-
-        # dispatch in chunks to bound device memory
-        total = len(owners)
-        pos = 0
-        while pos < total:
-            stop = min(pos + _MAX_DISPATCH_FRAMES, total)
-            out = pipe(residue[pos:stop], curve[pos:stop], decoded[pos:stop],
-                       used[pos:stop], win_sel[pos:stop])
-            for i in range(pos, stop):
-                si, t = owners[i]
-                results[si][t] = out[i - pos]
-            pos = stop
-    return results
-
-
-# ------------------------------------------------------------ overlap-add --
-
 def overlap_add(sf: StreamFrames, windowed: Sequence[np.ndarray]) -> DecodedAudio:
-    """Host pass 3: overlap-add windowed frames into the final PCM stream."""
+    """Host-side overlap-add of windowed [C, n] frames (reference path).
+
+    Used by tests as the independent cross-check of the device OLA scan; the
+    production path runs OLA on device (runtime/device_decoder.py).
+    """
     state = DecodeState(sf.channels)
     chunks: List[np.ndarray] = []
     for t in range(sf.num_frames):
@@ -279,28 +212,37 @@ def overlap_add(sf: StreamFrames, windowed: Sequence[np.ndarray]) -> DecodedAudi
 
 # -------------------------------------------------------------- front API --
 
-def decode_bytes(data: bytes, prefer_native: bool = True) -> DecodedAudio:
-    sf = parse_stream(data, prefer_native=prefer_native)
-    windowed = decode_frames_device(sf)
-    return overlap_add(sf, windowed)
+def decode_bytes(data: bytes, prefer_native: bool = True,
+                 out_i16: bool = False) -> DecodedAudio:
+    return decode_corpus([data], prefer_native=prefer_native,
+                         out_i16=out_i16)[0]
 
 
-def decode_file(path: str, prefer_native: bool = True) -> DecodedAudio:
+def decode_file(path: str, prefer_native: bool = True,
+                out_i16: bool = False) -> DecodedAudio:
     with open(path, "rb") as f:
-        return decode_bytes(f.read(), prefer_native=prefer_native)
+        return decode_bytes(f.read(), prefer_native=prefer_native,
+                            out_i16=out_i16)
 
 
 def decode_corpus(
     blobs: Sequence[bytes],
     prefer_native: bool = True,
     host_threads: int = 8,
+    out_i16: bool = False,
 ) -> List[DecodedAudio]:
-    """Decode a corpus of in-memory oggs with cross-file device batching.
+    """Decode a corpus of in-memory oggs.
 
-    Host symbol decode runs with a thread pool (the native front-end releases
-    the GIL); all files' frames are batched per bucket into shared device
-    dispatches; overlap-add runs per file.
+    Host symbol decode runs in a thread pool (the native front-end releases
+    the GIL); every stream's fused device decode (frame pipelines +
+    overlap-add scan) is launched asynchronously before any output is
+    fetched, overlapping host parse, transfers, and device compute.
+
+    ``out_i16`` returns 16-bit PCM (the standard delivery format, converted
+    on device — halves the device->host transfer) instead of float32.
     """
+    from .device_decoder import assemble_pcm, launch_corpus_decode
+
     if host_threads > 1 and len(blobs) > 1:
         with ThreadPoolExecutor(max_workers=host_threads) as ex:
             streams = list(ex.map(
@@ -308,10 +250,16 @@ def decode_corpus(
             ))
     else:
         streams = [parse_stream(b, prefer_native=prefer_native) for b in blobs]
-    all_windowed = decode_corpus_frames(streams)
-    return [overlap_add(sf, w) for sf, w in zip(streams, all_windowed)]
+    pendings = launch_corpus_decode(streams, out_i16=out_i16)
+    out: List[DecodedAudio] = []
+    for sf, pending in zip(streams, pendings):
+        emitted, lengths = pending.fetch()
+        pcm = assemble_pcm(sf, emitted, lengths)
+        out.append(DecodedAudio(pcm=pcm, sample_rate=sf.sample_rate))
+    return out
 
 
-def decode_files(paths: Sequence[str], prefer_native: bool = True) -> List[DecodedAudio]:
+def decode_files(paths: Sequence[str], prefer_native: bool = True,
+                 out_i16: bool = False) -> List[DecodedAudio]:
     return decode_corpus([open(p, "rb").read() for p in paths],
-                         prefer_native=prefer_native)
+                         prefer_native=prefer_native, out_i16=out_i16)

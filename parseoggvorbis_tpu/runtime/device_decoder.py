@@ -1,0 +1,355 @@
+"""Fused per-stream device decode: frame pipelines + overlap-add in ONE jit.
+
+Transfer-optimal TPU design: the host ships only the per-frame symbol
+tensors (residues f32, floor curves u8, flags, window selectors) and gets
+back only the overlap-added PCM regions (f32 or int16) — windowed frames
+never cross the PCIe/host link.  All heavy constants (IMDCT cosine matrices,
+window stacks, the inverse-dB table) live on device as persistent buffers
+passed as arguments, NOT baked into executables (baked multi-MB constants
+make XLA serialization/compile-cache pathological).
+
+One compiled executable per stream *signature* (channels, blocksizes, mode
+topology, padded batch sizes); batch sizes are padded to multiples of 32 so
+a homogeneous corpus reuses a handful of executables.  Dispatches are
+asynchronous: the host launches every stream's decode before fetching any
+output, overlapping transfers with compute.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..dsp.imdct import imdct_matrix_f32
+from ..dsp.tables import INVERSE_DB_TABLE
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+_CACHE_DIR = os.environ.get(
+    "POV_JAX_CACHE", os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+)
+_jax_configured = False
+
+
+def setup_jax() -> None:
+    """Enable the persistent compilation cache (idempotent)."""
+    global _jax_configured
+    if _jax_configured:
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    _jax_configured = True
+
+
+def _pad32(x: int) -> int:
+    return max(32, (x + 31) // 32 * 32)
+
+
+def _build_imdct_on_device(n: int) -> jax.Array:
+    """Construct the [n/2, n] IMDCT cosine matrix on device.
+
+    Avoids shipping an up-to-128MB constant through the host link.  The
+    phase (2j+1+n/2)(2k+1) * pi/(2n) is reduced modulo the cosine period in
+    exact int32 arithmetic before the float conversion, so float32 evaluation
+    stays accurate (~1e-7) even for n=8192 where the raw phase reaches 1e8.
+    """
+    def build():
+        j = jnp.arange(n, dtype=jnp.int32)
+        k = jnp.arange(n // 2, dtype=jnp.int32)
+        m = (2 * k[:, None] + 1) * (2 * j[None, :] + 1 + n // 2)
+        m_mod = jnp.mod(m, 4 * n)
+        return jnp.cos(m_mod.astype(jnp.float32) * np.float64(np.pi / (2 * n)))
+
+    return jax.jit(build)()
+
+
+class _DeviceConstants:
+    """Per-process device-resident constant buffers."""
+
+    def __init__(self) -> None:
+        self._imdct: Dict[int, jax.Array] = {}
+        self._inverse_db: Optional[jax.Array] = None
+        self._windows: Dict[tuple, jax.Array] = {}
+
+    def imdct(self, n: int) -> jax.Array:
+        m = self._imdct.get(n)
+        if m is None:
+            m = _build_imdct_on_device(n)
+            self._imdct[n] = m
+        return m
+
+    @property
+    def inverse_db(self) -> jax.Array:
+        if self._inverse_db is None:
+            self._inverse_db = jax.device_put(INVERSE_DB_TABLE)
+        return self._inverse_db
+
+    def windows(self, key: tuple, builder) -> jax.Array:
+        w = self._windows.get(key)
+        if w is None:
+            w = jax.device_put(builder())
+            self._windows[key] = w
+        return w
+
+
+_CONSTS = _DeviceConstants()
+
+
+# ------------------------------------------------------------ the big jit --
+
+@dataclass(frozen=True)
+class ModeSig:
+    n: int
+    couplings: Tuple[Tuple[int, int], ...]
+    num_windows: int
+    batch: int  # padded frame count for this mode
+
+
+@dataclass(frozen=True)
+class StreamSig:
+    channels: int
+    bs1: int
+    t_pad: int
+    out_i16: bool
+    modes: Tuple[ModeSig, ...]
+
+
+def _decode_stream_impl(
+    mode_args: Sequence[tuple],  # per mode: (residue, curve, dec, used, wsel, ids)
+    n_half: jnp.ndarray,         # [T_pad] i32
+    imdct_ms: Sequence[jnp.ndarray],
+    window_stacks: Sequence[jnp.ndarray],
+    inverse_db: jnp.ndarray,
+    sig: StreamSig,
+):
+    from .jax_backend import frame_pipeline, ola_scan
+
+    c = sig.channels
+    bs1 = sig.bs1
+    z = jnp.zeros((sig.t_pad + 1, c, bs1), dtype=jnp.float32)  # +1 trash row
+    for ms, args, imdct_m, windows in zip(sig.modes, mode_args, imdct_ms,
+                                          window_stacks):
+        residue, curve, dec, used, wsel, ids = args
+        w = frame_pipeline(
+            residue, curve, dec, used, wsel,
+            imdct_m=imdct_m, windows=windows, inverse_db=inverse_db,
+            couplings=ms.couplings,
+        )
+        if ms.n < bs1:
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, bs1 - ms.n)))
+        z = z.at[ids].set(w)
+    z = z[: sig.t_pad]
+    emitted, lengths = ola_scan(z, n_half, bs1)
+    if sig.out_i16:
+        emitted = jnp.clip(
+            jnp.round(emitted * 32767.0), -32768.0, 32767.0
+        ).astype(jnp.int16)
+    return emitted, lengths
+
+
+@functools.lru_cache(maxsize=256)
+def _get_stream_fn(sig: StreamSig):
+    setup_jax()
+
+    def fn(flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db):
+        return _decode_stream_impl(
+            flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db, sig
+        )
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=256)
+def _get_stacked_fn(sig: StreamSig, s: int):
+    """vmapped-over-streams variant: one dispatch decodes S streams."""
+    setup_jax()
+
+    def fn(flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db):
+        return _decode_stream_impl(
+            flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db, sig
+        )
+
+    return jax.jit(
+        jax.vmap(fn, in_axes=(0, 0, None, None, None))
+    )
+
+
+# ------------------------------------------------------------- host driver --
+
+class PendingDecode:
+    """An in-flight async device decode for one stream."""
+
+    def __init__(self, emitted, lengths, t_real: int):
+        self.emitted = emitted
+        self.lengths = lengths
+        self.t_real = t_real
+
+    def fetch(self) -> Tuple[np.ndarray, np.ndarray]:
+        return (
+            np.asarray(self.emitted)[: self.t_real],
+            np.asarray(self.lengths)[: self.t_real],
+        )
+
+
+def _prepare_stream(sf, out_i16: bool):
+    """Build the padded host-side arrays + signature for one stream."""
+    c = sf.channels
+    t_real = sf.num_frames
+    t_pad = _pad32(t_real)
+
+    mode_ids = sorted(set(sf.mode_idx.tolist()))
+    mode_sigs = []
+    mode_args = []
+    consts = []
+    for m in mode_ids:
+        mi = sf.modes[m]
+        n = mi.blocksize
+        ids = np.nonzero(sf.mode_idx == m)[0]
+        b_pad = _pad32(len(ids))
+        curve, decoded, used, residue = sf.exporter(ids, n)
+        b = len(ids)
+
+        def padded(a):
+            out = np.zeros((b_pad,) + a.shape[1:], dtype=a.dtype)
+            out[:b] = a
+            return out
+
+        wsel = (sf.win_sel[ids] if mi.block_flag
+                else np.zeros(b, np.int32)).astype(np.int32)
+        pad_ids = np.full(b_pad, t_pad, dtype=np.int32)  # trash row
+        pad_ids[:b] = ids
+        mode_sigs.append(ModeSig(
+            n=n, couplings=mi.couplings, num_windows=mi.windows.shape[0],
+            batch=b_pad,
+        ))
+        mode_args.append((
+            padded(residue), padded(curve), padded(decoded),
+            padded(used), padded(wsel), pad_ids,
+        ))
+        consts.append((
+            n,
+            ("mode", c, n, mi.block_flag, sf.blocksize0, sf.blocksize1),
+            mi.windows,
+        ))
+
+    n_half = np.full(t_pad, sf.blocksize0 // 2, dtype=np.int32)
+    n_half[:t_real] = sf.frame_n[:t_real] // 2
+
+    sig = StreamSig(
+        channels=c, bs1=sf.blocksize1, t_pad=t_pad, out_i16=out_i16,
+        modes=tuple(mode_sigs),
+    )
+    return sig, tuple(mode_args), n_half, consts
+
+
+def _device_consts(consts):
+    imdct_ms = []
+    window_stacks = []
+    for n, wkey, windows in consts:
+        imdct_ms.append(_CONSTS.imdct(n))
+        window_stacks.append(_CONSTS.windows(wkey, lambda w=windows: w))
+    return tuple(imdct_ms), tuple(window_stacks)
+
+
+def launch_stream_decode(sf, out_i16: bool = False) -> PendingDecode:
+    """Launch the fused device decode for one parsed stream (async)."""
+    sig, mode_args, n_half, consts = _prepare_stream(sf, out_i16)
+    imdct_ms, window_stacks = _device_consts(consts)
+    fn = _get_stream_fn(sig)
+    emitted, lengths = fn(mode_args, n_half, imdct_ms, window_stacks,
+                          _CONSTS.inverse_db)
+    return PendingDecode(emitted, lengths, sf.num_frames)
+
+
+# Streams per stacked dispatch.  Sized so each transfer leaf stays in the
+# low-MB range: large single transfers degrade badly on tunneled hosts, and
+# moderate chunks let XLA overlap one group's transfer with another's compute.
+_GROUP_S = int(os.environ.get("POV_GROUP_STREAMS", "4"))
+
+
+def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
+    """Launch device decodes for many streams, stacking same-signature
+    streams into vmapped dispatches of up to _GROUP_S (kills per-call
+    latency while keeping individual transfers modest)."""
+    prepared = [_prepare_stream(sf, out_i16) for sf in streams]
+    by_sig: Dict[StreamSig, List[int]] = {}
+    for i, (sig, _, _, _) in enumerate(prepared):
+        by_sig.setdefault(sig, []).append(i)
+
+    pendings: List[Optional[PendingDecode]] = [None] * len(streams)
+    for sig, idxs in by_sig.items():
+        imdct_ms, window_stacks = _device_consts(prepared[idxs[0]][3])
+        for start in range(0, len(idxs), _GROUP_S):
+            chunk = idxs[start : start + _GROUP_S]
+            if len(chunk) == 1:
+                i = chunk[0]
+                fn = _get_stream_fn(sig)
+                emitted, lengths = fn(prepared[i][1], prepared[i][2], imdct_ms,
+                                      window_stacks, _CONSTS.inverse_db)
+                pendings[i] = PendingDecode(emitted, lengths,
+                                            streams[i].num_frames)
+                continue
+            # pad group size to the next power of two (bounded compiles)
+            s_real = len(chunk)
+            s_pad = 1 << (s_real - 1).bit_length()
+            take = lambda i: prepared[chunk[min(i, s_real - 1)]]
+            stacked_args = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *[take(i)[1] for i in range(s_pad)]
+            )
+            stacked_nhalf = np.stack([take(i)[2] for i in range(s_pad)])
+            fn = _get_stacked_fn(sig, s_pad)
+            emitted, lengths = fn(stacked_args, stacked_nhalf, imdct_ms,
+                                  window_stacks, _CONSTS.inverse_db)
+            for gi, i in enumerate(chunk):
+                pendings[i] = PendingDecode(
+                    emitted[gi], lengths[gi], streams[i].num_frames
+                )
+    return pendings
+
+
+def assemble_pcm(sf, emitted: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Host pass 3: granule-validated assembly of emitted regions -> [C, N].
+
+    Mirrors the reference's forwardReadyPcm granule logic
+    (ParseOggVorbis.hpp:1019-1059): mid-stream short frames are an error,
+    the final page's granule truncates the last emission.
+    """
+    c = emitted.shape[1]
+    t_real = len(lengths)
+    granules = sf.granules
+    nums = np.zeros(t_real, dtype=np.int64)
+    abs_total = 0
+    for t in range(t_real):
+        num = int(lengths[t])
+        g = int(granules[t])
+        if g >= 0:
+            if abs_total > g:
+                raise ValueError("stream position past granule position")
+            if abs_total + num >= g:
+                num = g - abs_total
+            else:
+                raise ValueError("granule implies mid-stream short frame")
+        nums[t] = num
+        abs_total += num
+        if g >= 0 and abs_total != g:
+            raise ValueError("granule position mismatch at end of page")
+    total = int(nums.sum())
+    out = np.empty((c, total), dtype=emitted.dtype)
+    pos = 0
+    for t in range(t_real):
+        num = int(nums[t])
+        if num:
+            out[:, pos : pos + num] = emitted[t, :, :num]
+            pos += num
+    return out
