@@ -52,18 +52,23 @@ class DecoderTaps:
     """Per-decoder tap sink, created by :func:`register_decoder`."""
 
     def __init__(self, idx: int, name: str, sample_rate: int, num_channels: int,
-                 output: Optional[str], name_filter: Optional[Set[str]]) -> None:
+                 output, name_filter: Optional[Set[str]]) -> None:
         self.idx = idx
         self.name = name
         self.sample_rate = sample_rate
         self.num_channels = num_channels
         self.name_filter = name_filter
         self._file = None
+        self._owns_file = False
         self._stdout = False
         if output == "stdout":
             self._stdout = True
         elif output is not None:
-            self._file = open(output, "wb")
+            if isinstance(output, str):
+                self._file = open(output, "wb")
+                self._owns_file = True
+            else:  # file-like object (e.g. BytesIO) — caller keeps ownership
+                self._file = output
             self._file.write(pack_record(MAGIC))
             self._write_typed("decoder-name", "u8", name.encode("utf8"))
             self._write_typed("decoder-sample-rate", "u32",
@@ -121,7 +126,8 @@ class DecoderTaps:
 
     def close(self) -> None:
         if self._file is not None:
-            self._file.close()
+            if self._owns_file:
+                self._file.close()
             self._file = None
 
 
@@ -150,6 +156,11 @@ def set_data_output_short_stdout() -> None:
 
 def set_data_output_file(path: str) -> None:
     _pending.output = path
+
+
+def set_data_output_fileobj(fileobj) -> None:
+    """Route the next registered decoder's dump into a file-like object."""
+    _pending.output = fileobj
 
 
 def set_data_filter(names: Optional[Iterable[str]]) -> None:

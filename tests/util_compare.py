@@ -1,140 +1,9 @@
-"""Differential-dump comparison utilities for tests.
+"""Differential-dump comparison for tests — re-exports the package harness
+(parseoggvorbis_tpu/tools/compare.py), which implements the reference's
+compare-debug-out.py semantics."""
 
-Implements the same verification semantics as the reference harness
-(tests/compare-debug-out.py): per audio packet, floor setup and ``floor1 ys``
-must match exactly; ``after_residue`` / ``after_envelope`` /
-``pcm_after_mdct`` within an absolute epsilon; ``pcm`` compared as a rolling
-cross-packet concatenation per channel because flush boundaries legitimately
-differ between decoders.
-"""
-
-from __future__ import annotations
-
-import numpy as np
-
-from parseoggvorbis_tpu.callbacks.reader import DumpReader
-
-FLOAT_TAPS = ("after_residue", "after_envelope", "pcm_after_mdct")
-
-
-class DumpStream:
-    def __init__(self, path):
-        self.reader = DumpReader(path)
-        self.floors = []  # (multiplier, xs)
-        self.pcm = {}  # channel -> list of arrays
-        self.num_samples = {}
-
-    def read_setup(self):
-        while True:
-            name, channel, data = self.reader.read_entry()
-            if name == "finish_setup":
-                return
-            if name == "floor1_unpack multiplier":
-                mult = int(data[0])
-                name2, _, xs = self.reader.read_entry()
-                assert name2 == "floor1_unpack xs"
-                self.floors.append((mult, np.asarray(xs)))
-
-    def read_audio_packet(self):
-        """Collect one packet's taps; returns dict or None at EOF."""
-        pending = None
-        while True:
-            try:
-                name, channel, data = self.reader.read_entry()
-            except EOFError:
-                return None
-            if name == "pcm":
-                self.pcm.setdefault(channel, []).append(np.asarray(data))
-                self.num_samples[channel] = self.num_samples.get(channel, 0) + len(data)
-                continue
-            pending = (name, channel, data)
-            break
-        name, channel, data = pending
-        assert name == "start_audio_packet", name
-        packet = {
-            "floor": [],  # (channel, floor_number, ys or None)
-            "after_residue": [],
-            "after_envelope": [],
-            "pcm_after_mdct": [],
-        }
-        last_floor = None
-        while True:
-            name, channel, data = self.reader.read_entry()
-            if name == "finish_audio_packet":
-                break
-            if name == "pcm":
-                self.pcm.setdefault(channel, []).append(np.asarray(data))
-                self.num_samples[channel] = self.num_samples.get(channel, 0) + len(data)
-            elif name == "floor_number":
-                if last_floor is not None:
-                    packet["floor"].append(last_floor)
-                last_floor = [channel, int(data[0]), None]
-            elif name == "floor1 ys":
-                assert last_floor is not None
-                last_floor[2] = np.asarray(data)
-            elif name in packet:
-                packet[name].append((channel, np.asarray(data)))
-        if last_floor is not None:
-            packet["floor"].append(last_floor)
-        return packet
-
-
-def compare_dumps(path1, path2, eps=1e-5, max_packets=None):
-    """Assert two dumps describe the same decode; returns packet count."""
-    s1, s2 = DumpStream(path1), DumpStream(path2)
-    assert s1.reader.decoder_sample_rate == s2.reader.decoder_sample_rate
-    assert s1.reader.decoder_num_channels == s2.reader.decoder_num_channels
-    s1.read_setup()
-    s2.read_setup()
-    assert len(s1.floors) == len(s2.floors)
-    for (m1, xs1), (m2, xs2) in zip(s1.floors, s2.floors):
-        assert m1 == m2
-        assert np.array_equal(xs1, xs2)
-
-    num_packets = 0
-    while True:
-        p1 = s1.read_audio_packet()
-        p2 = s2.read_audio_packet()
-        assert (p1 is None) == (p2 is None), "packet count mismatch"
-        if p1 is None:
-            # pcm flushed after the last packet was collected during the
-            # EOF-detecting read; compare the remainder.
-            _compare_rolling_pcm(s1, s2, eps)
-            break
-        _compare_packet(p1, p2, eps, num_packets)
-        _compare_rolling_pcm(s1, s2, eps)
-        num_packets += 1
-        if max_packets is not None and num_packets >= max_packets:
-            return num_packets
-    assert not any(s1.pcm.values()) and not any(s2.pcm.values()), "undrained pcm"
-    return num_packets
-
-
-def _compare_packet(p1, p2, eps, packet_idx):
-    assert len(p1["floor"]) == len(p2["floor"]), packet_idx
-    for (c1, n1, ys1), (c2, n2, ys2) in zip(p1["floor"], p2["floor"]):
-        assert c1 == c2 and n1 == n2, packet_idx
-        assert (ys1 is None) == (ys2 is None), packet_idx
-        if ys1 is not None:
-            assert np.array_equal(ys1, ys2), "floor1 ys differ in packet %d" % packet_idx
-    for tap in FLOAT_TAPS:
-        assert len(p1[tap]) == len(p2[tap]), (tap, packet_idx)
-        for (c1, d1), (c2, d2) in zip(p1[tap], p2[tap]):
-            assert c1 == c2
-            assert d1.shape == d2.shape
-            if len(d1):
-                diff = np.max(np.abs(d1 - d2))
-                assert diff < eps, "%s ch%d packet %d: max diff %g" % (
-                    tap, c1, packet_idx, diff)
-
-
-def _compare_rolling_pcm(s1, s2, eps):
-    for channel in sorted(s1.pcm.keys() | s2.pcm.keys()):
-        pcm1 = np.concatenate(s1.pcm.get(channel, [np.zeros(0, np.float32)]))
-        pcm2 = np.concatenate(s2.pcm.get(channel, [np.zeros(0, np.float32)]))
-        n = min(len(pcm1), len(pcm2))
-        if n:
-            diff = np.max(np.abs(pcm1[:n] - pcm2[:n]))
-            assert diff < eps, "pcm ch%d: max diff %g" % (channel, diff)
-        s1.pcm[channel] = [pcm1[n:]] if len(pcm1) > n else []
-        s2.pcm[channel] = [pcm2[n:]] if len(pcm2) > n else []
+from parseoggvorbis_tpu.tools.compare import (  # noqa: F401
+    DumpStream,
+    FLOAT_TAPS,
+    compare_dumps,
+)
