@@ -378,8 +378,13 @@ struct Floor1 {
   }
 
   // Returns false if the channel's floor is unused this frame.
+  // curve_out receives the full n-bin rendered integer curve (the reference
+  // renders over the whole window, ParseOggVorbis.hpp:1166; only the first
+  // n/2 bins feed the spectrum dot product, but the feature-extraction path
+  // consumes the full curve).  ys_out (optional) receives the final_ys.
   bool decode_curve(BitReader& br, const std::vector<Codebook>& books,
-                    int n_half_full, uint8_t* curve_out /* [n_half_full] */) const {
+                    int n_half_full, uint8_t* curve_out /* [n_half_full] */,
+                    uint8_t* ys_out = nullptr /* [xs.size()] */) const {
     if (br.read1() == 0) return false;
     int bits = ilog(range - 1);
     size_t npts = xs.size();
@@ -430,6 +435,9 @@ struct Floor1 {
         }
       }
     }
+
+    if (ys_out)
+      for (size_t i = 0; i < npts; ++i) ys_out[i] = (uint8_t)fin[i];
 
     // curve synthesis (spec 7.2.4 step 2): closed-form segment rendering
     int64_t lx = 0, ly = fin[sorted_idx[0]] * multiplier, hx = 0, hy = 0;
@@ -710,10 +718,11 @@ struct Frame {
   int32_t win_sel;   // prev + 2*next (0 for short)
   int32_t n;         // blocksize
   int64_t granule;   // expected ending pos, -1 unknown
-  std::vector<uint8_t> curve;    // [C * n/2]
+  std::vector<uint8_t> curve;    // [C * n] (full window; device uses n/2)
   std::vector<uint8_t> decoded;  // [C]
   std::vector<uint8_t> used;     // [C]
   std::vector<float> residue;    // [C * n/2]
+  std::vector<uint8_t> final_ys; // concat per channel of its floor's points
 };
 
 struct ParsedFile {
@@ -750,23 +759,32 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
   fr.win_sel = prev_flag + 2 * next_flag;
   fr.n = n;
   fr.granule = granule;
-  fr.curve.assign((size_t)C * half, 0);
+  fr.curve.assign((size_t)C * n, 0);
   fr.decoded.assign(C, 0);
   fr.used.assign(C, 0);
   fr.residue.assign((size_t)C * half, 0.f);
 
-  // floor decode (note: curve rendered over n bins in the scalar reference,
-  // but only the first n/2 feed the dot product — we render n/2)
-  std::vector<uint8_t> curve_full((size_t)half, 0);
+  // floor decode: full-window curve + final_ys per channel
+  {
+    size_t total_pts = 0;
+    for (int ch = 0; ch < C; ++ch) {
+      uint8_t fl = mapping.submaps[mapping.muxs[ch]].floor;
+      if (su.floor_types[fl] == 1) total_pts += su.floors[fl].xs.size();
+    }
+    fr.final_ys.assign(total_pts, 0);
+  }
+  size_t ys_off = 0;
   for (int ch = 0; ch < C; ++ch) {
     uint8_t submap = mapping.muxs[ch];
     uint8_t fl = mapping.submaps[submap].floor;
     POV_CHECK(su.floor_types[fl] == 1, "floor0 decode unsupported");
-    if (su.floors[fl].decode_curve(br, su.codebooks, half,
-                                   fr.curve.data() + (size_t)ch * half)) {
+    if (su.floors[fl].decode_curve(br, su.codebooks, n,
+                                   fr.curve.data() + (size_t)ch * n,
+                                   fr.final_ys.data() + ys_off)) {
       fr.decoded[ch] = 1;
       fr.used[ch] = 1;
     }
+    ys_off += su.floors[fl].xs.size();
   }
   // nonzero vector propagate
   for (auto& cp : mapping.couplings) {
@@ -949,13 +967,59 @@ void pov_export_frames(PovHandle* h, const int64_t* frame_ids, int64_t count,
   int C = h->pf.channels;
   for (int64_t i = 0; i < count; ++i) {
     const pov::Frame& f = h->pf.frames[frame_ids[i]];
-    size_t half = (size_t)f.n / 2;
-    memcpy(curve + (size_t)i * C * half, f.curve.data(), (size_t)C * half);
+    size_t n = (size_t)f.n;
+    size_t half = n / 2;
+    for (int ch = 0; ch < C; ++ch)
+      memcpy(curve + ((size_t)i * C + ch) * half, f.curve.data() + ch * n, half);
     memcpy(decoded + (size_t)i * C, f.decoded.data(), C);
     memcpy(used + (size_t)i * C, f.used.data(), C);
     memcpy(residue + (size_t)i * C * half, f.residue.data(),
            sizeof(float) * C * half);
   }
+}
+
+// Full-window curves for the feature-extraction path: [B, C, n] u8.
+void pov_export_curves_full(PovHandle* h, const int64_t* frame_ids,
+                            int64_t count, uint8_t* curve) {
+  int C = h->pf.channels;
+  for (int64_t i = 0; i < count; ++i) {
+    const pov::Frame& f = h->pf.frames[frame_ids[i]];
+    memcpy(curve + (size_t)i * C * f.n, f.curve.data(), (size_t)C * f.n);
+  }
+}
+
+// Concatenated per-channel final_ys: [B, total_pts(mode)] u8.
+void pov_export_floor_ys(PovHandle* h, const int64_t* frame_ids, int64_t count,
+                         uint8_t* ys, int64_t total_pts) {
+  for (int64_t i = 0; i < count; ++i) {
+    const pov::Frame& f = h->pf.frames[frame_ids[i]];
+    if ((int64_t)f.final_ys.size() == total_pts)
+      memcpy(ys + (size_t)i * total_pts, f.final_ys.data(), total_pts);
+  }
+}
+
+int32_t pov_num_floors(PovHandle* h) {
+  return (int32_t)h->pf.setup.floors.size();
+}
+
+// Floor-1 config: returns num_points (0 for floor0 slots); fills multiplier
+// and up to max_xs xs values.
+int32_t pov_floor1_info(PovHandle* h, int32_t floor_idx, int32_t* multiplier,
+                        uint32_t* xs, int32_t max_xs) {
+  if (h->pf.setup.floor_types[floor_idx] != 1) return 0;
+  const pov::Floor1& f = h->pf.setup.floors[floor_idx];
+  *multiplier = f.multiplier;
+  int npts = (int)f.xs.size();
+  for (int i = 0; i < npts && i < max_xs; ++i) xs[i] = f.xs[i];
+  return npts;
+}
+
+// Per-channel floor numbers for a mode's mapping: fills [C].
+void pov_mode_floor_numbers(PovHandle* h, int32_t mode_idx, int32_t* floors) {
+  const pov::Mode& m = h->pf.setup.modes[mode_idx];
+  const pov::Mapping& mp = h->pf.setup.mappings[m.mapping];
+  for (int ch = 0; ch < h->pf.channels; ++ch)
+    floors[ch] = mp.submaps[mp.muxs[ch]].floor;
 }
 
 }  // extern "C"

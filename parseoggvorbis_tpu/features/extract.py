@@ -23,8 +23,14 @@ import numpy as np
 from ..callbacks.reader import DumpReader
 
 
-class CallbacksOutputReader(DumpReader):
-    """DumpReader plus the reference's ML feature extractors."""
+class FeatureExtractorMixin:
+    """The reference's ML feature extractors over any tap-entry stream.
+
+    Requires a ``read_entry() -> (name, channel, data)`` method (raising
+    EOFError at end) — provided by :class:`CallbacksOutputReader` for dump
+    streams and by ``features.batched.SyntheticTapReader`` for the
+    dump-free native/TPU corpus path.
+    """
 
     def _read_setup_floors(self, sorted_xs: bool, upscale_xs_factor=1):
         multipliers: List[int] = []
@@ -222,3 +228,7 @@ class CallbacksOutputReader(DumpReader):
                 res[frame_num] = frame
                 frame_num += 1
         return res[:frame_num]
+
+
+class CallbacksOutputReader(DumpReader, FeatureExtractorMixin):
+    """Dump-stream reader plus the reference's ML feature extractors."""

@@ -65,6 +65,23 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.pov_export_curves_full.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.pov_export_floor_ys.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.pov_num_floors.restype = ctypes.c_int32
+        lib.pov_num_floors.argtypes = [ctypes.c_void_p]
+        lib.pov_floor1_info.restype = ctypes.c_int32
+        lib.pov_floor1_info.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
+        lib.pov_mode_floor_numbers.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -111,6 +128,43 @@ class NativeParsed:
             residue.ctypes.data,
         )
         return curve, decoded.astype(bool), used.astype(bool), residue
+
+    def export_curves_full(self, frame_ids: np.ndarray, n: int) -> np.ndarray:
+        """Full-window integer floor curves [B, C, n] u8 (feature path)."""
+        lib = _load()
+        ids = np.ascontiguousarray(frame_ids, dtype=np.int64)
+        curve = np.empty((len(ids), self.channels, n), dtype=np.uint8)
+        lib.pov_export_curves_full(self._handle, ids.ctypes.data, len(ids),
+                                   curve.ctypes.data)
+        return curve
+
+    def export_floor_ys(self, frame_ids: np.ndarray, total_pts: int) -> np.ndarray:
+        """Concatenated per-channel final_ys [B, total_pts] u8."""
+        lib = _load()
+        ids = np.ascontiguousarray(frame_ids, dtype=np.int64)
+        ys = np.zeros((len(ids), total_pts), dtype=np.uint8)
+        if total_pts:
+            lib.pov_export_floor_ys(self._handle, ids.ctypes.data, len(ids),
+                                    ys.ctypes.data, total_pts)
+        return ys
+
+    def floor1_info(self):
+        """Per floor: (multiplier, xs array) or None for floor0 slots."""
+        lib = _load()
+        out = []
+        for fi in range(lib.pov_num_floors(self._handle)):
+            mult = ctypes.c_int32()
+            xs = np.empty(256, dtype=np.uint32)
+            npts = lib.pov_floor1_info(self._handle, fi, ctypes.byref(mult),
+                                       xs.ctypes.data, 256)
+            out.append((int(mult.value), xs[:npts].copy()) if npts else None)
+        return out
+
+    def mode_floor_numbers(self, mode_idx: int) -> np.ndarray:
+        lib = _load()
+        floors = np.empty(self.channels, dtype=np.int32)
+        lib.pov_mode_floor_numbers(self._handle, mode_idx, floors.ctypes.data)
+        return floors
 
     def close(self) -> None:
         if self._handle:
