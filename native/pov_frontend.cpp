@@ -384,7 +384,8 @@ struct Floor1 {
   // consumes the full curve).  ys_out (optional) receives the final_ys.
   bool decode_curve(BitReader& br, const std::vector<Codebook>& books,
                     int n_half_full, uint8_t* curve_out /* [n_half_full] */,
-                    uint8_t* ys_out = nullptr /* [xs.size()] */) const {
+                    uint8_t* ys_out = nullptr /* [xs.size()] */,
+                    uint8_t* flags_out = nullptr /* [xs.size()] */) const {
     if (br.read1() == 0) return false;
     int bits = ilog(range - 1);
     size_t npts = xs.size();
@@ -438,6 +439,8 @@ struct Floor1 {
 
     if (ys_out)
       for (size_t i = 0; i < npts; ++i) ys_out[i] = (uint8_t)fin[i];
+    if (flags_out)
+      for (size_t i = 0; i < npts; ++i) flags_out[i] = flag[i];
 
     // curve synthesis (spec 7.2.4 step 2): closed-form segment rendering
     int64_t lx = 0, ly = fin[sorted_idx[0]] * multiplier, hx = 0, hy = 0;
@@ -723,6 +726,7 @@ struct Frame {
   std::vector<uint8_t> used;     // [C]
   std::vector<float> residue;    // [C * n/2]
   std::vector<uint8_t> final_ys; // concat per channel of its floor's points
+  std::vector<uint8_t> ys_flags; // step2 flags, same layout as final_ys
 };
 
 struct ParsedFile {
@@ -772,6 +776,7 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
       if (su.floor_types[fl] == 1) total_pts += su.floors[fl].xs.size();
     }
     fr.final_ys.assign(total_pts, 0);
+    fr.ys_flags.assign(total_pts, 0);
   }
   size_t ys_off = 0;
   for (int ch = 0; ch < C; ++ch) {
@@ -780,7 +785,8 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
     POV_CHECK(su.floor_types[fl] == 1, "floor0 decode unsupported");
     if (su.floors[fl].decode_curve(br, su.codebooks, n,
                                    fr.curve.data() + (size_t)ch * n,
-                                   fr.final_ys.data() + ys_off)) {
+                                   fr.final_ys.data() + ys_off,
+                                   fr.ys_flags.data() + ys_off)) {
       fr.decoded[ch] = 1;
       fr.used[ch] = 1;
     }
@@ -995,6 +1001,19 @@ void pov_export_floor_ys(PovHandle* h, const int64_t* frame_ids, int64_t count,
     const pov::Frame& f = h->pf.frames[frame_ids[i]];
     if ((int64_t)f.final_ys.size() == total_pts)
       memcpy(ys + (size_t)i * total_pts, f.final_ys.data(), total_pts);
+  }
+}
+
+// final_ys + step2 flags (same layout): [B, total_pts] u8 each.
+void pov_export_floor_ys_flags(PovHandle* h, const int64_t* frame_ids,
+                               int64_t count, uint8_t* ys, uint8_t* flags,
+                               int64_t total_pts) {
+  for (int64_t i = 0; i < count; ++i) {
+    const pov::Frame& f = h->pf.frames[frame_ids[i]];
+    if ((int64_t)f.final_ys.size() == total_pts) {
+      memcpy(ys + (size_t)i * total_pts, f.final_ys.data(), total_pts);
+      memcpy(flags + (size_t)i * total_pts, f.ys_flags.data(), total_pts);
+    }
   }
 }
 

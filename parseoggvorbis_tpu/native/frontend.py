@@ -72,6 +72,10 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.pov_export_floor_ys_flags.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
         lib.pov_num_floors.restype = ctypes.c_int32
         lib.pov_num_floors.argtypes = [ctypes.c_void_p]
         lib.pov_floor1_info.restype = ctypes.c_int32
@@ -147,6 +151,19 @@ class NativeParsed:
             lib.pov_export_floor_ys(self._handle, ids.ctypes.data, len(ids),
                                     ys.ctypes.data, total_pts)
         return ys
+
+    def export_floor_ys_flags(self, frame_ids: np.ndarray, total_pts: int):
+        """(final_ys, step2_flags) [B, total_pts] u8 each (device floor path)."""
+        lib = _load()
+        ids = np.ascontiguousarray(frame_ids, dtype=np.int64)
+        ys = np.zeros((len(ids), total_pts), dtype=np.uint8)
+        flags = np.zeros((len(ids), total_pts), dtype=np.uint8)
+        if total_pts:
+            lib.pov_export_floor_ys_flags(
+                self._handle, ids.ctypes.data, len(ids), ys.ctypes.data,
+                flags.ctypes.data, total_pts,
+            )
+        return ys, flags
 
     def floor1_info(self):
         """Per floor: (multiplier, xs array) or None for floor0 slots."""

@@ -56,6 +56,12 @@ class StreamFrames:
     # exporter(frame_ids, n) -> (curve u8 [B,C,n/2], decoded [B,C] bool,
     #                            used [B,C] bool, residue f32 [B,C,n/2])
     exporter: Callable
+    # floor-1 configs: per floor index (multiplier, xs) or None (floor0 slot)
+    floors: Optional[List] = None
+    # per mode index: [C] floor number per channel
+    mode_floor_numbers: Optional[List[np.ndarray]] = None
+    # exporter_ys(frame_ids, total_pts) -> (final_ys, flags) [B, total_pts] u8
+    exporter_ys: Optional[Callable] = None
 
     @property
     def num_frames(self) -> int:
@@ -139,6 +145,34 @@ def parse_stream_python(data: bytes) -> StreamFrames:
             residue[i] = sym.residues
         return curve, decoded, used, residue
 
+    floors = [
+        (fl.floor1.multiplier, np.asarray(fl.floor1.xs, dtype=np.uint32))
+        if fl.floor_type == 1 else None
+        for fl in setup.floors
+    ]
+    mode_floor_numbers = []
+    for m in setup.modes:
+        mapping = setup.mappings[m.mapping]
+        mode_floor_numbers.append(np.array(
+            [mapping.submaps[mapping.muxs[ch]].floor
+             for ch in range(header.audio_channels)], dtype=np.int32))
+
+    def exporter_ys(frame_ids, total_pts):
+        b = len(frame_ids)
+        ys = np.zeros((b, total_pts), dtype=np.uint8)
+        flags = np.zeros((b, total_pts), dtype=np.uint8)
+        for i, t in enumerate(frame_ids):
+            sym = frames[t]
+            fnums = mode_floor_numbers[sym.mode_idx]
+            off = 0
+            for ch in range(header.audio_channels):
+                npts = len(floors[fnums[ch]][1])
+                if sym.floor_ys is not None and sym.floor_ys[ch] is not None:
+                    ys[i, off : off + npts] = sym.floor_ys[ch]
+                    flags[i, off : off + npts] = sym.floor_flags[ch]
+                off += npts
+        return ys, flags
+
     return StreamFrames(
         sample_rate=header.audio_sample_rate,
         channels=header.audio_channels,
@@ -150,6 +184,9 @@ def parse_stream_python(data: bytes) -> StreamFrames:
         granules=np.array(granules, dtype=np.int64),
         modes=modes,
         exporter=exporter,
+        floors=floors,
+        mode_floor_numbers=mode_floor_numbers,
+        exporter_ys=exporter_ys,
     )
 
 
@@ -180,6 +217,11 @@ def parse_stream(data: bytes, prefer_native: bool = True) -> StreamFrames:
                 granules=p.granules,
                 modes=modes,
                 exporter=p.export_frames,
+                floors=p.floor1_info(),
+                mode_floor_numbers=[
+                    p.mode_floor_numbers(m) for m in range(len(modes))
+                ],
+                exporter_ys=p.export_floor_ys_flags,
             )
     return parse_stream_python(data)
 
@@ -251,12 +293,18 @@ def decode_corpus(
     else:
         streams = [parse_stream(b, prefer_native=prefer_native) for b in blobs]
     pendings = launch_corpus_decode(streams, out_i16=out_i16)
-    out: List[DecodedAudio] = []
-    for sf, pending in zip(streams, pendings):
+
+    def finish(args):
+        sf, pending = args
         emitted, lengths = pending.fetch()
         pcm = assemble_pcm(sf, emitted, lengths)
-        out.append(DecodedAudio(pcm=pcm, sample_rate=sf.sample_rate))
-    return out
+        return DecodedAudio(pcm=pcm, sample_rate=sf.sample_rate)
+
+    # parallel fetch overlaps device->host transfers of different groups
+    if host_threads > 1 and len(streams) > 1:
+        with ThreadPoolExecutor(max_workers=host_threads) as ex:
+            return list(ex.map(finish, zip(streams, pendings)))
+    return [finish(a) for a in zip(streams, pendings)]
 
 
 def decode_files(paths: Sequence[str], prefer_native: bool = True,

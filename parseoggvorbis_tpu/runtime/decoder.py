@@ -73,6 +73,9 @@ class FrameSymbols:
     floor_decoded: List[bool]  # pre-propagation (envelope validity)
     floor_used: List[bool]  # post nonzero-vector propagate (multiply enable)
     residues: np.ndarray
+    # per channel: final_ys / step2 flags in entry order (None if not decoded)
+    floor_ys: Optional[List[Optional[np.ndarray]]] = None
+    floor_flags: Optional[List[Optional[np.ndarray]]] = None
 
     @property
     def win_sel(self) -> int:
@@ -160,6 +163,8 @@ class VorbisStream:
         floor_curves = np.zeros((num_channels, n), dtype=np.int64)
         floor_decoded = [False] * num_channels  # pre-propagation: ys present
         floor_used = [False] * num_channels  # post nonzero-vector propagate
+        floor_ys: List = [None] * num_channels
+        floor_flags: List = [None] * num_channels
         for ch in range(num_channels):
             submap_number = mapping.muxs[ch]
             floor_number = mapping.submaps[submap_number].floor
@@ -179,6 +184,8 @@ class VorbisStream:
             curve = f1.render_curve_int(final_ys, step2_flag, n)
             self._push("floor1 floor", -1, curve.astype(np.uint32))
             floor_curves[ch] = curve
+            floor_ys[ch] = np.asarray(final_ys, dtype=np.uint8)
+            floor_flags[ch] = np.asarray(step2_flag, dtype=np.uint8)
 
         # 4.3.3 nonzero vector propagate
         for mag, ang in mapping.couplings:
@@ -207,6 +214,8 @@ class VorbisStream:
             floor_decoded=floor_decoded,
             floor_used=floor_used,
             residues=residue_outputs,
+            floor_ys=floor_ys,
+            floor_flags=floor_flags,
         )
 
     def parse_audio(self, data: bytes, callbacks: ParseCallbacks) -> None:

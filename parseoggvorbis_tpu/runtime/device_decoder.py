@@ -102,6 +102,14 @@ class _DeviceConstants:
             self._windows[key] = w
         return w
 
+    def cached(self, key: tuple, builder):
+        """Generic device-resident cache (builder returns device value(s))."""
+        w = self._windows.get(key)
+        if w is None:
+            w = builder()
+            self._windows[key] = w
+        return w
+
 
 _CONSTS = _DeviceConstants()
 
@@ -114,6 +122,13 @@ class ModeSig:
     couplings: Tuple[Tuple[int, int], ...]
     num_windows: int
     batch: int  # padded frame count for this mode
+    # per-channel floor-point counts when floors render on device (the
+    # transfer-lean path); empty tuple = ship pre-rendered curves instead
+    floor_pts: Tuple[int, ...] = ()
+    floor_mults: Tuple[int, ...] = ()
+    # residue encoding: "f32" raw, or "u8"/"u16" dictionary codes
+    res_enc: str = "f32"
+    dict_size: int = 0
 
 
 @dataclass(frozen=True)
@@ -126,21 +141,40 @@ class StreamSig:
 
 
 def _decode_stream_impl(
-    mode_args: Sequence[tuple],  # per mode: (residue, curve, dec, used, wsel, ids)
+    mode_args: Sequence[tuple],
     n_half: jnp.ndarray,         # [T_pad] i32
     imdct_ms: Sequence[jnp.ndarray],
     window_stacks: Sequence[jnp.ndarray],
     inverse_db: jnp.ndarray,
+    floor_consts: Sequence[tuple],  # per mode: per channel (xs_sorted, sorted_idx, pmap, multiplier)
     sig: StreamSig,
 ):
-    from .jax_backend import frame_pipeline, ola_scan
+    from .jax_backend import frame_pipeline, ola_scan, render_floor_curve_int
 
     c = sig.channels
     bs1 = sig.bs1
     z = jnp.zeros((sig.t_pad + 1, c, bs1), dtype=jnp.float32)  # +1 trash row
-    for ms, args, imdct_m, windows in zip(sig.modes, mode_args, imdct_ms,
-                                          window_stacks):
-        residue, curve, dec, used, wsel, ids = args
+    for ms, args, imdct_m, windows, fconsts in zip(
+            sig.modes, mode_args, imdct_ms, window_stacks, floor_consts):
+        residue, floor_data, dec, used, wsel, ids = args
+        if ms.res_enc != "f32":
+            codes, res_dict = residue
+            residue = jnp.take(res_dict, codes.astype(jnp.int32), axis=0)
+        if ms.floor_pts:
+            ys, flags = floor_data
+            curves = []
+            off = 0
+            for ch, npts in enumerate(ms.floor_pts):
+                xs_sorted, sorted_idx, pmap = fconsts[ch]
+                curves.append(render_floor_curve_int(
+                    ys[:, off : off + npts], flags[:, off : off + npts],
+                    xs_sorted=xs_sorted, sorted_idx=sorted_idx, pmap=pmap,
+                    multiplier=ms.floor_mults[ch],
+                ))
+                off += npts
+            curve = jnp.stack(curves, axis=1)  # [B, C, half]
+        else:
+            curve = floor_data
         w = frame_pipeline(
             residue, curve, dec, used, wsel,
             imdct_m=imdct_m, windows=windows, inverse_db=inverse_db,
@@ -162,9 +196,11 @@ def _decode_stream_impl(
 def _get_stream_fn(sig: StreamSig):
     setup_jax()
 
-    def fn(flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db):
+    def fn(flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db,
+           floor_consts):
         return _decode_stream_impl(
-            flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db, sig
+            flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db,
+            floor_consts, sig
         )
 
     return jax.jit(fn)
@@ -175,13 +211,15 @@ def _get_stacked_fn(sig: StreamSig, s: int):
     """vmapped-over-streams variant: one dispatch decodes S streams."""
     setup_jax()
 
-    def fn(flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db):
+    def fn(flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db,
+           floor_consts):
         return _decode_stream_impl(
-            flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db, sig
+            flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db,
+            floor_consts, sig
         )
 
     return jax.jit(
-        jax.vmap(fn, in_axes=(0, 0, None, None, None))
+        jax.vmap(fn, in_axes=(0, 0, None, None, None, None))
     )
 
 
@@ -202,11 +240,35 @@ class PendingDecode:
         )
 
 
+def _encode_residue(residue: np.ndarray):
+    """Lossless dictionary coding of residue spectra for the host link.
+
+    Vorbis residues are sums of a few VQ codebook rows, so a whole stream
+    typically takes well under 256 distinct float values — u8 codes + a tiny
+    dictionary cut the dominant input transfer 4x.  Falls back to u16 codes
+    or raw f32 when the value set is larger.
+    """
+    uniq = np.unique(residue)
+    if len(uniq) <= 256:
+        codes = np.searchsorted(uniq, residue).astype(np.uint8)
+        d = np.zeros(256, dtype=np.float32)
+        d[: len(uniq)] = uniq
+        return "u8", codes, d
+    if len(uniq) <= 65536:
+        codes = np.searchsorted(uniq, residue).astype(np.uint16)
+        size = 1 << max(9, int(len(uniq) - 1).bit_length())
+        d = np.zeros(size, dtype=np.float32)
+        d[: len(uniq)] = uniq
+        return "u16", codes, d
+    return "f32", residue, None
+
+
 def _prepare_stream(sf, out_i16: bool):
     """Build the padded host-side arrays + signature for one stream."""
     c = sf.channels
     t_real = sf.num_frames
     t_pad = _pad32(t_real)
+    device_floors = sf.floors is not None and sf.exporter_ys is not None
 
     mode_ids = sorted(set(sf.mode_idx.tolist()))
     mode_sigs = []
@@ -215,6 +277,7 @@ def _prepare_stream(sf, out_i16: bool):
     for m in mode_ids:
         mi = sf.modes[m]
         n = mi.blocksize
+        half = n // 2
         ids = np.nonzero(sf.mode_idx == m)[0]
         b_pad = _pad32(len(ids))
         curve, decoded, used, residue = sf.exporter(ids, n)
@@ -229,18 +292,50 @@ def _prepare_stream(sf, out_i16: bool):
                 else np.zeros(b, np.int32)).astype(np.int32)
         pad_ids = np.full(b_pad, t_pad, dtype=np.int32)  # trash row
         pad_ids[:b] = ids
+
+        res_enc, res_data, res_dict = _encode_residue(residue)
+        if res_enc == "f32":
+            res_arg = padded(res_data)
+        else:
+            res_arg = (padded(res_data), res_dict)
+
+        floor_pts: Tuple[int, ...] = ()
+        floor_mults: Tuple[int, ...] = ()
+        fconst_keys = []
+        if device_floors:
+            fnums = sf.mode_floor_numbers[m]
+            cfgs = [sf.floors[int(f)] for f in fnums]
+            if all(cfg is not None for cfg in cfgs):
+                floor_pts = tuple(len(cfg[1]) for cfg in cfgs)
+                floor_mults = tuple(int(cfg[0]) for cfg in cfgs)
+                total_pts = sum(floor_pts)
+                ys, flags = sf.exporter_ys(ids, total_pts)
+                floor_arg = (padded(ys), padded(flags))
+                for cfg in cfgs:
+                    fconst_keys.append((tuple(int(x) for x in cfg[1]), half))
+            else:
+                floor_pts = ()
+        if floor_pts:
+            mode_args.append((
+                res_arg, floor_arg, padded(decoded), padded(used),
+                padded(wsel), pad_ids,
+            ))
+        else:
+            mode_args.append((
+                res_arg, padded(curve), padded(decoded), padded(used),
+                padded(wsel), pad_ids,
+            ))
         mode_sigs.append(ModeSig(
             n=n, couplings=mi.couplings, num_windows=mi.windows.shape[0],
-            batch=b_pad,
-        ))
-        mode_args.append((
-            padded(residue), padded(curve), padded(decoded),
-            padded(used), padded(wsel), pad_ids,
+            batch=b_pad, floor_pts=floor_pts, floor_mults=floor_mults,
+            res_enc=res_enc,
+            dict_size=0 if res_dict is None else len(res_dict),
         ))
         consts.append((
             n,
             ("mode", c, n, mi.block_flag, sf.blocksize0, sf.blocksize1),
             mi.windows,
+            fconst_keys,
         ))
 
     n_half = np.full(t_pad, sf.blocksize0 // 2, dtype=np.int32)
@@ -253,29 +348,47 @@ def _prepare_stream(sf, out_i16: bool):
     return sig, tuple(mode_args), n_half, consts
 
 
+def _floor_const_arrays(xs_key, half):
+    """Device-resident (xs_sorted, sorted_idx, pmap) for one floor config."""
+    def build():
+        xs = np.array(xs_key, dtype=np.int64)
+        order = np.argsort(xs, kind="stable")
+        xs_sorted = xs[order]
+        pmap = np.searchsorted(xs_sorted, np.arange(half), side="right") - 1
+        return (xs_sorted.astype(np.int32), order.astype(np.int32),
+                pmap.astype(np.int32))
+
+    return _CONSTS.cached(("floor", xs_key, half),
+                          lambda: jax.device_put(build()))
+
+
 def _device_consts(consts):
     imdct_ms = []
     window_stacks = []
-    for n, wkey, windows in consts:
+    floor_consts = []
+    for n, wkey, windows, fconst_keys in consts:
         imdct_ms.append(_CONSTS.imdct(n))
         window_stacks.append(_CONSTS.windows(wkey, lambda w=windows: w))
-    return tuple(imdct_ms), tuple(window_stacks)
+        floor_consts.append(tuple(
+            _floor_const_arrays(xs_key, half) for xs_key, half in fconst_keys
+        ))
+    return tuple(imdct_ms), tuple(window_stacks), tuple(floor_consts)
 
 
 def launch_stream_decode(sf, out_i16: bool = False) -> PendingDecode:
     """Launch the fused device decode for one parsed stream (async)."""
     sig, mode_args, n_half, consts = _prepare_stream(sf, out_i16)
-    imdct_ms, window_stacks = _device_consts(consts)
+    imdct_ms, window_stacks, floor_consts = _device_consts(consts)
     fn = _get_stream_fn(sig)
     emitted, lengths = fn(mode_args, n_half, imdct_ms, window_stacks,
-                          _CONSTS.inverse_db)
+                          _CONSTS.inverse_db, floor_consts)
     return PendingDecode(emitted, lengths, sf.num_frames)
 
 
 # Streams per stacked dispatch.  Sized so each transfer leaf stays in the
 # low-MB range: large single transfers degrade badly on tunneled hosts, and
 # moderate chunks let XLA overlap one group's transfer with another's compute.
-_GROUP_S = int(os.environ.get("POV_GROUP_STREAMS", "4"))
+_GROUP_S = int(os.environ.get("POV_GROUP_STREAMS", "8"))
 
 
 def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
@@ -289,14 +402,15 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
 
     pendings: List[Optional[PendingDecode]] = [None] * len(streams)
     for sig, idxs in by_sig.items():
-        imdct_ms, window_stacks = _device_consts(prepared[idxs[0]][3])
+        imdct_ms, window_stacks, floor_consts = _device_consts(prepared[idxs[0]][3])
         for start in range(0, len(idxs), _GROUP_S):
             chunk = idxs[start : start + _GROUP_S]
             if len(chunk) == 1:
                 i = chunk[0]
                 fn = _get_stream_fn(sig)
                 emitted, lengths = fn(prepared[i][1], prepared[i][2], imdct_ms,
-                                      window_stacks, _CONSTS.inverse_db)
+                                      window_stacks, _CONSTS.inverse_db,
+                                      floor_consts)
                 pendings[i] = PendingDecode(emitted, lengths,
                                             streams[i].num_frames)
                 continue
@@ -310,7 +424,8 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
             stacked_nhalf = np.stack([take(i)[2] for i in range(s_pad)])
             fn = _get_stacked_fn(sig, s_pad)
             emitted, lengths = fn(stacked_args, stacked_nhalf, imdct_ms,
-                                  window_stacks, _CONSTS.inverse_db)
+                                  window_stacks, _CONSTS.inverse_db,
+                                  floor_consts)
             for gi, i in enumerate(chunk):
                 pendings[i] = PendingDecode(
                     emitted[gi], lengths[gi], streams[i].num_frames
@@ -328,6 +443,39 @@ def assemble_pcm(sf, emitted: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     c = emitted.shape[1]
     t_real = len(lengths)
     granules = sf.granules
+    lengths = np.asarray(lengths, dtype=np.int64)
+
+    # Granule validation/truncation.  In valid streams only the final frame
+    # can truncate, so the vectorized check-first/fix-up-last form is exact.
+    cum = np.cumsum(lengths)
+    nums = lengths.copy()
+    gmask = granules[:t_real] >= 0
+    if np.any(gmask):
+        g_idx = np.nonzero(gmask)[0]
+        g_val = granules[g_idx]
+        before = cum[g_idx] - lengths[g_idx]
+        if np.any(before > g_val):
+            raise ValueError("stream position past granule position")
+        short = cum[g_idx] < g_val
+        if np.any(short):
+            raise ValueError("granule implies mid-stream short frame")
+        mismatched = cum[g_idx] != g_val
+        if np.any(mismatched[:-1]):
+            # mid-stream truncation (tolerated by the reference): replay the
+            # exact sequential semantics
+            nums = _assemble_nums_sequential(lengths, granules, t_real)
+        elif mismatched[-1]:
+            last = g_idx[-1]
+            nums[last] = g_val[-1] - (cum[last] - lengths[last])
+
+    maxh = emitted.shape[2]
+    mask = np.arange(maxh)[None, :] < nums[:, None]  # [T, maxh]
+    out = emitted.transpose(1, 0, 2)[:, mask]  # [C, total]
+    return np.ascontiguousarray(out)
+
+
+def _assemble_nums_sequential(lengths, granules, t_real):
+    """Reference-exact per-frame granule accounting (rare fallback path)."""
     nums = np.zeros(t_real, dtype=np.int64)
     abs_total = 0
     for t in range(t_real):
@@ -344,12 +492,4 @@ def assemble_pcm(sf, emitted: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         abs_total += num
         if g >= 0 and abs_total != g:
             raise ValueError("granule position mismatch at end of page")
-    total = int(nums.sum())
-    out = np.empty((c, total), dtype=emitted.dtype)
-    pos = 0
-    for t in range(t_real):
-        num = int(nums[t])
-        if num:
-            out[:, pos : pos + num] = emitted[t, :, :num]
-            pos += num
-    return out
+    return nums

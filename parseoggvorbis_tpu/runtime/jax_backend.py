@@ -50,6 +50,53 @@ def _coupling_step(mag: jnp.ndarray, ang: jnp.ndarray):
     return new_m, new_a
 
 
+def render_floor_curve_int(
+    ys: jnp.ndarray,       # [B, P] uint8 — final_ys in entry order
+    flags: jnp.ndarray,    # [B, P] uint8/bool — step2 flags in entry order
+    *,
+    xs_sorted: jnp.ndarray,    # [P] int32 — static floor xs, ascending
+    sorted_idx: jnp.ndarray,   # [P] int32 — entry order -> sorted order gather
+    pmap: jnp.ndarray,         # [half] int32 — bin -> sorted segment index
+    multiplier: int,
+) -> jnp.ndarray:
+    """Device-side floor-1 curve synthesis (spec 7.2.4 step 2), int-exact.
+
+    Replaces shipping the rendered [half] curve per channel with shipping the
+    <=65 packed Y values: each output bin finds its bracketing step2-flagged
+    points (cummax/cummin over the point axis) and evaluates the closed-form
+    Bresenham line y0 + sign*(|dy|*(x-x0))//dx in int32.  Matches the host
+    renderer bit-for-bit (see tests).
+    """
+    p = xs_sorted.shape[0]
+    half = pmap.shape[0]
+    ys_s = jnp.take(ys.astype(jnp.int32), sorted_idx, axis=1) * multiplier
+    fl_s = jnp.take(flags.astype(jnp.bool_), sorted_idx, axis=1)
+    idx = jnp.arange(p, dtype=jnp.int32)
+
+    # last flagged point index <= i ; first flagged index >= i
+    lastflag = jax.lax.cummax(jnp.where(fl_s, idx, -1), axis=1)
+    nextflag = jax.lax.cummin(jnp.where(fl_s, idx, p), axis=1, reverse=True)
+    nextflag = jnp.concatenate(
+        [nextflag, jnp.full((nextflag.shape[0], 1), p, jnp.int32)], axis=1
+    )
+
+    li = jnp.take(lastflag, pmap, axis=1)                     # [B, half]
+    hi = jnp.take_along_axis(nextflag, li + 1, axis=1)        # [B, half]
+    valid = hi < p
+    hi_c = jnp.minimum(hi, p - 1)
+
+    x = jnp.arange(half, dtype=jnp.int32)[None, :]
+    x0 = xs_sorted[li]
+    x1 = xs_sorted[hi_c]
+    y0 = jnp.take_along_axis(ys_s, li, axis=1)
+    y1 = jnp.take_along_axis(ys_s, hi_c, axis=1)
+    dy = y1 - y0
+    adx = jnp.maximum(x1 - x0, 1)
+    off = (jnp.abs(dy) * (x - x0)) // adx
+    y = jnp.where(valid, y0 + jnp.sign(dy) * off, y0)
+    return y
+
+
 def frame_pipeline(
     residue: jnp.ndarray,       # [B, C, half] f32 — raw residue spectra
     floor_curve: jnp.ndarray,   # [B, C, half] int32/uint8 — integer floor curve
