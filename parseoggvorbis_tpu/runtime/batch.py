@@ -70,8 +70,13 @@ class StreamFrames:
 
 @dataclass
 class DecodedAudio:
-    pcm: np.ndarray  # [C, num_samples] float32
+    pcm: np.ndarray  # [C, num_samples] float32 (or int16)
     sample_rate: int
+    error: Optional[str] = None  # set when per-stream isolation caught a failure
+
+    @property
+    def ok(self) -> bool:
+        return self.error is None
 
     @property
     def num_channels(self) -> int:
@@ -272,6 +277,7 @@ def decode_corpus(
     prefer_native: bool = True,
     host_threads: int = 8,
     out_i16: bool = False,
+    strict: bool = True,
 ) -> List[DecodedAudio]:
     """Decode a corpus of in-memory oggs.
 
@@ -282,29 +288,64 @@ def decode_corpus(
 
     ``out_i16`` returns 16-bit PCM (the standard delivery format, converted
     on device — halves the device->host transfer) instead of float32.
+
+    ``strict=False`` enables per-stream error isolation: a corrupt file
+    yields a :class:`DecodedAudio` with ``error`` set and empty PCM instead
+    of failing the whole batch.
     """
     from .device_decoder import assemble_pcm, launch_corpus_decode
 
+    def safe_parse(b):
+        try:
+            return parse_stream(b, prefer_native=prefer_native)
+        except Exception as exc:
+            if strict:
+                raise
+            return exc
+
     if host_threads > 1 and len(blobs) > 1:
         with ThreadPoolExecutor(max_workers=host_threads) as ex:
-            streams = list(ex.map(
-                lambda b: parse_stream(b, prefer_native=prefer_native), blobs
-            ))
+            streams = list(ex.map(safe_parse, blobs))
     else:
-        streams = [parse_stream(b, prefer_native=prefer_native) for b in blobs]
-    pendings = launch_corpus_decode(streams, out_i16=out_i16)
+        streams = [safe_parse(b) for b in blobs]
+
+    good = [(i, sf) for i, sf in enumerate(streams)
+            if isinstance(sf, StreamFrames)]
+    pendings = launch_corpus_decode([sf for _, sf in good], out_i16=out_i16)
 
     def finish(args):
         sf, pending = args
-        emitted, lengths = pending.fetch()
-        pcm = assemble_pcm(sf, emitted, lengths)
-        return DecodedAudio(pcm=pcm, sample_rate=sf.sample_rate)
+        try:
+            emitted, lengths = pending.fetch()
+            pcm = assemble_pcm(sf, emitted, lengths)
+            return DecodedAudio(pcm=pcm, sample_rate=sf.sample_rate)
+        except Exception as exc:
+            if strict:
+                raise
+            return DecodedAudio(
+                pcm=np.zeros((sf.channels, 0), np.float32),
+                sample_rate=sf.sample_rate, error=str(exc),
+            )
 
-    # parallel fetch overlaps device->host transfers of different groups
-    if host_threads > 1 and len(streams) > 1:
+    pairs = [(sf, p) for (_, sf), p in zip(good, pendings)]
+    if host_threads > 1 and len(pairs) > 1:
         with ThreadPoolExecutor(max_workers=host_threads) as ex:
-            return list(ex.map(finish, zip(streams, pendings)))
-    return [finish(a) for a in zip(streams, pendings)]
+            finished = list(ex.map(finish, pairs))
+    else:
+        finished = [finish(a) for a in pairs]
+
+    out: List[DecodedAudio] = []
+    gi = 0
+    for sf in streams:
+        if isinstance(sf, StreamFrames):
+            out.append(finished[gi])
+            gi += 1
+        else:
+            out.append(DecodedAudio(
+                pcm=np.zeros((0, 0), np.float32), sample_rate=0,
+                error=str(sf),
+            ))
+    return out
 
 
 def decode_files(paths: Sequence[str], prefer_native: bool = True,
