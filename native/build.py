@@ -14,7 +14,7 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-SRC = os.path.join(HERE, "pov_frontend.cpp")
+SRC = [os.path.join(HERE, "pov_frontend.cpp"), os.path.join(HERE, "pov_capi.cpp")]
 OUT_DIR = os.path.join(REPO, "parseoggvorbis_tpu", "native")
 OUT = os.path.join(OUT_DIR, "_libpov.so")
 
@@ -23,8 +23,15 @@ def build(verbose: bool = True) -> str:
     os.makedirs(OUT_DIR, exist_ok=True)
     cmd = [
         "g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-Wall", "-Wextra",
-        SRC, "-o", OUT,
-    ]
+    ] + SRC + ["-o", OUT]
+    if verbose:
+        print("$", " ".join(cmd))
+    subprocess.check_call(cmd)
+    # native demo binary (same CLI contract as the reference's ours.bin)
+    main_src = os.path.join(HERE, "pov_main.cpp")
+    bin_out = os.path.join(OUT_DIR, "pov_decode")
+    cmd = ["g++", "-std=c++17", "-O3", "-Wall", main_src] + SRC[1:] + [
+        "-o", bin_out]
     if verbose:
         print("$", " ".join(cmd))
     subprocess.check_call(cmd)

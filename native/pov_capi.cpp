@@ -1,0 +1,706 @@
+// pov_capi.cpp — reference-compatible C ABI: debug callbacks + full decode.
+//
+// Implements, natively, the two C surfaces of the reference
+// (/root/reference/src/Callbacks.h and ParseOggVorbis.hpp:1488-1494):
+//
+//  * the debug-callback subsystem: decoder registry with aliases,
+//    thread-local pending sink/filter configuration, null/stdout/file sinks,
+//    and the length-prefixed binary dump format — byte-compatible with the
+//    reference so existing consumers (demo_live_extract.py via cffi,
+//    compare-debug-out.py) work against this library unchanged;
+//  * ogg_vorbis_full_read / ogg_vorbis_full_read_from_memory: a complete
+//    scalar decode (floors, residues, coupling, IMDCT, window, overlap-add)
+//    pushing the same taps in the same order as the reference decoder.
+//
+// The IMDCT here is the direct transform evaluated with an exact-phase
+// double cosine table (m = (2k+1)(2j+1+n/2) mod 4n advances incrementally),
+// accumulated in double — O(n^2/4) but this surface is the debugging /
+// feature-extraction channel, not the TPU fast path.
+
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <mutex>
+#include <set>
+#include <string>
+#include <vector>
+
+#include "pov_core.h"
+
+// ------------------------------------------------------- callbacks C ABI --
+
+namespace povcb {
+
+enum OutputType { OT_null, OT_short_stdout, OT_file };
+
+thread_local OutputType g_pending_output = OT_null;
+thread_local std::string g_pending_filename;
+thread_local bool g_pending_use_filter = false;
+thread_local std::set<std::string> g_pending_filter;
+
+std::mutex g_mutex;
+int g_unique_idx = 1;
+
+struct Info {
+  int idx = 0;
+  std::string name;
+  const void* ref = nullptr;
+  std::set<const void*> aliases;
+  long sample_rate = 0;
+  int num_channels = 0;
+  OutputType output_type = OT_null;
+  FILE* file = nullptr;
+  bool use_filter = false;
+  std::set<std::string> filter;
+
+  ~Info() {
+    if (file) fclose(file);
+  }
+
+  void raw_write(const void* data, uint32_t len) {
+    fwrite(&len, sizeof(len), 1, file);
+    fwrite(data, 1, len, file);
+  }
+  void raw_write(const std::string& s) { raw_write(s.data(), (uint32_t)s.size()); }
+
+  void write_typed(const std::string& key, uint8_t type_id, uint8_t elem_size,
+                   const void* data, uint32_t byte_len) {
+    raw_write(key);
+    raw_write(&type_id, 1);
+    raw_write(&elem_size, 1);
+    raw_write(data, byte_len);
+  }
+
+  void open_output(OutputType ot, const std::string& fn) {
+    output_type = ot;
+    if (ot != OT_file) return;
+    file = fopen(fn.c_str(), "wb");
+    if (!file) {
+      fprintf(stderr, "pov callbacks: could not open %s\n", fn.c_str());
+      output_type = OT_null;
+      return;
+    }
+    raw_write(std::string("ParseOggVorbis-header-v1"));
+    write_typed("decoder-name", 4, 1, name.data(), (uint32_t)name.size());
+    uint32_t sr = (uint32_t)sample_rate;
+    write_typed("decoder-sample-rate", 3, 4, &sr, 4);
+    uint8_t ch = (uint8_t)num_channels;
+    write_typed("decoder-num-channels", 4, 1, &ch, 1);
+  }
+};
+
+std::map<const void*, Info> g_decoders;
+std::map<const void*, const void*> g_alias_map;
+
+Info* get_decoder(const void* ref) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  auto a = g_alias_map.find(ref);
+  if (a != g_alias_map.end()) ref = a->second;
+  auto it = g_decoders.find(ref);
+  return it == g_decoders.end() ? nullptr : &it->second;
+}
+
+template <typename T>
+void push_data(const void* ref, const char* name, int channel, const T* data,
+               size_t len, uint8_t type_id, const char* kindname) {
+  Info* info = get_decoder(ref);
+  if (!info) return;
+  if (info->use_filter && !info->filter.count(name)) return;
+  if (info->output_type == OT_null) return;
+  if (info->output_type == OT_short_stdout) {
+    printf("decoder=%d '%s' name='%s' channel=%d", info->idx,
+           info->name.c_str(), name, channel);
+    if (!data) {
+      printf(" data=NULL\n");
+    } else {
+      printf(" data=%s{", kindname);
+      for (size_t i = 0; i < len && i < 10; ++i) {
+        if (i) printf(" ");
+        double v = (double)data[i];
+        if (type_id == 1) printf("%g", v); else printf("%lld", (long long)data[i]);
+      }
+      if (len > 10) printf(" ...");
+      printf("} len=%zu\n", len);
+    }
+    return;
+  }
+  info->write_typed("entry-name", 4, 1, name, (uint32_t)strlen(name));
+  if (channel >= 0) {
+    uint8_t ch = (uint8_t)channel;
+    info->write_typed("entry-channel", 4, 1, &ch, 1);
+  }
+  info->write_typed("entry-data", type_id, sizeof(T), data,
+                    (uint32_t)(len * sizeof(T)));
+}
+
+}  // namespace povcb
+
+extern "C" {
+
+void register_decoder_ref(const void* ref, const char* decoder_name,
+                          long sample_rate, int num_channels) {
+  using namespace povcb;
+  std::lock_guard<std::mutex> lock(g_mutex);
+  Info& info = g_decoders[ref];
+  if (!info.idx) info.idx = g_unique_idx++;
+  info.ref = ref;
+  info.name = decoder_name;
+  info.sample_rate = sample_rate;
+  info.num_channels = num_channels;
+  info.open_output(g_pending_output, g_pending_filename);
+  info.use_filter = g_pending_use_filter;
+  info.filter.swap(g_pending_filter);
+  g_pending_use_filter = false;
+  g_pending_output = OT_null;
+}
+
+void register_decoder_alias(const void* orig_ref, const void* alias_ref) {
+  using namespace povcb;
+  std::lock_guard<std::mutex> lock(g_mutex);
+  auto a = g_alias_map.find(orig_ref);
+  const void* root = a != g_alias_map.end() ? a->second : orig_ref;
+  auto it = g_decoders.find(root);
+  if (it == g_decoders.end()) return;
+  it->second.aliases.insert(alias_ref);
+  g_alias_map[alias_ref] = root;
+}
+
+void unregister_decoder_ref(const void* ref) {
+  using namespace povcb;
+  std::lock_guard<std::mutex> lock(g_mutex);
+  auto a = g_alias_map.find(ref);
+  const void* root = a != g_alias_map.end() ? a->second : ref;
+  auto it = g_decoders.find(root);
+  if (it == g_decoders.end()) return;
+  for (const void* al : it->second.aliases) g_alias_map.erase(al);
+  g_decoders.erase(it);
+}
+
+void set_data_output_null(void) { povcb::g_pending_output = povcb::OT_null; }
+void set_data_output_short_stdout(void) {
+  povcb::g_pending_output = povcb::OT_short_stdout;
+}
+void set_data_output_file(const char* fn) {
+  povcb::g_pending_output = povcb::OT_file;
+  povcb::g_pending_filename = fn;
+}
+
+void set_data_filter(const char** allowed_names) {
+  using namespace povcb;
+  g_pending_filter.clear();
+  if (!allowed_names) {
+    g_pending_use_filter = false;
+    return;
+  }
+  g_pending_use_filter = true;
+  for (const char** p = allowed_names; *p; ++p) g_pending_filter.insert(*p);
+}
+
+void push_data_float(const void* ref, const char* name, int channel,
+                     const float* data, size_t len) {
+  povcb::push_data(ref, name, channel, data, len, 1, "f32");
+}
+void push_data_i32(const void* ref, const char* name, int channel,
+                   const int32_t* data, size_t len) {
+  povcb::push_data(ref, name, channel, data, len, 2, "i32");
+}
+void push_data_u32(const void* ref, const char* name, int channel,
+                   const uint32_t* data, size_t len) {
+  povcb::push_data(ref, name, channel, data, len, 3, "u32");
+}
+void push_data_u8(const void* ref, const char* name, int channel,
+                  const uint8_t* data, size_t len) {
+  povcb::push_data(ref, name, channel, data, len, 4, "u8");
+}
+void push_data_i64(const void* ref, const char* name, int channel,
+                   const int64_t* data, size_t len) {
+  povcb::push_data(ref, name, channel, data, len, 6, "i64");
+}
+void push_data_u64(const void* ref, const char* name, int channel,
+                   const uint64_t* data, size_t len) {
+  povcb::push_data(ref, name, channel, data, len, 7, "u64");
+}
+void push_data_int(const void* ref, const char* name, int channel,
+                   const int* data, size_t len) {
+  povcb::push_data(ref, name, channel, (const int32_t*)data, len, 2, "i32");
+}
+
+}  // extern "C"
+
+// ----------------------------------------------------- full scalar decode --
+
+namespace povsc {
+
+// floor1_inverse_dB_table, Vorbis I spec section 10.1 (exact float32 bit
+// patterns; no closed form reproduces every published entry to the ulp).
+static const uint32_t kInverseDbBits[256] = {
+    0x33e4b43eu, 0x33f39109u, 0x3401b28bu, 0x340a203cu, 0x34131a23u, 0x341ca960u,
+    0x3426d7a7u, 0x3431af4bu, 0x343d3b50u, 0x34498770u, 0x3456a023u, 0x346492b8u,
+    0x34736d55u, 0x34819f88u, 0x348a0bfcu, 0x34930493u, 0x349c9269u, 0x34a6bf32u,
+    0x34b1953fu, 0x34bd1f93u, 0x34c969e4u, 0x34d680adu, 0x34e47136u, 0x34f349a6u,
+    0x35018c88u, 0x3509f7c0u, 0x3512ef06u, 0x351c7b76u, 0x3526a6c0u, 0x35317b37u,
+    0x353d03dau, 0x35494c5eu, 0x3556613bu, 0x35644fb9u, 0x357325fcu, 0x3581798au,
+    0x3589e386u, 0x3592d97cu, 0x359c6485u, 0x35a68e52u, 0x35b16133u, 0x35bce825u,
+    0x35c92edcu, 0x35d641ceu, 0x35e42e41u, 0x35f30257u, 0x3601668fu, 0x3609cf4fu,
+    0x3612c3f5u, 0x361c4d98u, 0x362675e8u, 0x36314732u, 0x363ccc74u, 0x3649115eu,
+    0x36562265u, 0x36640cceu, 0x3672deb8u, 0x36815397u, 0x3689bb1cu, 0x3692ae72u,
+    0x369c36afu, 0x36a65d81u, 0x36b12d35u, 0x36bcb0c7u, 0x36c8f3e4u, 0x36d60301u,
+    0x36e3eb60u, 0x36f2bb1eu, 0x370140a2u, 0x3709a6ebu, 0x371298f1u, 0x371c1fc9u,
+    0x3726451eu, 0x3731133du, 0x373c951eu, 0x3748d66fu, 0x3755e3a2u, 0x3763c9f7u,
+    0x37729789u, 0x37812dafu, 0x378992beu, 0x37928374u, 0x379c08e6u, 0x37a62cbeu,
+    0x37b0f947u, 0x37bc7979u, 0x37c8b8feu, 0x37d5c447u, 0x37e3a892u, 0x37f273f8u,
+    0x38011ac0u, 0x38097e93u, 0x38126df9u, 0x381bf206u, 0x38261462u, 0x3830df56u,
+    0x383c5dd8u, 0x38489b92u, 0x3855a4f2u, 0x38638733u, 0x3872506eu, 0x388107d3u,
+    0x38896a6bu, 0x38925882u, 0x389bdb2au, 0x38a5fc09u, 0x38b0c568u, 0x38bc423bu,
+    0x38c87e29u, 0x38d585a0u, 0x38e365d9u, 0x38f22ce8u, 0x3900f4e9u, 0x39095646u,
+    0x3912430eu, 0x391bc451u, 0x3925e3b5u, 0x3930ab7fu, 0x393c26a2u, 0x394860c5u,
+    0x39556653u, 0x39634483u, 0x39720968u, 0x3980e201u, 0x39894224u, 0x39922d9du,
+    0x399bad7bu, 0x39a5cb63u, 0x39b09199u, 0x39bc0b0du, 0x39c84366u, 0x39d5470bu,
+    0x39e32332u, 0x39f1e5edu, 0x3a00cf1du, 0x3a092e05u, 0x3a121830u, 0x3a1b96a9u,
+    0x3a25b315u, 0x3a3077b7u, 0x3a3bef7cu, 0x3a48260au, 0x3a5527c7u, 0x3a6301e6u,
+    0x3a71c278u, 0x3a80bc3bu, 0x3a8919e9u, 0x3a9202c6u, 0x3a9b7fdbu, 0x3aa59acbu,
+    0x3ab05dd8u, 0x3abbd3efu, 0x3ac808b3u, 0x3ad50888u, 0x3ae2e09fu, 0x3af19f07u,
+    0x3b00a95cu, 0x3b0905d0u, 0x3b11ed5eu, 0x3b1b690fu, 0x3b258284u, 0x3b3043fdu,
+    0x3b3bb867u, 0x3b47eb61u, 0x3b54e94du, 0x3b62bf5du, 0x3b717b9cu, 0x3b80967fu,
+    0x3b88f1bau, 0x3b91d7f9u, 0x3b9b5247u, 0x3ba56a41u, 0x3bb02a27u, 0x3bbb9ce2u,
+    0x3bc7ce12u, 0x3bd4ca17u, 0x3be29e20u, 0x3bf15835u, 0x3c0083a6u, 0x3c08dda7u,
+    0x3c11c298u, 0x3c1b3b82u, 0x3c255201u, 0x3c301054u, 0x3c3b8161u, 0x3c47b0c8u,
+    0x3c54aae5u, 0x3c627ce8u, 0x3c7134d4u, 0x3c8070cfu, 0x3c88c996u, 0x3c91ad3au,
+    0x3c9b24c0u, 0x3ca539c5u, 0x3caff685u, 0x3cbb65e5u, 0x3cc79382u, 0x3cd48bb9u,
+    0x3ce25bb4u, 0x3cf11179u, 0x3d005dfbu, 0x3d08b589u, 0x3d1197dfu, 0x3d1b0e02u,
+    0x3d25218du, 0x3d2fdcb9u, 0x3d3b4a6du, 0x3d477640u, 0x3d546c91u, 0x3d623a85u,
+    0x3d70ee22u, 0x3d804b2au, 0x3d88a17fu, 0x3d918288u, 0x3d9af748u, 0x3da50958u,
+    0x3dafc2f2u, 0x3dbb2ef8u, 0x3dc75903u, 0x3dd44d6du, 0x3de2195cu, 0x3df0cad1u,
+    0x3e00385bu, 0x3e088d77u, 0x3e116d33u, 0x3e1ae090u, 0x3e24f127u, 0x3e2fa92eu,
+    0x3e3b1387u, 0x3e473bcau, 0x3e542e4du, 0x3e61f837u, 0x3e70a784u, 0x3e80258fu,
+    0x3e887973u, 0x3e9157e2u, 0x3e9ac9dcu, 0x3ea4d8f9u, 0x3eaf8f6du, 0x3ebaf81bu,
+    0x3ec71e95u, 0x3ed40f33u, 0x3ee1d717u, 0x3ef0843du, 0x3f0012c6u, 0x3f086572u,
+    0x3f114293u, 0x3f1ab32bu, 0x3f24c0ceu, 0x3f2f75b1u, 0x3f3adcb2u, 0x3f470165u,
+    0x3f53f01du, 0x3f61b5fbu, 0x3f7060fbu, 0x3f800000u,
+};
+
+static float inverse_db(int i) {
+  float f;
+  memcpy(&f, &kInverseDbBits[i], 4);
+  return f;
+}
+
+// Direct IMDCT with exact-phase double trig table.
+struct Imdct {
+  int n = 0;
+  std::vector<double> cos_table;  // [4n]: cos(pi/(2n) * m)
+  void init(int n_) {
+    n = n_;
+    cos_table.resize(4 * n);
+    for (int m = 0; m < 4 * n; ++m)
+      cos_table[m] = std::cos(M_PI / (2.0 * n) * m);
+  }
+  // y[j] = sum_k X[k] cos(pi/(2n) (2j+1+n/2)(2k+1)), j in [0,n)
+  void backward(const float* in, float* out) const {
+    int half = n / 2;
+    std::vector<double> acc(n, 0.0);
+    int period = 4 * n;
+    for (int k = 0; k < half; ++k) {
+      double xk = in[k];
+      if (xk == 0.0) continue;
+      int step = (2 * (2 * k + 1)) % period;
+      int m = ((int64_t)(2 * k + 1) * (1 + n / 2)) % period;
+      for (int j = 0; j < n; ++j) {
+        acc[j] += xk * cos_table[m];
+        m += step;
+        if (m >= period) m -= period;
+      }
+    }
+    for (int j = 0; j < n; ++j) out[j] = (float)acc[j];
+  }
+};
+
+struct Window {
+  std::vector<float> w;  // [variants * n]
+  int n = 0;
+  bool long_block = false;
+  void init(int n_, bool long_block_, int bs0, int bs1) {
+    n = n_;
+    long_block = long_block_;
+    int variants = long_block ? 4 : 1;
+    w.assign((size_t)variants * n, 0.f);
+    for (int v = 0; v < variants; ++v) {
+      int left = (v & 1 ? bs1 : bs0) / 2;
+      int right = (v & 2 ? bs1 : bs0) / 2;
+      if (!long_block) left = right = bs0 / 2;
+      int left_begin = n / 4 - left / 2;
+      int right_begin = n - n / 4 - right / 2;
+      float* win = &w[(size_t)v * n];
+      for (int i = 0; i < left; ++i) {
+        double x = std::sin(M_PI / 2 * (i + 0.5) / left);
+        win[left_begin + i] = (float)std::sin(M_PI / 2 * x * x);
+      }
+      for (int i = left_begin + left; i < right_begin; ++i) win[i] = 1.f;
+      for (int i = 0; i < right; ++i) {
+        double x = std::sin(M_PI / 2 * (right - i - 0.5) / right);
+        win[right_begin + i] = (float)std::sin(M_PI / 2 * x * x);
+      }
+    }
+  }
+  const float* get(int variant) const { return &w[(size_t)variant * n]; }
+};
+
+// Absolute-timeline overlap-add state (see runtime/state.py for the model;
+// behaviorally identical to the reference's ring buffer).
+struct OlaState {
+  int channels = 0;
+  std::vector<std::vector<float>> buf;
+  int64_t buf_start = 0, frame_pos = 0, emit_pos = 0;
+  int prev_win = 0, cur_win = 0;
+  uint64_t abs_total = 0;
+  int64_t expected_ending = -1;
+
+  void init(int ch) {
+    channels = ch;
+    buf.assign(ch, {});
+  }
+
+  void begin_frame(int win_size) {
+    int64_t new_pos =
+        cur_win > 0 ? frame_pos + (int64_t)(cur_win / 4) * 3 - win_size / 4 : 0;
+    prev_win = cur_win;
+    cur_win = win_size;
+    frame_pos = new_pos;
+    int64_t new_start = std::min(emit_pos, new_pos);
+    int64_t new_end = new_pos + win_size;
+    std::vector<std::vector<float>> nb(channels,
+                                       std::vector<float>(new_end - new_start, 0.f));
+    if (!buf[0].empty()) {
+      int64_t old_end = buf_start + (int64_t)buf[0].size();
+      int64_t lo = std::max(buf_start, new_start);
+      int64_t hi = std::min(old_end, new_end);
+      if (hi > lo)
+        for (int c = 0; c < channels; ++c)
+          memcpy(&nb[c][lo - new_start], &buf[c][lo - buf_start],
+                 sizeof(float) * (hi - lo));
+    }
+    buf.swap(nb);
+    buf_start = new_start;
+  }
+
+  void add_frame(int c, const float* pcm, const float* win, int n) {
+    float* dst = &buf[c][frame_pos - buf_start];
+    for (int i = 0; i < n; ++i) dst[i] += pcm[i] * win[i];
+  }
+
+  // returns (offset into buf, num) of emitted region; num<0 on error
+  std::pair<int64_t, int64_t> ready() {
+    int64_t num = 0;
+    if (prev_win > 0) num = frame_pos + cur_win / 2 - emit_pos;
+    if (expected_ending >= 0) {
+      if ((int64_t)abs_total > expected_ending) return {0, -1};
+      if ((int64_t)abs_total + num >= expected_ending)
+        num = expected_ending - abs_total;
+      else
+        return {0, -2};
+    }
+    int64_t off = emit_pos - buf_start;
+    abs_total += num;
+    emit_pos = frame_pos + cur_win / 2;
+    if (expected_ending >= 0 && (int64_t)abs_total != expected_ending)
+      return {0, -3};
+    return {off, num};
+  }
+};
+
+struct ScalarStream {
+  pov::Setup setup;
+  uint32_t sample_rate = 0;
+  int channels = 0;
+  int bs0 = 0, bs1 = 0;
+  int packet_count = 0;
+  Imdct mdct[2];
+  std::vector<Window> windows;  // per mode
+  OlaState state;
+
+  void parse_headers_packet(const uint8_t* pkt, size_t len) {
+    if (packet_count == 0) {
+      POV_CHECK(len >= 30 && pkt[0] == 1 && !memcmp(pkt + 1, "vorbis", 6),
+                "bad id header");
+      uint32_t version;
+      memcpy(&version, pkt + 7, 4);
+      POV_CHECK(version == 0, "vorbis version");
+      channels = pkt[11];
+      memcpy(&sample_rate, pkt + 12, 4);
+      uint8_t bs = pkt[28];
+      bs0 = 1 << (bs & 0xf);
+      bs1 = 1 << (bs >> 4);
+      POV_CHECK(bs0 >= 64 && bs1 <= 8192 && bs0 <= bs1, "blocksize range");
+      POV_CHECK(pkt[29] == 1, "id framing");
+    } else if (packet_count == 1) {
+      POV_CHECK(len >= 7 && pkt[0] == 3, "bad comment header");
+    } else {
+      POV_CHECK(len >= 7 && pkt[0] == 5 && !memcmp(pkt + 1, "vorbis", 6),
+                "bad setup header");
+      pov::BitReader sbr(pkt + 7, len - 7);
+      setup.parse(sbr, channels);
+      mdct[0].init(bs0);
+      mdct[1].init(bs1);
+      windows.resize(setup.modes.size());
+      for (size_t m = 0; m < setup.modes.size(); ++m) {
+        bool lb = setup.modes[m].block_flag;
+        windows[m].init(lb ? bs1 : bs0, lb, bs0, bs1);
+      }
+      state.init(channels);
+      register_decoder_ref(this, "ParseOggVorbis", sample_rate, channels);
+      register_decoder_alias(this, &state);
+      for (size_t fi = 0; fi < setup.floors.size(); ++fi) {
+        if (setup.floor_types[fi] != 1) continue;
+        const pov::Floor1& f1 = setup.floors[fi];
+        register_decoder_alias(this, &f1);
+        uint8_t mult = (uint8_t)f1.multiplier;
+        push_data_u8(this, "floor1_unpack multiplier", -1, &mult, 1);
+        push_data_u32(this, "floor1_unpack xs", -1, f1.xs.data(), f1.xs.size());
+      }
+      push_data_u8(this, "finish_setup", -1, nullptr, 0);
+    }
+    ++packet_count;
+  }
+
+  void parse_audio(const uint8_t* pkt, size_t len) {
+    push_data_u8(this, "start_audio_packet", -1, nullptr, 0);
+    uint64_t atp = state.abs_total;
+    push_data_u64(this, "abs_total_pos", -1, &atp, 1);
+    int64_t eep = state.expected_ending;
+    push_data_i64(this, "expected_ending_total_pos", -1, &eep, 1);
+
+    pov::BitReader br(pkt, len);
+    POV_CHECK(br.read(1) == 0, "audio packet type bit");
+    int mode_idx = (int)br.read(pov::ilog((uint32_t)setup.modes.size() - 1));
+    const pov::Mode& mode = setup.modes[mode_idx];
+    const pov::Mapping& mapping = setup.mappings[mode.mapping];
+    int prev_flag = 0, next_flag = 0;
+    if (mode.block_flag) {
+      prev_flag = (int)br.read(1);
+      next_flag = (int)br.read(1);
+    }
+    int n = mode.block_flag ? bs1 : bs0;
+    int half = n / 2;
+    int C = channels;
+    state.begin_frame(n);
+
+    // 4.3.2 floor decode
+    std::vector<std::vector<float>> floor_out(C, std::vector<float>(n, 0.f));
+    std::vector<uint8_t> floor_decoded(C, 0), floor_used(C, 0);
+    for (int ch = 0; ch < C; ++ch) {
+      uint8_t fl = mapping.submaps[mapping.muxs[ch]].floor;
+      push_data_u8(this, "floor_number", ch, &fl, 1);
+      POV_CHECK(setup.floor_types[fl] == 1, "floor0 decode unsupported");
+      const pov::Floor1& f1 = setup.floors[fl];
+      std::vector<int64_t> ys;
+      if (!f1.decode_ys(br, setup.codebooks, ys)) continue;
+      floor_decoded[ch] = floor_used[ch] = 1;
+      std::vector<uint32_t> ys32(ys.begin(), ys.end());
+      push_data_u32(this, "floor1 ys", -1, ys32.data(), ys32.size());
+      std::vector<int64_t> fin;
+      std::vector<uint8_t> flag;
+      f1.synthesize(ys, fin, flag);
+      std::vector<uint32_t> fin32(fin.begin(), fin.end());
+      push_data_u32(this, "floor1 final_ys", -1, fin32.data(), fin32.size());
+      // DT_Bool (type id 5), matching the reference's bool tap
+      povcb::push_data<uint8_t>(this, "floor1 step2_flag", -1, flag.data(),
+                                flag.size(), 5, "bool");
+      std::vector<uint8_t> curve(n, 0);
+      f1.render(fin, flag, n, curve.data());
+      std::vector<uint32_t> curve32(curve.begin(), curve.end());
+      push_data_u32(this, "floor1 floor", -1, curve32.data(), curve32.size());
+      for (int i = 0; i < n; ++i) floor_out[ch][i] = inverse_db(curve[i]);
+      push_data_float(this, "floor_outputs", ch, floor_out[ch].data(), n);
+    }
+
+    // 4.3.3 nonzero vector propagate
+    for (auto& cp : mapping.couplings)
+      if (floor_used[cp.first] || floor_used[cp.second])
+        floor_used[cp.first] = floor_used[cp.second] = 1;
+
+    // 4.3.4 residue decode
+    std::vector<std::vector<float>> res(C, std::vector<float>(half, 0.f));
+    for (size_t si = 0; si < mapping.submaps.size(); ++si) {
+      std::vector<int> chans;
+      for (int ch = 0; ch < C; ++ch)
+        if (mapping.muxs[ch] == si) chans.push_back(ch);
+      std::vector<uint8_t> chan_used(chans.size());
+      for (size_t k = 0; k < chans.size(); ++k) chan_used[k] = floor_used[chans[k]];
+      const pov::Residue& r = setup.residues[mapping.submaps[si].residue];
+      std::vector<float> out((size_t)chans.size() * half, 0.f);
+      r.decode(br, setup.codebooks, (int)chans.size(), chan_used.data(), half,
+               out.data());
+      for (size_t k = 0; k < chans.size(); ++k)
+        memcpy(res[chans[k]].data(), &out[k * half], sizeof(float) * half);
+    }
+    for (int ch = 0; ch < C; ++ch)
+      push_data_float(this, "after_residue", ch, res[ch].data(), half);
+
+    // 4.3.5 inverse coupling (reverse order)
+    for (size_t i = mapping.couplings.size(); i > 0; --i) {
+      auto& cp = mapping.couplings[i - 1];
+      float* M = res[cp.first].data();
+      float* A = res[cp.second].data();
+      for (int j = 0; j < half; ++j) {
+        float m = M[j], a = A[j], nm = m, na = a;
+        if (m > 0) {
+          if (a > 0) na = m - a;
+          else { na = m; nm = m + a; }
+        } else {
+          if (a > 0) na = m + a;
+          else { na = m; nm = m - a; }
+        }
+        M[j] = nm;
+        A[j] = na;
+      }
+    }
+
+    // 4.3.6 dot product
+    for (int ch = 0; ch < C; ++ch) {
+      if (floor_used[ch])
+        for (int j = 0; j < half; ++j) res[ch][j] *= floor_out[ch][j];
+      push_data_float(this, "after_envelope", ch, res[ch].data(), half);
+    }
+
+    // 4.3.7 inverse MDCT + window + overlap-add
+    const Imdct& im = mdct[mode.block_flag ? 1 : 0];
+    const Window& wn = windows[mode_idx];
+    const float* win = wn.get(mode.block_flag ? prev_flag + 2 * next_flag : 0);
+    std::vector<float> pcm(n);
+    for (int ch = 0; ch < C; ++ch) {
+      im.backward(res[ch].data(), pcm.data());
+      push_data_float(this, "pcm_after_mdct", ch, pcm.data(), n);
+      state.add_frame(ch, pcm.data(), win, n);
+    }
+
+    push_data_u8(this, "finish_audio_packet", -1, nullptr, 0);
+    auto em = state.ready();
+    POV_CHECK(em.second >= 0, "granule position error");
+    if (em.second > 0)
+      for (int ch = 0; ch < C; ++ch)
+        push_data_float(this, "pcm", ch, &state.buf[ch][em.first], em.second);
+  }
+};
+
+static void full_read(const uint8_t* data, size_t len) {
+  std::map<uint32_t, ScalarStream> streams;
+  size_t off = 0;
+  while (off < len) {
+    POV_CHECK(off + 27 <= len, "truncated page header");
+    const uint8_t* h = data + off;
+    POV_CHECK(memcmp(h, "OggS", 4) == 0, "bad capture pattern");
+    POV_CHECK(h[4] == 0, "bad stream structure version");
+    uint8_t flags = h[5];
+    int64_t granule;
+    memcpy(&granule, h + 6, 8);
+    uint32_t serial;
+    memcpy(&serial, h + 14, 4);
+    uint32_t expected_crc;
+    memcpy(&expected_crc, h + 22, 4);
+    int nseg = h[26];
+    POV_CHECK(off + 27 + nseg <= len, "truncated segment table");
+    const uint8_t* seg = h + 27;
+    size_t data_len = 0;
+    for (int i = 0; i < nseg; ++i) data_len += seg[i];
+    if (nseg > 0)
+      POV_CHECK(seg[nseg - 1] != 255, "packets spanning pages not supported");
+    const uint8_t* payload = seg + nseg;
+    POV_CHECK(off + 27 + nseg + data_len <= len, "truncated page payload");
+
+    uint8_t hdr_copy[27];
+    memcpy(hdr_copy, h, 27);
+    memset(hdr_copy + 22, 0, 4);
+    uint32_t crc = pov::crc_update(0, hdr_copy, 27);
+    crc = pov::crc_update(crc, seg, nseg);
+    crc = pov::crc_update(crc, payload, data_len);
+    POV_CHECK(crc == expected_crc, "page CRC mismatch");
+
+    if (flags & 0x2) {  // BOS
+      POV_CHECK(!streams.count(serial), "duplicate BOS");
+      streams[serial];
+    }
+    POV_CHECK(streams.count(serial), "page for unknown stream");
+    ScalarStream& st = streams[serial];
+
+    size_t poff = 0, plen = 0;
+    for (int i = 0; i < nseg; ++i) {
+      plen += seg[i];
+      if (seg[i] < 255) {
+        const uint8_t* pkt = payload + poff;
+        st.state.expected_ending = (i == nseg - 1) ? granule : -1;
+        if (st.packet_count < 3) {
+          st.parse_headers_packet(pkt, plen);
+        } else {
+          st.parse_audio(pkt, plen);
+          ++st.packet_count;
+        }
+        poff += plen;
+        plen = 0;
+      }
+    }
+    POV_CHECK(plen == 0 && poff == data_len, "trailing partial packet");
+
+    if (flags & 0x4) {  // EOS
+      unregister_decoder_ref(&streams[serial]);
+      streams.erase(serial);
+    }
+    off += 27 + nseg + data_len;
+  }
+  for (auto& kv : streams) unregister_decoder_ref(&kv.second);
+}
+
+}  // namespace povsc
+
+extern "C" {
+
+static char g_error_buf[255];
+
+int ogg_vorbis_full_read_from_memory(const char* data, size_t data_len,
+                                     const char** error_out) {
+  try {
+    povsc::full_read((const uint8_t*)data, data_len);
+    return 0;
+  } catch (const pov::ParseError& e) {
+    if (error_out) {
+      strncpy(g_error_buf, e.msg.c_str(), sizeof(g_error_buf) - 1);
+      g_error_buf[sizeof(g_error_buf) - 1] = 0;
+      *error_out = g_error_buf;
+    }
+    return 1;
+  } catch (const std::exception& e) {
+    if (error_out) {
+      strncpy(g_error_buf, e.what(), sizeof(g_error_buf) - 1);
+      g_error_buf[sizeof(g_error_buf) - 1] = 0;
+      *error_out = g_error_buf;
+    }
+    return 1;
+  }
+}
+
+int ogg_vorbis_full_read(const char* filename, const char** error_out) {
+  FILE* f = fopen(filename, "rb");
+  if (!f) {
+    if (error_out) {
+      snprintf(g_error_buf, sizeof(g_error_buf), "cannot open %s", filename);
+      *error_out = g_error_buf;
+    }
+    return 1;
+  }
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(size);
+  size_t got = fread(buf.data(), 1, size, f);
+  fclose(f);
+  if ((long)got != size) {
+    if (error_out) {
+      snprintf(g_error_buf, sizeof(g_error_buf), "short read on %s", filename);
+      *error_out = g_error_buf;
+    }
+    return 1;
+  }
+  return ogg_vorbis_full_read_from_memory(buf.data(), size, error_out);
+}
+
+}  // extern "C"

@@ -1,896 +1,9 @@
-// pov_frontend.cpp — native host front-end for parseoggvorbis_tpu.
+// pov_frontend.cpp — bulk-export C ABI of the native host front-end.
 //
-// Implements the bit-serial half of Ogg Vorbis decode (the layers that can
-// never go on a TPU): Ogg page framing + CRC, packet demux, setup parsing
-// (codebooks/floors/residues/mappings/modes), and per-packet symbol decode
-// (mode select, floor1 Y Huffman decode + integer amplitude synthesis +
-// integer curve render, residue classification/VQ decode into float
-// spectra).  The output is the exact tensor layout the JAX device pipeline
-// consumes: per-frame integer floor curves (uint8), channel flags, and raw
-// residue spectra (float32).
-//
-// Behavioral parity targets (validated against the differential test suite;
-// reference semantics at /root/reference/src/ParseOggVorbis.hpp — this is a
-// fresh implementation, structured around a bulk-export C ABI and
-// table-driven Huffman decode rather than the reference's object tree):
-//  * canonical Huffman codeword assignment incl. over/underspecified checks
-//    (spec 3.2.1; uint32 wrap semantics for length-32 books)
-//  * VQ table build in double with float32 stores (spec 3.2.1)
-//  * floor1 integer amplitude synthesis + closed-form Bresenham rendering
-//    (spec 7.2.3/7.2.4, exact integer equality required)
-//  * residue 8-pass partition interleave incl. type-2 deinterleave
-//    (spec 8.6.2-8.6.4)
-//  * Ogg strictness: CRC verified, packets may not span pages
-//
-// Build: native/build.py  ->  parseoggvorbis_tpu/native/_libpov.so
-// Python binding: ctypes (parseoggvorbis_tpu/native/frontend.py).
+// See pov_core.h for the decode core; pov_capi.cpp implements the
+// reference-compatible Callbacks.h C ABI + ogg_vorbis_full_read*.
 
-#include <algorithm>
-#include <cassert>
-#include <cmath>
-#include <cstdint>
-#include <cstring>
-#include <memory>
-#include <string>
-#include <unordered_map>
-#include <vector>
-
-namespace pov {
-
-// ---------------------------------------------------------------- errors --
-
-struct ParseError {
-  std::string msg;
-};
-
-#define POV_CHECK(cond, message)                         \
-  do {                                                   \
-    if (!(cond)) throw ParseError{std::string(message)}; \
-  } while (0)
-
-// ------------------------------------------------------------- bitreader --
-
-// LSb-first bit reader with a 64-bit refill cache.  Reads past the end
-// produce zero bits and latch reached_end (Vorbis end-of-packet semantics).
-struct BitReader {
-  const uint8_t* data;
-  size_t len;
-  size_t bitpos = 0;
-  bool reached_end = false;
-
-  BitReader(const uint8_t* d, size_t n) : data(d), len(n) {}
-
-  inline uint64_t peek(int num) const {
-    size_t total = len * 8;
-    size_t pos = bitpos;
-    if (pos >= total) return 0;
-    size_t byte = pos >> 3;
-    uint64_t chunk = 0;
-    size_t avail = len - byte;
-    if (avail >= 8) {
-      memcpy(&chunk, data + byte, 8);
-    } else {
-      memcpy(&chunk, data + byte, avail);
-    }
-    chunk >>= (pos & 7);
-    int got = (int)(((avail >= 8 ? 64 : avail * 8)) - (pos & 7));
-    if (got < num && byte + 8 < len) {
-      // straddles the 8-byte window: extend with the next byte(s)
-      uint64_t hi = 0;
-      size_t hbytes = std::min<size_t>(len - (byte + 8), 8);
-      memcpy(&hi, data + byte + 8, hbytes);
-      chunk |= hi << got;
-    }
-    if (num >= 64) return chunk;
-    return chunk & ((1ULL << num) - 1);
-  }
-
-  inline uint64_t read(int num) {
-    size_t total = len * 8;
-    if (bitpos + (size_t)num > total) {
-      // partial/over-the-end read: remaining bits at in-stream positions
-      uint64_t out = peek((int)std::min<size_t>(num, total > bitpos ? total - bitpos : 0));
-      reached_end = true;
-      bitpos = total;
-      return out;
-    }
-    uint64_t out = peek(num);
-    bitpos += num;
-    return out;
-  }
-
-  inline uint32_t read1() { return (uint32_t)read(1); }
-
-  inline void skip(int num) {
-    size_t total = len * 8;
-    bitpos += num;
-    if (bitpos > total) {
-      reached_end = true;
-      bitpos = total;
-    }
-  }
-};
-
-static inline int ilog(uint32_t v) {
-  int r = 0;
-  while (v) {
-    ++r;
-    v >>= 1;
-  }
-  return r;
-}
-
-static double float32_unpack(uint32_t v) {
-  double mant = (double)(v & 0x1fffff);
-  if (v & 0x80000000u) mant = -mant;
-  long exp = (long)((v & 0x7fe00000u) >> 21) - 20 - 768;
-  if (exp > 63) exp = 63;
-  if (exp < -63) exp = -63;
-  return ldexp(mant, (int)exp);
-}
-
-// -------------------------------------------------------------- codebook --
-
-struct Codebook {
-  uint16_t dims = 0;
-  uint32_t entries = 0;
-  uint8_t lookup_type = 0;
-  std::vector<float> vq;  // [entries * dims]
-
-  // decode acceleration: K-bit prefix table (stream-order bits) + fallback
-  static constexpr int kFastBits = 10;
-  int fast_bits = 0;
-  int max_len = 0;
-  std::vector<int32_t> fast;  // (entry << 6) | len, or -1
-  std::unordered_map<uint64_t, uint32_t> long_codes;  // (len<<32|code) -> entry
-
-  void build_decode_tables(const std::vector<std::pair<uint32_t, uint8_t>>& lens,
-                           const std::vector<uint32_t>& codes) {
-    max_len = 0;
-    for (auto& e : lens) max_len = std::max<int>(max_len, e.second);
-    fast_bits = std::min(kFastBits, max_len);
-    fast.assign((size_t)1 << fast_bits, -1);
-    for (size_t i = 0; i < lens.size(); ++i) {
-      uint32_t entry = lens[i].first;
-      int length = lens[i].second;
-      uint32_t code = codes[i];
-      if (length <= fast_bits) {
-        // bit-reverse the codeword (MSb of the code is the first stream bit)
-        uint32_t rev = 0;
-        uint32_t c = code;
-        for (int b = 0; b < length; ++b) {
-          rev = (rev << 1) | (c & 1);
-          c >>= 1;
-        }
-        size_t step = (size_t)1 << length;
-        int32_t packed = (int32_t)((entry << 6) | (uint32_t)length);
-        for (size_t idx = rev; idx < fast.size(); idx += step) fast[idx] = packed;
-      } else {
-        long_codes[((uint64_t)length << 32) | code] = entry;
-      }
-    }
-  }
-
-  inline uint32_t decode_scalar(BitReader& br) const {
-    uint64_t window = br.peek(fast_bits);
-    int32_t packed = fast[window];
-    if (packed >= 0) {
-      br.skip(packed & 63);
-      return (uint32_t)(packed >> 6);
-    }
-    uint32_t word = 0;
-    for (int length = 1; length <= max_len; ++length) {
-      word = (word << 1) | (uint32_t)br.read(1);
-      if (length > fast_bits) {
-        auto it = long_codes.find(((uint64_t)length << 32) | word);
-        if (it != long_codes.end()) return it->second;
-      }
-    }
-    throw ParseError{"invalid Huffman codeword (stream desync)"};
-  }
-
-  void parse(BitReader& br) {
-    POV_CHECK(br.read(24) == 0x564342, "codebook sync pattern");
-    dims = (uint16_t)br.read(16);
-    POV_CHECK(dims > 0, "codebook dimensions");
-    entries = (uint32_t)br.read(24);
-    POV_CHECK(entries > 0, "codebook entries");
-    bool ordered = br.read1();
-
-    std::vector<std::pair<uint32_t, uint8_t>> lens;  // (entry, bitlen), used only
-    if (!ordered) {
-      bool sparse = br.read1();
-      if (sparse) {
-        for (uint32_t i = 0; i < entries; ++i)
-          if (br.read1()) lens.emplace_back(i, (uint8_t)(br.read(5) + 1));
-      } else {
-        lens.reserve(entries);
-        for (uint32_t i = 0; i < entries; ++i)
-          lens.emplace_back(i, (uint8_t)(br.read(5) + 1));
-      }
-    } else {
-      uint32_t cur_len = (uint32_t)br.read(5) + 1;
-      uint32_t cur_entry = 0;
-      while (cur_entry < entries) {
-        uint32_t number = (uint32_t)br.read(ilog(entries - cur_entry));
-        for (uint32_t i = cur_entry; i < cur_entry + number; ++i)
-          lens.emplace_back(i, (uint8_t)cur_len);
-        cur_entry += number;
-        POV_CHECK(cur_entry <= entries, "ordered codebook overflow");
-        ++cur_len;
-      }
-      POV_CHECK(cur_entry == entries, "ordered codebook underflow");
-    }
-
-    // canonical codeword assignment (spec 3.2.1, uint32 wrap semantics)
-    std::vector<uint32_t> codes(lens.size());
-    {
-      uint32_t marker[33];
-      memset(marker, 0, sizeof(marker));
-      for (size_t i = 0; i < lens.size(); ++i) {
-        int length = lens[i].second;
-        POV_CHECK(length >= 1 && length <= 32, "codeword length");
-        uint32_t codeword = marker[length];
-        POV_CHECK(length == 32 || (codeword >> length) == 0, "overspecified codebook");
-        codes[i] = codeword;
-        for (int j = length; j > 0; --j) {
-          if (marker[j] & 1) {
-            if (j == 1)
-              ++marker[1];
-            else
-              marker[j] = marker[j - 1] << 1;
-            break;
-          }
-          ++marker[j];
-        }
-        for (int j = length + 1; j <= 32; ++j) {
-          if ((marker[j] >> 1) == codeword) {
-            codeword = marker[j];
-            marker[j] = marker[j - 1] << 1;
-          } else
-            break;
-        }
-      }
-      for (int i = 1; i < 32; ++i)
-        POV_CHECK(marker[i] == (1u << i), "underspecified codebook");
-      POV_CHECK(marker[32] == 0, "underspecified codebook");
-    }
-    build_decode_tables(lens, codes);
-
-    // VQ lookup table
-    lookup_type = (uint8_t)br.read(4);
-    POV_CHECK(lookup_type <= 2, "invalid VQ lookup type");
-    if (lookup_type) {
-      double min_v = float32_unpack((uint32_t)br.read(32));
-      double delta = float32_unpack((uint32_t)br.read(32));
-      int value_bits = (int)br.read(4) + 1;
-      bool sequence_p = br.read1();
-      uint32_t num_lookup;
-      if (lookup_type == 1) {
-        // greatest v with v**dims <= entries, exact integer arithmetic
-        num_lookup = 0;
-        for (;;) {
-          uint64_t acc = 1;
-          bool le = true;
-          for (uint16_t d = 0; d < dims; ++d) {
-            acc *= (uint64_t)(num_lookup + 1);
-            if (acc > entries) {
-              le = false;
-              break;
-            }
-          }
-          if (!le) break;
-          ++num_lookup;
-        }
-      } else {
-        num_lookup = entries * dims;
-      }
-      std::vector<uint32_t> mults(num_lookup);
-      for (uint32_t i = 0; i < num_lookup; ++i)
-        mults[i] = (uint32_t)br.read(value_bits);
-
-      vq.assign((size_t)entries * dims, 0.f);
-      if (lookup_type == 1) {
-        for (uint32_t e = 0; e < entries; ++e) {
-          double last = 0;
-          uint64_t divisor = 1;
-          for (uint16_t d = 0; d < dims; ++d) {
-            uint32_t off = (uint32_t)((e / divisor) % num_lookup);
-            float val = (float)(mults[off] * delta + min_v + last);
-            vq[(size_t)e * dims + d] = val;
-            if (sequence_p) last = val;
-            divisor *= num_lookup;
-          }
-        }
-      } else {
-        size_t off = 0;
-        for (uint32_t e = 0; e < entries; ++e) {
-          double last = 0;
-          for (uint16_t d = 0; d < dims; ++d, ++off) {
-            float val = (float)(mults[off] * delta + min_v + last);
-            vq[off] = val;
-            if (sequence_p) last = val;
-          }
-        }
-      }
-    }
-    POV_CHECK(!br.reached_end, "codebook ran past end of packet");
-  }
-};
-
-// ----------------------------------------------------------------- floor --
-
-struct FloorClass {
-  uint8_t dimensions = 0;
-  uint8_t subclass = 0;
-  uint8_t masterbook = 0;
-  std::vector<int> subclass_books;
-};
-
-struct Floor1 {
-  std::vector<uint8_t> partition_classes;
-  std::vector<FloorClass> classes;
-  int multiplier = 0;
-  int range = 0;
-  std::vector<uint32_t> xs;
-  std::vector<uint32_t> sorted_idx;
-  std::vector<std::pair<int, int>> neighbors;  // per point >= 2
-
-  void parse(BitReader& br) {
-    int num_partitions = (int)br.read(5);
-    partition_classes.resize(num_partitions);
-    int max_class = -1;
-    for (int i = 0; i < num_partitions; ++i) {
-      partition_classes[i] = (uint8_t)br.read(4);
-      max_class = std::max<int>(max_class, partition_classes[i]);
-    }
-    classes.resize(max_class + 1);
-    for (auto& cl : classes) {
-      cl.dimensions = (uint8_t)(br.read(3) + 1);
-      cl.subclass = (uint8_t)br.read(2);
-      if (cl.subclass) cl.masterbook = (uint8_t)br.read(8);
-      cl.subclass_books.resize((size_t)1 << cl.subclass);
-      for (auto& b : cl.subclass_books) b = (int)br.read(8) - 1;
-    }
-    multiplier = (int)br.read(2) + 1;
-    static const int kRange[5] = {0, 256, 128, 86, 64};
-    range = kRange[multiplier];
-    int rangebits = (int)br.read(4);
-    xs = {0, (uint32_t)1 << rangebits};
-    for (uint8_t ci : partition_classes) {
-      POV_CHECK(ci < classes.size(), "floor1 class index");
-      for (int j = 0; j < classes[ci].dimensions; ++j)
-        xs.push_back((uint32_t)br.read(rangebits));
-    }
-    sorted_idx.resize(xs.size());
-    for (uint32_t i = 0; i < xs.size(); ++i) sorted_idx[i] = i;
-    std::stable_sort(sorted_idx.begin(), sorted_idx.end(),
-                     [&](uint32_t a, uint32_t b) { return xs[a] < xs[b]; });
-    neighbors.clear();
-    for (size_t i = 2; i < xs.size(); ++i) {
-      int lo = -1, hi = -1;
-      for (size_t k = 0; k < i; ++k) {
-        if (xs[k] < xs[i] && (lo < 0 || xs[k] > xs[lo])) lo = (int)k;
-        if (xs[k] > xs[i] && (hi < 0 || xs[k] < xs[hi])) hi = (int)k;
-      }
-      neighbors.emplace_back(lo, hi);
-    }
-  }
-
-  // Returns false if the channel's floor is unused this frame.
-  // curve_out receives the full n-bin rendered integer curve (the reference
-  // renders over the whole window, ParseOggVorbis.hpp:1166; only the first
-  // n/2 bins feed the spectrum dot product, but the feature-extraction path
-  // consumes the full curve).  ys_out (optional) receives the final_ys.
-  bool decode_curve(BitReader& br, const std::vector<Codebook>& books,
-                    int n_half_full, uint8_t* curve_out /* [n_half_full] */,
-                    uint8_t* ys_out = nullptr /* [xs.size()] */,
-                    uint8_t* flags_out = nullptr /* [xs.size()] */) const {
-    if (br.read1() == 0) return false;
-    int bits = ilog(range - 1);
-    size_t npts = xs.size();
-    std::vector<int64_t> ys(npts);
-    ys[0] = (int64_t)br.read(bits);
-    ys[1] = (int64_t)br.read(bits);
-    size_t pt = 2;
-    for (uint8_t ci : partition_classes) {
-      const FloorClass& cl = classes[ci];
-      int cbits = cl.subclass;
-      uint32_t csub = (1u << cbits) - 1;
-      uint32_t cval = 0;
-      if (cbits) cval = books[cl.masterbook].decode_scalar(br);
-      for (int d = 0; d < cl.dimensions; ++d) {
-        int book = cl.subclass_books[cval & csub];
-        cval >>= cbits;
-        ys[pt++] = book >= 0 ? (int64_t)books[book].decode_scalar(br) : 0;
-      }
-    }
-
-    // amplitude synthesis (spec 7.2.4 step 1), integer exact
-    std::vector<int64_t> fin(npts);
-    std::vector<uint8_t> flag(npts, 0);
-    flag[0] = flag[1] = 1;
-    fin[0] = ys[0];
-    fin[1] = ys[1];
-    for (size_t i = 2; i < npts; ++i) {
-      int lo = neighbors[i - 2].first, hi = neighbors[i - 2].second;
-      int64_t adx = (int64_t)xs[hi] - xs[lo];
-      int64_t dy = fin[hi] - fin[lo];
-      int64_t ady = dy < 0 ? -dy : dy;
-      int64_t off = (ady * ((int64_t)xs[i] - xs[lo])) / adx;
-      int64_t predicted = dy >= 0 ? fin[lo] + off : fin[lo] - off;
-      POV_CHECK(predicted >= 0 && predicted <= range, "floor1 prediction range");
-      int64_t val = ys[i];
-      int64_t high_room = range - predicted;
-      int64_t low_room = predicted;
-      int64_t room = std::min(high_room, low_room) * 2;
-      if (val == 0) {
-        fin[i] = predicted;
-      } else {
-        flag[lo] = flag[hi] = flag[i] = 1;
-        if (val >= room) {
-          fin[i] = high_room > low_room ? val - low_room + predicted
-                                        : predicted - val + high_room - 1;
-        } else {
-          fin[i] = (val & 1) ? predicted - (val + 1) / 2 : predicted + val / 2;
-        }
-      }
-    }
-
-    if (ys_out)
-      for (size_t i = 0; i < npts; ++i) ys_out[i] = (uint8_t)fin[i];
-    if (flags_out)
-      for (size_t i = 0; i < npts; ++i) flags_out[i] = flag[i];
-
-    // curve synthesis (spec 7.2.4 step 2): closed-form segment rendering
-    int64_t lx = 0, ly = fin[sorted_idx[0]] * multiplier, hx = 0, hy = 0;
-    for (size_t si = 1; si < npts; ++si) {
-      uint32_t i = sorted_idx[si];
-      if (!flag[i]) continue;
-      hx = (int64_t)xs[i];
-      hy = fin[i] * multiplier;
-      // render [lx, hx) with y(k) = ly + sign*(k*|dy|)/dx
-      if (lx < n_half_full) {
-        int64_t dx = hx - lx;
-        int64_t dy = hy - ly;
-        int64_t ady = dy < 0 ? -dy : dy;
-        int64_t sign = dy < 0 ? -1 : 1;
-        int64_t stop = std::min<int64_t>(hx, n_half_full);
-        for (int64_t x = lx; x < stop; ++x) {
-          int64_t y = ly + sign * (((x - lx) * ady) / dx);
-          curve_out[x] = (uint8_t)y;
-        }
-      }
-      lx = hx;
-      ly = hy;
-    }
-    for (int64_t x = hx; x < n_half_full; ++x) curve_out[x] = (uint8_t)hy;
-    return true;
-  }
-};
-
-// --------------------------------------------------------------- residue --
-
-struct Residue {
-  uint16_t type = 0;
-  uint32_t begin = 0, end = 0;
-  uint32_t partition_size = 0;
-  uint8_t num_classifications = 0;
-  uint8_t classbook = 0;
-  std::vector<int16_t> books;  // [classifications][8], -1 = unused
-
-  void parse(BitReader& br) {
-    type = (uint16_t)br.read(16);
-    POV_CHECK(type <= 2, "residue type");
-    begin = (uint32_t)br.read(24);
-    end = (uint32_t)br.read(24);
-    POV_CHECK(begin <= end, "residue begin/end");
-    partition_size = (uint32_t)br.read(24) + 1;
-    num_classifications = (uint8_t)(br.read(6) + 1);
-    classbook = (uint8_t)br.read(8);
-    std::vector<uint32_t> cascades(num_classifications);
-    for (auto& c : cascades) {
-      uint32_t low = (uint32_t)br.read(3);
-      uint32_t high = br.read1() ? (uint32_t)br.read(5) : 0;
-      c = high * 8 + low;
-    }
-    books.assign((size_t)num_classifications * 8, -1);
-    for (int i = 0; i < num_classifications; ++i)
-      for (int j = 0; j < 8; ++j)
-        if (cascades[i] & (1u << j)) books[i * 8 + j] = (int16_t)br.read(8);
-  }
-
-  // decode into out[ch][decode_len] (row-major float buffer, C channels)
-  void decode(BitReader& br, const std::vector<Codebook>& cbs, int num_channel,
-              const uint8_t* channel_used, uint32_t decode_len, float* out,
-              int type_override = -1) const {
-    int t = type_override >= 0 ? type_override : type;
-    if (t == 2) {
-      std::vector<float> tmp((size_t)num_channel * decode_len, 0.f);
-      uint8_t used = 1;
-      decode(br, cbs, 1, &used, num_channel * decode_len, tmp.data(), 1);
-      for (int j = 0; j < num_channel; ++j)
-        for (uint32_t i = 0; i < decode_len; ++i)
-          out[(size_t)j * decode_len + i] = tmp[(size_t)j + (size_t)num_channel * i];
-      return;
-    }
-    uint32_t limit_begin = std::min(begin, decode_len);
-    uint32_t limit_end = std::min(end, decode_len);
-    POV_CHECK(limit_begin <= limit_end, "residue limits");
-    const Codebook& class_cb = cbs[classbook];
-    uint32_t cw_per = class_cb.dims;
-    uint32_t n_to_read = limit_end - limit_begin;
-    if (!n_to_read) return;
-    uint32_t partitions = n_to_read / partition_size;
-    uint32_t count_per_ch = partitions + cw_per;
-    std::vector<uint8_t> cls((size_t)num_channel * count_per_ch, 0);
-
-    for (int pass = 0; pass < 8; ++pass) {
-      uint32_t pcount = 0;
-      while (pcount < partitions) {
-        if (pass == 0) {
-          for (int j = 0; j < num_channel; ++j) {
-            if (!channel_used[j]) continue;
-            uint32_t temp = class_cb.decode_scalar(br);
-            for (uint32_t i = cw_per; i > 0; --i) {
-              cls[(size_t)j * count_per_ch + i - 1 + pcount] =
-                  (uint8_t)(temp % num_classifications);
-              temp /= num_classifications;
-            }
-          }
-        }
-        for (uint32_t i = 0; i < cw_per && pcount < partitions; ++i) {
-          for (int j = 0; j < num_channel; ++j) {
-            if (channel_used[j]) {
-              uint8_t vq_class = cls[(size_t)j * count_per_ch + pcount];
-              int16_t book = books[(size_t)vq_class * 8 + pass];
-              if (book >= 0) {
-                const Codebook& vq = cbs[book];
-                POV_CHECK(vq.lookup_type != 0, "residue VQ book has no lookup");
-                float* v = out + (size_t)j * decode_len;
-                uint32_t offset = limit_begin + pcount * partition_size;
-                uint16_t dims = vq.dims;
-                if (t == 0) {
-                  uint32_t step = partition_size / dims;
-                  for (uint32_t k = 0; k < step; ++k) {
-                    uint32_t idx = vq.decode_scalar(br);
-                    POV_CHECK(idx < vq.entries, "residue VQ entry");
-                    const float* row = &vq.vq[(size_t)idx * dims];
-                    for (uint16_t l = 0; l < dims; ++l)
-                      v[offset + k + (size_t)l * step] += row[l];
-                  }
-                } else {
-                  for (uint32_t k = 0; k < partition_size;) {
-                    uint32_t idx = vq.decode_scalar(br);
-                    POV_CHECK(idx < vq.entries, "residue VQ entry");
-                    const float* row = &vq.vq[(size_t)idx * dims];
-                    for (uint16_t l = 0; l < dims; ++l, ++k) v[offset + k] += row[l];
-                  }
-                }
-              }
-            }
-            ++pcount;
-          }
-        }
-      }
-    }
-  }
-};
-
-// --------------------------------------------------- mapping/mode/setup --
-
-struct Mapping {
-  std::vector<std::pair<int, int>> couplings;  // (magnitude, angle)
-  std::vector<uint8_t> muxs;
-  struct Submap {
-    uint8_t floor, residue;
-  };
-  std::vector<Submap> submaps;
-
-  void parse(BitReader& br, int num_channels, int num_floors, int num_residues) {
-    int bits = ilog(num_channels - 1);
-    POV_CHECK(br.read(16) == 0, "mapping type");
-    int num_submaps = br.read1() ? (int)br.read(4) + 1 : 1;
-    if (br.read1()) {
-      int steps = (int)br.read(8) + 1;
-      for (int i = 0; i < steps; ++i) {
-        int mag = (int)br.read(bits);
-        int ang = (int)br.read(bits);
-        POV_CHECK(mag != ang && mag < num_channels && ang < num_channels,
-                  "coupling pair");
-        couplings.emplace_back(mag, ang);
-      }
-    }
-    POV_CHECK(br.read(2) == 0, "mapping reserved");
-    muxs.assign(num_channels, 0);
-    if (num_submaps > 1)
-      for (auto& m : muxs) {
-        m = (uint8_t)br.read(4);
-        POV_CHECK(m < num_submaps, "mapping mux");
-      }
-    submaps.resize(num_submaps);
-    for (auto& sm : submaps) {
-      br.read(8);  // time config, discarded
-      sm.floor = (uint8_t)br.read(8);
-      POV_CHECK(sm.floor < num_floors, "submap floor");
-      sm.residue = (uint8_t)br.read(8);
-      POV_CHECK(sm.residue < num_residues, "submap residue");
-    }
-  }
-};
-
-struct Mode {
-  bool block_flag = false;
-  uint8_t mapping = 0;
-  void parse(BitReader& br, int num_mappings) {
-    block_flag = br.read1();
-    POV_CHECK(br.read(16) == 0, "window type");
-    POV_CHECK(br.read(16) == 0, "transform type");
-    mapping = (uint8_t)br.read(8);
-    POV_CHECK(mapping < num_mappings, "mode mapping");
-  }
-};
-
-struct Setup {
-  std::vector<Codebook> codebooks;
-  std::vector<int> floor_types;
-  std::vector<Floor1> floors;  // indexed same as floor_types (floor0 slots empty)
-  std::vector<Residue> residues;
-  std::vector<Mapping> mappings;
-  std::vector<Mode> modes;
-
-  void parse(BitReader& br, int num_channels) {
-    int count = (int)br.read(8) + 1;
-    codebooks.resize(count);
-    for (auto& cb : codebooks) cb.parse(br);
-    POV_CHECK(!br.reached_end, "setup truncated in codebooks");
-
-    count = (int)br.read(6) + 1;
-    for (int i = 0; i < count; ++i)
-      POV_CHECK(br.read(16) == 0, "time transform placeholder");
-
-    count = (int)br.read(6) + 1;
-    floor_types.resize(count);
-    floors.resize(count);
-    for (int i = 0; i < count; ++i) {
-      floor_types[i] = (int)br.read(16);
-      if (floor_types[i] == 1) {
-        floors[i].parse(br);
-      } else if (floor_types[i] == 0) {
-        // floor0 header (decode unsupported, parse-and-reject like reference)
-        br.read(8);   // order
-        br.read(16);  // rate
-        br.read(16);  // bark_map_size
-        br.read(6);   // amplitude bits
-        br.read(8);   // amplitude offset
-        int nb = (int)br.read(4) + 1;
-        for (int b = 0; b < nb; ++b) br.read(8);
-      } else {
-        POV_CHECK(false, "invalid floor type");
-      }
-    }
-    POV_CHECK(!br.reached_end, "setup truncated in floors");
-
-    count = (int)br.read(6) + 1;
-    residues.resize(count);
-    for (auto& r : residues) r.parse(br);
-    POV_CHECK(!br.reached_end, "setup truncated in residues");
-
-    count = (int)br.read(6) + 1;
-    mappings.resize(count);
-    for (auto& m : mappings)
-      m.parse(br, num_channels, (int)floors.size(), (int)residues.size());
-    POV_CHECK(!br.reached_end, "setup truncated in mappings");
-
-    count = (int)br.read(6) + 1;
-    modes.resize(count);
-    for (auto& m : modes) m.parse(br, (int)mappings.size());
-    POV_CHECK(!br.reached_end, "setup truncated in modes");
-
-    POV_CHECK(br.read(1) == 1, "setup framing bit");
-    POV_CHECK(!br.reached_end, "setup framing past end");
-    POV_CHECK(br.read(8) == 0, "setup trailing garbage");
-    POV_CHECK(br.reached_end, "setup packet has trailing data");
-  }
-};
-
-// -------------------------------------------------------------- ogg page --
-
-struct CrcTable {
-  uint32_t t[256];
-  CrcTable() {
-    for (uint32_t i = 0; i < 256; ++i) {
-      uint32_t r = i << 24;
-      for (int j = 0; j < 8; ++j)
-        r = (r & 0x80000000u) ? (r << 1) ^ 0x04c11db7u : (r << 1);
-      t[i] = r;
-    }
-  }
-};
-static const CrcTable g_crc;
-
-static uint32_t crc_update(uint32_t crc, const uint8_t* p, size_t n) {
-  for (size_t i = 0; i < n; ++i) crc = (crc << 8) ^ g_crc.t[((crc >> 24) ^ p[i]) & 0xff];
-  return crc;
-}
-
-// ----------------------------------------------------------- parsed file --
-
-struct Frame {
-  int32_t mode_idx;
-  int32_t win_sel;   // prev + 2*next (0 for short)
-  int32_t n;         // blocksize
-  int64_t granule;   // expected ending pos, -1 unknown
-  std::vector<uint8_t> curve;    // [C * n] (full window; device uses n/2)
-  std::vector<uint8_t> decoded;  // [C]
-  std::vector<uint8_t> used;     // [C]
-  std::vector<float> residue;    // [C * n/2]
-  std::vector<uint8_t> final_ys; // concat per channel of its floor's points
-  std::vector<uint8_t> ys_flags; // step2 flags, same layout as final_ys
-};
-
-struct ParsedFile {
-  // id header
-  uint32_t sample_rate = 0;
-  int channels = 0;
-  int blocksize0 = 0, blocksize1 = 0;
-  Setup setup;
-  std::vector<Frame> frames;
-  std::string error;
-  // per-mode metadata exported to python
-};
-
-static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
-                               int64_t granule) {
-  BitReader br(data, len);
-  POV_CHECK(br.read(1) == 0, "audio packet type bit");
-  Setup& su = pf.setup;
-  int mode_bits = ilog((uint32_t)su.modes.size() - 1);
-  int mode_idx = (int)br.read(mode_bits);
-  const Mode& mode = su.modes[mode_idx];
-  const Mapping& mapping = su.mappings[mode.mapping];
-  int prev_flag = 0, next_flag = 0;
-  if (mode.block_flag) {
-    prev_flag = (int)br.read(1);
-    next_flag = (int)br.read(1);
-  }
-  int n = mode.block_flag ? pf.blocksize1 : pf.blocksize0;
-  int half = n / 2;
-  int C = pf.channels;
-
-  Frame fr;
-  fr.mode_idx = mode_idx;
-  fr.win_sel = prev_flag + 2 * next_flag;
-  fr.n = n;
-  fr.granule = granule;
-  fr.curve.assign((size_t)C * n, 0);
-  fr.decoded.assign(C, 0);
-  fr.used.assign(C, 0);
-  fr.residue.assign((size_t)C * half, 0.f);
-
-  // floor decode: full-window curve + final_ys per channel
-  {
-    size_t total_pts = 0;
-    for (int ch = 0; ch < C; ++ch) {
-      uint8_t fl = mapping.submaps[mapping.muxs[ch]].floor;
-      if (su.floor_types[fl] == 1) total_pts += su.floors[fl].xs.size();
-    }
-    fr.final_ys.assign(total_pts, 0);
-    fr.ys_flags.assign(total_pts, 0);
-  }
-  size_t ys_off = 0;
-  for (int ch = 0; ch < C; ++ch) {
-    uint8_t submap = mapping.muxs[ch];
-    uint8_t fl = mapping.submaps[submap].floor;
-    POV_CHECK(su.floor_types[fl] == 1, "floor0 decode unsupported");
-    if (su.floors[fl].decode_curve(br, su.codebooks, n,
-                                   fr.curve.data() + (size_t)ch * n,
-                                   fr.final_ys.data() + ys_off,
-                                   fr.ys_flags.data() + ys_off)) {
-      fr.decoded[ch] = 1;
-      fr.used[ch] = 1;
-    }
-    ys_off += su.floors[fl].xs.size();
-  }
-  // nonzero vector propagate
-  for (auto& cp : mapping.couplings) {
-    if (fr.used[cp.first] || fr.used[cp.second])
-      fr.used[cp.first] = fr.used[cp.second] = 1;
-  }
-  // residue decode per submap
-  for (size_t si = 0; si < mapping.submaps.size(); ++si) {
-    std::vector<int> chans;
-    for (int ch = 0; ch < C; ++ch)
-      if (mapping.muxs[ch] == si) chans.push_back(ch);
-    std::vector<uint8_t> chan_used(chans.size());
-    for (size_t k = 0; k < chans.size(); ++k) chan_used[k] = fr.used[chans[k]];
-    const Residue& res = su.residues[mapping.submaps[si].residue];
-    std::vector<float> out((size_t)chans.size() * half, 0.f);
-    res.decode(br, su.codebooks, (int)chans.size(), chan_used.data(), half,
-               out.data());
-    for (size_t k = 0; k < chans.size(); ++k)
-      memcpy(fr.residue.data() + (size_t)chans[k] * half,
-             out.data() + (size_t)k * half, sizeof(float) * half);
-  }
-  pf.frames.emplace_back(std::move(fr));
-}
-
-static void parse_file(ParsedFile& pf, const uint8_t* data, size_t len) {
-  size_t off = 0;
-  int packet_count = 0;
-  std::vector<uint8_t> setup_accum;
-  while (off < len) {
-    POV_CHECK(off + 27 <= len, "truncated page header");
-    const uint8_t* h = data + off;
-    POV_CHECK(memcmp(h, "OggS", 4) == 0, "bad capture pattern");
-    POV_CHECK(h[4] == 0, "bad stream structure version");
-    int64_t granule;
-    memcpy(&granule, h + 6, 8);
-    uint32_t expected_crc;
-    memcpy(&expected_crc, h + 22, 4);
-    int nseg = h[26];
-    POV_CHECK(off + 27 + nseg <= len, "truncated segment table");
-    const uint8_t* seg = h + 27;
-    size_t data_len = 0;
-    for (int i = 0; i < nseg; ++i) data_len += seg[i];
-    if (nseg > 0)
-      POV_CHECK(seg[nseg - 1] != 255, "packets spanning pages not supported");
-    const uint8_t* payload = seg + nseg;
-    POV_CHECK(off + 27 + nseg + data_len <= len, "truncated page payload");
-
-    // CRC with zeroed checksum field
-    uint8_t hdr_copy[27];
-    memcpy(hdr_copy, h, 27);
-    memset(hdr_copy + 22, 0, 4);
-    uint32_t crc = crc_update(0, hdr_copy, 27);
-    crc = crc_update(crc, seg, nseg);
-    crc = crc_update(crc, payload, data_len);
-    POV_CHECK(crc == expected_crc, "page CRC mismatch");
-
-    // packets
-    size_t poff = 0, plen = 0;
-    for (int i = 0; i < nseg; ++i) {
-      plen += seg[i];
-      if (seg[i] < 255) {
-        const uint8_t* pkt = payload + poff;
-        int64_t pkt_granule = (i == nseg - 1) ? granule : -1;
-        if (packet_count == 0) {
-          POV_CHECK(plen >= 30 && pkt[0] == 1 && memcmp(pkt + 1, "vorbis", 6) == 0,
-                    "bad id header");
-          uint32_t version;
-          memcpy(&version, pkt + 7, 4);
-          POV_CHECK(version == 0, "vorbis version");
-          pf.channels = pkt[11];
-          memcpy(&pf.sample_rate, pkt + 12, 4);
-          uint8_t bs = pkt[28];
-          pf.blocksize0 = 1 << (bs & 0xf);
-          pf.blocksize1 = 1 << (bs >> 4);
-          POV_CHECK(pf.blocksize0 >= 64 && pf.blocksize1 <= 8192 &&
-                        pf.blocksize0 <= pf.blocksize1,
-                    "blocksize range");
-          POV_CHECK(pkt[29] == 1, "id framing");
-        } else if (packet_count == 1) {
-          POV_CHECK(plen >= 7 && pkt[0] == 3, "bad comment header");
-        } else if (packet_count == 2) {
-          POV_CHECK(plen >= 7 && pkt[0] == 5 && memcmp(pkt + 1, "vorbis", 6) == 0,
-                    "bad setup header");
-          BitReader sbr(pkt + 7, plen - 7);
-          pf.setup.parse(sbr, pf.channels);
-        } else {
-          parse_audio_packet(pf, pkt, plen, pkt_granule);
-        }
-        ++packet_count;
-        poff += plen;
-        plen = 0;
-      }
-    }
-    POV_CHECK(plen == 0 && poff == data_len, "trailing partial packet");
-    off += 27 + nseg + data_len;
-  }
-  POV_CHECK(packet_count >= 3, "no setup packet found");
-}
-
-}  // namespace pov
+#include "pov_core.h"
 
 // ------------------------------------------------------------------ C ABI --
 

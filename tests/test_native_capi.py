@@ -1,0 +1,99 @@
+"""Native C ABI parity: the Callbacks.h-compatible debug API + full scalar
+decode must interoperate byte-for-byte with the reference ecosystem
+(cffi consumers, compare-debug-out.py, the dump format)."""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from util_compare import compare_dumps
+
+LIB = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "parseoggvorbis_tpu", "native", "_libpov.so")
+BIN = os.path.join(os.path.dirname(LIB), "pov_decode")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(LIB), reason="native library not built"
+)
+
+
+def _full_read_to_dump(ogg_path, dump_path, data_filter=None):
+    lib = ctypes.CDLL(LIB)
+    if data_filter is not None:
+        arr = (ctypes.c_char_p * (len(data_filter) + 1))(
+            *[s.encode() for s in data_filter], None
+        )
+        lib.set_data_filter(arr)
+    lib.set_data_output_file(dump_path.encode())
+    err = ctypes.c_char_p()
+    data = open(ogg_path, "rb").read()
+    rc = lib.ogg_vorbis_full_read_from_memory(data, len(data), ctypes.byref(err))
+    assert rc == 0, err.value
+
+
+@pytest.mark.parametrize("which", ["mono", "stereo"])
+def test_native_full_decode_vs_libvorbis(tmp_path, golden_dumps, which,
+                                         mono_ogg, stereo_ogg):
+    ogg = {"mono": mono_ogg, "stereo": stereo_ogg}[which]
+    dump = str(tmp_path / ("native.%s.dump" % which))
+    _full_read_to_dump(ogg, dump)
+    n = compare_dumps(dump, golden_dumps[("libvorbis", which)], eps=1e-5)
+    assert n == {"mono": 67, "stereo": 94}[which]
+
+
+def test_native_integer_taps_vs_reference(tmp_path, golden_dumps, stereo_ogg):
+    """Integer stages must be EXACT vs the reference decoder's dump."""
+    dump = str(tmp_path / "native.stereo.dump")
+    _full_read_to_dump(stereo_ogg, dump)
+    from parseoggvorbis_tpu.callbacks.reader import DumpReader
+
+    r1, r2 = DumpReader(dump), DumpReader(golden_dumps[("ours", "stereo")])
+    int_taps = 0
+    while True:
+        try:
+            n1, c1, d1 = r1.read_entry()
+            n2, c2, d2 = r2.read_entry()
+        except EOFError:
+            break
+        assert (n1, c1) == (n2, c2)
+        if np.asarray(d1).dtype != np.float32:
+            assert np.array_equal(d1, d2), n1
+            int_taps += 1
+    assert int_taps > 300
+
+
+def test_native_filtered_features(stereo_ogg, tmp_path):
+    """cffi-style use: filtered dump -> feature extraction, vs golden."""
+    dump = str(tmp_path / "filtered.dump")
+    _full_read_to_dump(
+        stereo_ogg, dump,
+        data_filter=["floor1_unpack multiplier", "floor1_unpack xs",
+                     "finish_setup", "floor_number", "floor1 final_ys",
+                     "finish_audio_packet"],
+    )
+    from parseoggvorbis_tpu.features.extract import CallbacksOutputReader
+
+    reader = CallbacksOutputReader(dump)
+    res = reader.read_floor_ys(output_dim=64)
+    want = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "golden", "features_golden.npz"))
+    np.testing.assert_array_equal(res, want["stereo/floor_ys_d64"])
+
+
+def test_native_cli_binary(tmp_path, mono_ogg, golden_dumps):
+    if not os.path.exists(BIN):
+        pytest.skip("pov_decode binary not built")
+    dump = str(tmp_path / "cli.dump")
+    out = subprocess.run(
+        [BIN, "--in", mono_ogg, "--debug_out", dump],
+        capture_output=True, text=True, check=True,
+    )
+    assert "ok" in out.stdout
+    n = compare_dumps(dump, golden_dumps[("libvorbis", "mono")], eps=1e-5)
+    assert n == 67
+
+    bad = subprocess.run([BIN], capture_output=True, text=True)
+    assert bad.returncode == 1
