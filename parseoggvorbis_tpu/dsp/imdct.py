@@ -52,6 +52,20 @@ def imdct(spectrum: np.ndarray) -> np.ndarray:
     return (spectrum.astype(np.float64) @ m).astype(np.float32)
 
 
+def mdct_forward(frames: np.ndarray) -> np.ndarray:
+    """Forward MDCT R^n -> R^(n/2) with the Xiph 4/n scale.
+
+    The analysis counterpart of :func:`imdct` (the decoder never uses it;
+    provided for capability parity with the reference's mdct_forward,
+    mdct.cpp:529-599, which applies scale = 4/n on the forward path only).
+    Satisfies mdct_forward(imdct(X) * w) ~ X-ish TDAC relations when w is a
+    valid Princen-Bradley window.
+    """
+    n = frames.shape[-1]
+    m = imdct_matrix_f64(n)  # [n/2, n]
+    return (frames.astype(np.float64) @ m.T * (4.0 / n)).astype(np.float32)
+
+
 def inverse_coupling(magnitude: np.ndarray, angle: np.ndarray):
     """Vorbis magnitude/angle rectangularization (spec 4.3.5), vectorized.
 
