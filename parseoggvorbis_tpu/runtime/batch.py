@@ -10,10 +10,11 @@ in one dispatch per bucket, not per file.
 Flow:
   1. host: Ogg demux + setup parse + per-packet symbol decode
      -> per-frame tensors (uint8 floor curves, channel flags, f32 residues)
-  2. device: one ``BucketPipeline`` call per bucket over the [B, C, n/2]
-     batch -> windowed time frames (coupling, inverse-dB floor, IMDCT
-     matmul, window)
-  3. overlap-add + granule truncation (host, bandwidth-bound) -> final PCM
+  2. device: one fused executable per stream signature (coupling,
+     inverse-dB floor, IMDCT matmul, window, overlap-add scan) with
+     same-signature streams stacked into vmapped dispatches
+     (runtime/device_decoder.py)
+  3. granule-validated PCM assembly (host, vectorized)
 """
 
 from __future__ import annotations

@@ -375,8 +375,67 @@ def _device_consts(consts):
     return tuple(imdct_ms), tuple(window_stacks), tuple(floor_consts)
 
 
-def launch_stream_decode(sf, out_i16: bool = False) -> PendingDecode:
-    """Launch the fused device decode for one parsed stream (async)."""
+# Frames per device chunk for long streams: bounds device memory at roughly
+# chunk * C * bs1 * 4 bytes and keeps executable shapes reusable.  Decode
+# correctness across chunk boundaries follows from the OLA geometry: a
+# frame's emission depends only on its immediate predecessor, so each chunk
+# carries one context frame whose (empty) local emission row is dropped.
+_CHUNK_T = int(os.environ.get("POV_CHUNK_FRAMES", "1024"))
+
+
+class _ChunkedPending:
+    def __init__(self, pendings: List[PendingDecode], t_real: int):
+        self.pendings = pendings
+        self.t_real = t_real
+
+    def fetch(self):
+        parts_e = []
+        parts_l = []
+        for k, p in enumerate(self.pendings):
+            e, l = p.fetch()
+            if k > 0:
+                e, l = e[1:], l[1:]  # context frame's empty emission row
+            parts_e.append(e)
+            parts_l.append(l)
+        return np.concatenate(parts_e), np.concatenate(parts_l)
+
+
+def _slice_stream(sf, start: int, end: int):
+    """A frame-range view of a StreamFrames (for chunked decode)."""
+    import copy
+
+    view = copy.copy(sf)
+    view.mode_idx = sf.mode_idx[start:end]
+    view.win_sel = sf.win_sel[start:end]
+    view.frame_n = sf.frame_n[start:end]
+    view.granules = sf.granules[start:end]
+    view.exporter = lambda ids, n: sf.exporter(np.asarray(ids) + start, n)
+    if sf.exporter_ys is not None:
+        view.exporter_ys = lambda ids, tp: sf.exporter_ys(
+            np.asarray(ids) + start, tp)
+    return view
+
+
+def launch_stream_decode(sf, out_i16: bool = False):
+    """Launch the fused device decode for one parsed stream (async).
+
+    Streams longer than _CHUNK_T frames decode in overlapping chunks so
+    device memory stays bounded regardless of file length.
+    """
+    if sf.num_frames > _CHUNK_T + 1:
+        pendings = []
+        start = 0
+        while start < sf.num_frames:
+            ctx = 1 if start > 0 else 0
+            end = min(start + _CHUNK_T, sf.num_frames)
+            pendings.append(_launch_one(_slice_stream(sf, start - ctx, end),
+                                        out_i16))
+            start = end
+        return _ChunkedPending(pendings, sf.num_frames)
+    return _launch_one(sf, out_i16)
+
+
+def _launch_one(sf, out_i16: bool) -> PendingDecode:
     sig, mode_args, n_half, consts = _prepare_stream(sf, out_i16)
     imdct_ms, window_stacks, floor_consts = _device_consts(consts)
     fn = _get_stream_fn(sig)
@@ -395,12 +454,20 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
     """Launch device decodes for many streams, stacking same-signature
     streams into vmapped dispatches of up to _GROUP_S (kills per-call
     latency while keeping individual transfers modest)."""
-    prepared = [_prepare_stream(sf, out_i16) for sf in streams]
-    by_sig: Dict[StreamSig, List[int]] = {}
-    for i, (sig, _, _, _) in enumerate(prepared):
-        by_sig.setdefault(sig, []).append(i)
-
     pendings: List[Optional[PendingDecode]] = [None] * len(streams)
+    # long streams decode individually in bounded chunks
+    short_idx = []
+    for i, sf in enumerate(streams):
+        if sf.num_frames > _CHUNK_T + 1:
+            pendings[i] = launch_stream_decode(sf, out_i16=out_i16)
+        else:
+            short_idx.append(i)
+
+    prepared_map = {i: _prepare_stream(streams[i], out_i16) for i in short_idx}
+    by_sig: Dict[StreamSig, List[int]] = {}
+    for i in short_idx:
+        by_sig.setdefault(prepared_map[i][0], []).append(i)
+    prepared = prepared_map
     for sig, idxs in by_sig.items():
         imdct_ms, window_stacks, floor_consts = _device_consts(prepared[idxs[0]][3])
         for start in range(0, len(idxs), _GROUP_S):

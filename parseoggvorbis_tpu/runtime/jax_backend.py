@@ -27,8 +27,7 @@ ParseOggVorbis.hpp:1128-1274 (see SURVEY.md section 3.2).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
@@ -133,51 +132,6 @@ def frame_pipeline(
     # window
     win = windows[win_sel]  # [B, n]
     return pcm * win[:, None, :]
-
-
-class BucketPipeline:
-    """Compiled device pipeline for one (blocksize, mapping) bucket."""
-
-    def __init__(self, n: int, couplings: Sequence[Tuple[int, int]],
-                 windows: np.ndarray) -> None:
-        self.n = n
-        self.half = n // 2
-        self.windows = jnp.asarray(windows)  # [W, n]
-        self.imdct_m = jnp.asarray(imdct_matrix_f32(n))
-        self.inverse_db = jnp.asarray(INVERSE_DB_TABLE)
-        self.couplings = tuple(tuple(c) for c in couplings)
-        self._fn = jax.jit(
-            functools.partial(
-                frame_pipeline,
-                imdct_m=self.imdct_m,
-                windows=self.windows,
-                inverse_db=self.inverse_db,
-                couplings=self.couplings,
-            )
-        )
-
-    def __call__(self, residue, floor_curve, floor_decoded, floor_used, win_sel) -> np.ndarray:
-        out = self._fn(
-            jnp.asarray(residue),
-            jnp.asarray(floor_curve),
-            jnp.asarray(floor_decoded),
-            jnp.asarray(floor_used),
-            jnp.asarray(win_sel),
-        )
-        return np.asarray(out)
-
-
-_PIPELINES: Dict[tuple, BucketPipeline] = {}
-
-
-def get_bucket_pipeline(n: int, couplings: Tuple[Tuple[int, int], ...],
-                        windows: np.ndarray) -> BucketPipeline:
-    key = (n, couplings, windows.shape, windows.tobytes()[:64].hex() if windows.size else "")
-    pipe = _PIPELINES.get(key)
-    if pipe is None:
-        pipe = BucketPipeline(n, couplings, windows)
-        _PIPELINES[key] = pipe
-    return pipe
 
 
 # -- batched overlap-add as a scan over the frame axis ---------------------

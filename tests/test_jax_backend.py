@@ -98,3 +98,34 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert out.shape == (16, 2, 2048)
+
+
+def test_chunked_long_stream_decode(stereo_ogg, monkeypatch):
+    """Chunked decode (bounded device memory for long files) must equal the
+    single-shot decode exactly."""
+    from parseoggvorbis_tpu.runtime import device_decoder as dd
+    from parseoggvorbis_tpu.runtime.batch import parse_stream
+    from parseoggvorbis_tpu.runtime.device_decoder import (
+        assemble_pcm, launch_stream_decode,
+    )
+
+    data = open(stereo_ogg, "rb").read()
+    sf = parse_stream(data)
+    ref_pend = launch_stream_decode(sf)
+    ref = assemble_pcm(sf, *ref_pend.fetch())
+
+    monkeypatch.setattr(dd, "_CHUNK_T", 16)
+    pend = launch_stream_decode(sf)
+    assert isinstance(pend, dd._ChunkedPending)
+    assert len(pend.pendings) == 6
+    got = assemble_pcm(sf, *pend.fetch())
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+    # corpus path routes long streams through chunking too
+    from parseoggvorbis_tpu.runtime.device_decoder import launch_corpus_decode
+
+    pends = launch_corpus_decode([sf, sf])
+    for p in pends:
+        got2 = assemble_pcm(sf, *p.fetch())
+        np.testing.assert_array_equal(got2, ref)
