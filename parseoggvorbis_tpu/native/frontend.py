@@ -15,7 +15,7 @@ import ctypes
 import os
 import threading
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -20,14 +20,14 @@ Flow:
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..ogg.page import read_page
 from ..utils.errors import check
-from ..vorbis.header import IdHeader, parse_comment_header, parse_id_header
+from ..vorbis.header import parse_comment_header, parse_id_header
 from ..vorbis.mode import make_window
 from ..vorbis.setup import Setup
 from .decoder import FrameSymbols, VorbisStream

@@ -13,8 +13,8 @@ on device over [frames, channels] batches.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional
+from dataclasses import dataclass
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -23,7 +23,7 @@ from ..dsp.imdct import imdct, inverse_coupling
 from ..dsp.tables import INVERSE_DB_TABLE
 from ..ogg.page import Page, read_page
 from ..utils.bitreader import BitReader
-from ..utils.errors import ParseError, check
+from ..utils.errors import check
 from ..utils.specmath import ilog
 from ..vorbis.header import IdHeader, parse_comment_header, parse_id_header
 from ..vorbis.setup import Setup

@@ -27,7 +27,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..dsp.imdct import imdct_matrix_f32
 from ..dsp.tables import INVERSE_DB_TABLE
 
 _HIGHEST = jax.lax.Precision.HIGHEST

@@ -17,9 +17,9 @@ matmul is the FLOP carrier and maps directly onto the MXU
 with libvorbis).  Overlap-add runs either on host (streaming mode) or as a
 `lax.scan` over the frame axis (batched corpus mode, see `ola_scan`).
 
-Multi-chip: `shard_frame_pipeline` shards the frame batch over the 'data'
-mesh axis and the IMDCT matrix columns over the 'model' axis (tensor
-parallelism); the all-gather over the output column shards rides ICI.
+Multi-chip sharding (data-parallel streams + tensor-parallel IMDCT matrix
+columns, all-gather over ICI) lives in parallel/mesh.py and composes these
+same functions.
 
 Reference for the per-stage semantics: /root/reference/src/
 ParseOggVorbis.hpp:1128-1274 (see SURVEY.md section 3.2).
@@ -27,15 +27,12 @@ ParseOggVorbis.hpp:1128-1274 (see SURVEY.md section 3.2).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-
-from ..dsp.imdct import imdct_matrix_f32
-from ..dsp.tables import INVERSE_DB_TABLE
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 

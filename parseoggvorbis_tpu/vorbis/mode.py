@@ -14,7 +14,7 @@ they are device-resident constant tensors.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 
