@@ -226,6 +226,22 @@ void push_data_int(const void* ref, const char* name, int channel,
   povcb::push_data(ref, name, channel, (const int32_t*)data, len, 2, "i32");
 }
 
+const char* generic_itoa(uint32_t val, int base, int len) {
+  // utility kept for C-ABI parity with the reference (Callbacks.h:79)
+  static const char rep[] = "0123456789abcdef";
+  static thread_local char buf[33];
+  if (len < 0) len = 32;
+  char* ptr = &buf[32];
+  *ptr = 0;
+  if (val == 0) *--ptr = rep[0];
+  while (val) {
+    *--ptr = rep[val % base];
+    val /= base;
+  }
+  while (ptr > buf + 32 - len) *--ptr = '0';
+  return ptr;
+}
+
 }  // extern "C"
 
 // ----------------------------------------------------- full scalar decode --

@@ -153,11 +153,42 @@ def _compare_rolling_pcm(s1, s2, eps):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ogg", help="decode this ogg with OUR decoder first")
+    ap.add_argument("--zip", dest="zipfile",
+                    help="sweep all .ogg members of a zip (needs --oracleexec)")
+    ap.add_argument("--oracleexec",
+                    help="oracle decoder binary (--in/--debug_out contract) "
+                         "used to produce the oracle dump per file")
     ap.add_argument("--ourout", help="existing dump from our decoder")
-    ap.add_argument("--libvorbisout", required=True,
+    ap.add_argument("--libvorbisout",
                     help="oracle dump (patched libvorbis or reference)")
     ap.add_argument("--eps", type=float, default=1e-5)
     args = ap.parse_args(argv)
+
+    if args.zipfile:
+        import subprocess
+        import tempfile
+        import zipfile as zf
+
+        assert args.oracleexec, "--zip requires --oracleexec"
+        count = 0
+        with zf.ZipFile(args.zipfile) as z:
+            for name in z.namelist():
+                if not name.endswith(".ogg"):
+                    continue
+                count += 1
+                print(name)
+                with tempfile.TemporaryDirectory() as td:
+                    ogg = td + "/f.ogg"
+                    open(ogg, "wb").write(z.read(name))
+                    oracle = td + "/oracle.dump"
+                    subprocess.check_call(
+                        [args.oracleexec, "--in", ogg, "--debug_out", oracle])
+                    rc = main(["--ogg", ogg, "--libvorbisout", oracle,
+                               "--eps", str(args.eps)])
+                    if rc:
+                        return rc
+        print("Compared %d OGG files." % count)
+        return 0
 
     ourout = args.ourout
     if args.ogg:
