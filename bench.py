@@ -40,7 +40,7 @@ def main():
     from parseoggvorbis_tpu.runtime.batch import decode_corpus
 
     data = open(STEREO, "rb").read()
-    n_files = args.files or (8 if args.quick else 16)
+    n_files = args.files or (8 if args.quick else 32)
     corpus = [data] * n_files
 
     # warmup: parse + compile the fused device decode (persistent cache)
