@@ -129,3 +129,48 @@ def test_chunked_long_stream_decode(stereo_ogg, monkeypatch):
     for p in pends:
         got2 = assemble_pcm(sf, *p.fetch())
         np.testing.assert_array_equal(got2, ref)
+
+
+def test_sharded_mesh_decode_vs_scalar():
+    """The data-parallel mesh decode step must reproduce the single-device
+    pipeline exactly on an 8-device mesh with real-shaped inputs."""
+    import jax.numpy as jnp
+    from parseoggvorbis_tpu.dsp.imdct import imdct, inverse_coupling
+    from parseoggvorbis_tpu.dsp.tables import INVERSE_DB_TABLE
+    from parseoggvorbis_tpu.parallel.mesh import make_mesh, sharded_decode_step
+    from parseoggvorbis_tpu.vorbis.mode import make_window
+
+    mesh = make_mesh(8, model=2)
+    s, t, c, n = 8, 6, 2, 512
+    half = n // 2
+    rng = np.random.RandomState(11)
+    residue = rng.randn(s, t, c, half).astype(np.float32)
+    curve = rng.randint(0, 256, (s, t, c, half)).astype(np.int32)
+    decoded = np.ones((s, t, c), bool)
+    used = decoded
+    win_sel = np.zeros((s, t), np.int32)
+    n_half = np.full((s, t), half, np.int32)
+
+    with mesh:
+        step = sharded_decode_step(mesh, n, c, couplings=((0, 1),))
+        emitted, lengths = step(residue, curve, decoded, used, win_sel, n_half)
+    emitted = np.asarray(emitted)
+    lengths = np.asarray(lengths)
+
+    # single-device reference via numpy
+    win = make_window(n, half, half)
+    for si in range(s):
+        frames = []
+        for tt in range(t):
+            res = residue[si, tt].copy()
+            res[0], res[1] = inverse_coupling(res[0], res[1])
+            spec = res * INVERSE_DB_TABLE[curve[si, tt]]
+            frames.append(imdct(spec) * win)
+        # manual overlap-add emission
+        for tt in range(1, t):
+            expect = frames[tt - 1][:, half:] + frames[tt][:, :half]
+            assert lengths[si, tt] == half
+            np.testing.assert_allclose(
+                emitted[si, tt], expect, atol=2e-5 * max(1, np.abs(expect).max())
+            )
+        assert lengths[si, 0] == 0
