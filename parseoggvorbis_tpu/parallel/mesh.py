@@ -20,6 +20,7 @@ and rides ICI.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Tuple
 
 import numpy as np
@@ -34,17 +35,41 @@ from ..vorbis.mode import make_window
 from ..runtime.jax_backend import frame_pipeline, ola_scan
 
 
+def _replicated(mesh: Mesh, x) -> jax.Array:
+    """Place a host constant on the mesh, replicated over every device.
+
+    Hermeticity rule: nothing in the sharded path may touch the *default*
+    backend — when the mesh is a CPU-fallback mesh on a host whose default
+    (TPU) runtime is absent or broken, an uncommitted ``jnp.asarray`` would
+    crash the dry run (this was MULTICHIP_r01's failure mode).
+    """
+    return jax.device_put(np.asarray(x), NamedSharding(mesh, P()))
+
+
 def make_mesh(n_devices: Optional[int] = None, model: int = 1) -> Mesh:
     """Build a ('data', 'model') mesh over the first *n_devices* devices.
 
     Falls back to the (virtual) CPU backend when the default backend has
-    fewer devices than requested — this is how multi-chip sharding is
-    validated on a single-chip host (xla_force_host_platform_device_count).
+    fewer devices than requested (or fails to initialize) — this is how
+    multi-chip sharding is validated on a single-chip host
+    (xla_force_host_platform_device_count).  The fallback is reported with
+    a warning so a CPU-mesh run can never masquerade as TPU validation.
     """
-    devices = jax.devices()
+    try:
+        devices = jax.devices()
+    except Exception as exc:  # default backend failed to initialize
+        warnings.warn(
+            "default jax backend failed to initialize (%s); building the "
+            "mesh on the CPU backend" % (exc,))
+        devices = jax.devices("cpu")
     if n_devices is None:
         n_devices = len(devices)
-    if len(devices) < n_devices:
+    if len(devices) < n_devices and devices[0].platform != "cpu":
+        warnings.warn(
+            "default backend (%s) has %d device(s) < %d requested; building "
+            "the mesh on the virtual CPU backend — this validates sharding "
+            "semantics, NOT multi-chip hardware"
+            % (devices[0].platform, len(devices), n_devices))
         devices = jax.devices("cpu")
     if len(devices) < n_devices:
         raise ValueError(
@@ -80,10 +105,10 @@ def sharded_decode_step(
     region per frame with its valid length (left-aligned padding).
     """
     half = n // 2
-    imdct_m = jnp.asarray(imdct_matrix_f32(n))
-    inverse_db = jnp.asarray(INVERSE_DB_TABLE)
-    windows = jnp.asarray(
-        np.stack([make_window(n, half, half)] * num_windows)
+    imdct_m = _replicated(mesh, imdct_matrix_f32(n))
+    inverse_db = _replicated(mesh, INVERSE_DB_TABLE)
+    windows = _replicated(
+        mesh, np.stack([make_window(n, half, half)] * num_windows)
     )
 
     def step(residue, floor_curve, floor_decoded, floor_used, win_sel, n_half):
@@ -125,12 +150,11 @@ def sharded_decode_step_tp(
     the shards and XLA all-gathers the columns before the OLA scan.
     """
     half = n // 2
-    imdct_m = jnp.asarray(imdct_matrix_f32(n))
-    inverse_db = jnp.asarray(INVERSE_DB_TABLE)
-    window = jnp.asarray(make_window(n, half, half))
+    inverse_db = _replicated(mesh, INVERSE_DB_TABLE)
+    window = _replicated(mesh, make_window(n, half, half))
 
     mat_sharding = NamedSharding(mesh, P(None, "model"))
-    imdct_sharded = jax.device_put(imdct_m, mat_sharding)
+    imdct_sharded = jax.device_put(imdct_matrix_f32(n), mat_sharding)
 
     def step(residue, floor_curve, floor_decoded, floor_used, n_half):
         s, t = residue.shape[:2]
@@ -171,20 +195,32 @@ def dryrun_multichip(n_devices: int) -> None:
 
     Exercises both data parallelism (streams over 'data') and tensor
     parallelism (IMDCT columns over 'model') on an *n_devices* mesh.
+
+    Hermetic by construction: every constant and every input is explicitly
+    committed to the mesh's devices, so a broken/absent default (TPU)
+    backend on the host cannot be touched when the mesh falls back to
+    virtual CPU devices.
     """
     model = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
     mesh = make_mesh(n_devices, model=model)
+    print("dryrun_multichip: mesh backend=%s devices=%d (data=%d, model=%d)"
+          % (mesh.devices.flat[0].platform, mesh.size,
+             mesh.shape["data"], mesh.shape["model"]))
     n, c = 128, 2
     s = mesh.shape["data"] * 2  # 2 streams per data shard
     t = 4
     half = n // 2
     rng = np.random.RandomState(0)
-    residue = rng.randn(s, t, c, half).astype(np.float32)
-    curve = rng.randint(0, 256, size=(s, t, c, half)).astype(np.int32)
-    decoded = np.ones((s, t, c), dtype=bool)
-    used = np.ones((s, t, c), dtype=bool)
-    win_sel = np.zeros((s, t), dtype=np.int32)
-    n_half = np.full((s, t), half, dtype=np.int32)
+    shard3 = NamedSharding(mesh, P("data", None, None, None))
+    shard2 = NamedSharding(mesh, P("data", None, None))
+    shard1 = NamedSharding(mesh, P("data", None))
+    residue = jax.device_put(rng.randn(s, t, c, half).astype(np.float32), shard3)
+    curve = jax.device_put(
+        rng.randint(0, 256, size=(s, t, c, half)).astype(np.int32), shard3)
+    decoded = jax.device_put(np.ones((s, t, c), dtype=bool), shard2)
+    used = jax.device_put(np.ones((s, t, c), dtype=bool), shard2)
+    win_sel = jax.device_put(np.zeros((s, t), dtype=np.int32), shard1)
+    n_half = jax.device_put(np.full((s, t), half, dtype=np.int32), shard1)
 
     with mesh:
         step = sharded_decode_step(mesh, n, c, couplings=((0, 1),))
