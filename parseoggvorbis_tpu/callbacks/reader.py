@@ -89,3 +89,14 @@ class DumpReader:
                 yield self.read_entry()
             except EOFError:
                 return
+
+    def dump_entry(self, name: str, channel: Optional[int], data) -> None:
+        """Print one tap in the reference's human-readable line format
+        (demo_live_extract.py:250-260)."""
+        values = np.asarray(data).tolist()
+        if len(values) > 10:
+            data_repr = repr(values[:10]) + "..."
+        else:
+            data_repr = repr(values)
+        print("Decoder %r name=%r channel=%r data=%s len=%i"
+              % (self.decoder_name, name, channel, data_repr, len(values)))
