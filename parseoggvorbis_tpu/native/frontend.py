@@ -30,7 +30,17 @@ def _load():
         if _lib is not None:
             return _lib
         if not os.path.exists(_LIB_PATH):
-            # try to build it (best effort)
+            # Auto-build (best effort).  Disable with POV_AUTOBUILD=0 for
+            # sandboxed/read-only deployments; the attempt and any failure
+            # are logged once so the active front-end (native vs Python
+            # fallback) is always observable.
+            import logging
+
+            log = logging.getLogger("parseoggvorbis_tpu.native")
+            if os.environ.get("POV_AUTOBUILD", "1") == "0":
+                log.info("native front-end not built and POV_AUTOBUILD=0; "
+                         "using the pure-Python host path")
+                return None
             try:
                 import subprocess
                 import sys
@@ -40,11 +50,15 @@ def _load():
                     "native", "build.py",
                 )
                 if os.path.exists(build):
+                    log.info("building native front-end (%s)...", build)
                     subprocess.run(
                         [sys.executable, build], check=True,
                         capture_output=True, timeout=120,
                     )
-            except Exception:
+            except Exception as exc:
+                log.warning(
+                    "native front-end auto-build failed (%s); using the "
+                    "pure-Python host path", exc)
                 return None
         if not os.path.exists(_LIB_PATH):
             return None
