@@ -294,7 +294,7 @@ def decode_corpus(
     yields a :class:`DecodedAudio` with ``error`` set and empty PCM instead
     of failing the whole batch.
     """
-    from .device_decoder import assemble_pcm, launch_corpus_decode
+    from . import device_decoder as dd
 
     def safe_parse(b):
         try:
@@ -304,21 +304,52 @@ def decode_corpus(
                 raise
             return exc
 
-    if host_threads > 1 and len(blobs) > 1:
-        with ThreadPoolExecutor(max_workers=host_threads) as ex:
-            streams = list(ex.map(safe_parse, blobs))
+    def run(fn, items):
+        if host_threads > 1 and len(items) > 1:
+            with ThreadPoolExecutor(max_workers=host_threads) as ex:
+                return list(ex.map(fn, items))
+        return [fn(x) for x in items]
+
+    if dd._GROUP_S <= 1:
+        # Fully pipelined per-stream flow: parse -> prepare -> dispatch ->
+        # async output prefetch, all inside the thread pool, so one stream's
+        # host symbol pass overlaps another's transfers and device compute.
+        def parse_and_launch(b):
+            sf = safe_parse(b)
+            if not isinstance(sf, StreamFrames):
+                return sf
+            try:
+                pending = dd.launch_stream_decode(sf, out_i16=out_i16)
+                pending.prefetch()
+                return (sf, pending)
+            except Exception as exc:
+                if strict:
+                    raise
+                return (sf, exc)
+
+        launched = run(parse_and_launch, list(blobs))
     else:
-        streams = [safe_parse(b) for b in blobs]
+        # Stacked-group flow (POV_GROUP_STREAMS>1): same-signature streams
+        # share vmapped dispatches; best on dense local links.
+        streams = run(safe_parse, list(blobs))
+        good = [sf for sf in streams if isinstance(sf, StreamFrames)]
+        pendings = dd.launch_corpus_decode(good, out_i16=out_i16)
+        it = iter(pendings)
+        launched = [(sf, next(it)) if isinstance(sf, StreamFrames) else sf
+                    for sf in streams]
 
-    good = [(i, sf) for i, sf in enumerate(streams)
-            if isinstance(sf, StreamFrames)]
-    pendings = launch_corpus_decode([sf for _, sf in good], out_i16=out_i16)
-
-    def finish(args):
-        sf, pending = args
+    def finish(item):
+        if not isinstance(item, tuple):  # parse error (non-strict)
+            return DecodedAudio(pcm=np.zeros((0, 0), np.float32),
+                                sample_rate=0, error=str(item))
+        sf, pending = item
+        if isinstance(pending, Exception):  # launch error (non-strict)
+            return DecodedAudio(pcm=np.zeros((sf.channels, 0), np.float32),
+                                sample_rate=sf.sample_rate,
+                                error=str(pending))
         try:
             emitted, lengths = pending.fetch()
-            pcm = assemble_pcm(sf, emitted, lengths)
+            pcm = dd.assemble_pcm(sf, emitted, lengths)
             return DecodedAudio(pcm=pcm, sample_rate=sf.sample_rate)
         except Exception as exc:
             if strict:
@@ -328,25 +359,7 @@ def decode_corpus(
                 sample_rate=sf.sample_rate, error=str(exc),
             )
 
-    pairs = [(sf, p) for (_, sf), p in zip(good, pendings)]
-    if host_threads > 1 and len(pairs) > 1:
-        with ThreadPoolExecutor(max_workers=host_threads) as ex:
-            finished = list(ex.map(finish, pairs))
-    else:
-        finished = [finish(a) for a in pairs]
-
-    out: List[DecodedAudio] = []
-    gi = 0
-    for sf in streams:
-        if isinstance(sf, StreamFrames):
-            out.append(finished[gi])
-            gi += 1
-        else:
-            out.append(DecodedAudio(
-                pcm=np.zeros((0, 0), np.float32), sample_rate=0,
-                error=str(sf),
-            ))
-    return out
+    return run(finish, launched)
 
 
 def decode_files(paths: Sequence[str], prefer_native: bool = True,

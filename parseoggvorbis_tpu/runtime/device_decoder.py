@@ -74,40 +74,48 @@ def _build_imdct_on_device(n: int) -> jax.Array:
 
 
 class _DeviceConstants:
-    """Per-process device-resident constant buffers."""
+    """Per-process device-resident constant buffers (thread-safe: corpus
+    decode launches streams from a thread pool)."""
 
     def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
         self._imdct: Dict[int, jax.Array] = {}
         self._inverse_db: Optional[jax.Array] = None
         self._windows: Dict[tuple, jax.Array] = {}
 
     def imdct(self, n: int) -> jax.Array:
-        m = self._imdct.get(n)
-        if m is None:
-            m = _build_imdct_on_device(n)
-            self._imdct[n] = m
-        return m
+        with self._lock:
+            m = self._imdct.get(n)
+            if m is None:
+                m = _build_imdct_on_device(n)
+                self._imdct[n] = m
+            return m
 
     @property
     def inverse_db(self) -> jax.Array:
-        if self._inverse_db is None:
-            self._inverse_db = jax.device_put(INVERSE_DB_TABLE)
-        return self._inverse_db
+        with self._lock:
+            if self._inverse_db is None:
+                self._inverse_db = jax.device_put(INVERSE_DB_TABLE)
+            return self._inverse_db
 
     def windows(self, key: tuple, builder) -> jax.Array:
-        w = self._windows.get(key)
-        if w is None:
-            w = jax.device_put(builder())
-            self._windows[key] = w
-        return w
+        with self._lock:
+            w = self._windows.get(key)
+            if w is None:
+                w = jax.device_put(builder())
+                self._windows[key] = w
+            return w
 
     def cached(self, key: tuple, builder):
         """Generic device-resident cache (builder returns device value(s))."""
-        w = self._windows.get(key)
-        if w is None:
-            w = builder()
-            self._windows[key] = w
-        return w
+        with self._lock:
+            w = self._windows.get(key)
+            if w is None:
+                w = builder()
+                self._windows[key] = w
+            return w
 
 
 _CONSTS = _DeviceConstants()
@@ -125,9 +133,12 @@ class ModeSig:
     # transfer-lean path); empty tuple = ship pre-rendered curves instead
     floor_pts: Tuple[int, ...] = ()
     floor_mults: Tuple[int, ...] = ()
-    # residue encoding: "f32" raw, or "u8"/"u16" dictionary codes
+    # residue encoding: "f32" raw, "u8"/"u16" dictionary codes, or
+    # bit-packed dictionary codes ("p4"/"p6")
     res_enc: str = "f32"
     dict_size: int = 0
+    # leading spectrum columns actually shipped (trailing zeros trimmed)
+    res_cols: int = 0
 
 
 @dataclass(frozen=True)
@@ -156,8 +167,13 @@ def _decode_stream_impl(
     for ms, args, imdct_m, windows, fconsts in zip(
             sig.modes, mode_args, imdct_ms, window_stacks, floor_consts):
         residue, floor_data, dec, used, wsel, ids = args
+        w_cols = ms.res_cols or ms.n // 2
         if ms.res_enc != "f32":
             codes, res_dict = residue
+            if ms.res_enc == "p4":
+                codes = _unpack4(codes, w_cols)
+            elif ms.res_enc == "p6":
+                codes = _unpack6(codes, w_cols)
             residue = jnp.take(res_dict, codes.astype(jnp.int32), axis=0)
         if ms.floor_pts:
             ys, flags = floor_data
@@ -169,14 +185,17 @@ def _decode_stream_impl(
                     ys[:, off : off + npts], flags[:, off : off + npts],
                     xs_sorted=xs_sorted, sorted_idx=sorted_idx, pmap=pmap,
                     multiplier=ms.floor_mults[ch],
-                ))
+                )[:, :w_cols])
                 off += npts
-            curve = jnp.stack(curves, axis=1)  # [B, C, half]
+            curve = jnp.stack(curves, axis=1)  # [B, C, w_cols]
         else:
-            curve = floor_data
+            curve = floor_data[:, :, :w_cols]
+        # Spectrum columns past w_cols are exactly zero (residue 'end'
+        # bound), so the matmul runs against the sliced IMDCT rows — same
+        # result, fewer FLOPs, and only w_cols columns crossed the link.
         w = frame_pipeline(
             residue, curve, dec, used, wsel,
-            imdct_m=imdct_m, windows=windows, inverse_db=inverse_db,
+            imdct_m=imdct_m[:w_cols], windows=windows, inverse_db=inverse_db,
             couplings=ms.couplings,
         )
         if ms.n < bs1:
@@ -224,42 +243,139 @@ def _get_stacked_fn(sig: StreamSig, s: int):
 
 # ------------------------------------------------------------- host driver --
 
+class _GroupResult:
+    """Shared device->host fetch for one dispatch's stacked output.
+
+    The whole group's output crosses the link as ONE transfer (per-stream
+    slice fetches would each pay the link's ~30-90ms round-trip latency —
+    this was the dominant cost of corpus decode on tunneled hosts), started
+    early via ``copy_to_host_async`` so transfers of different groups
+    pipeline with each other and with device compute.
+    """
+
+    def __init__(self, emitted, lengths):
+        self.emitted = emitted
+        self.lengths = lengths
+        self._host: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self._lock = __import__("threading").Lock()
+
+    def prefetch(self) -> None:
+        try:
+            self.emitted.copy_to_host_async()
+            self.lengths.copy_to_host_async()
+        except Exception:
+            pass  # non-jax arrays (tests) or backends without async copy
+
+    def fetch(self) -> Tuple[np.ndarray, np.ndarray]:
+        with self._lock:
+            if self._host is None:
+                self._host = (np.asarray(self.emitted),
+                              np.asarray(self.lengths))
+            return self._host
+
+
 class PendingDecode:
     """An in-flight async device decode for one stream."""
 
-    def __init__(self, emitted, lengths, t_real: int):
+    def __init__(self, emitted, lengths, t_real: int,
+                 group: Optional[_GroupResult] = None,
+                 group_idx: Optional[int] = None):
         self.emitted = emitted
         self.lengths = lengths
         self.t_real = t_real
+        self.group = group
+        self.group_idx = group_idx
+        if group is None:
+            self.group = _GroupResult(emitted, lengths)
+            self.group_idx = None
+
+    def prefetch(self) -> None:
+        self.group.prefetch()
 
     def fetch(self) -> Tuple[np.ndarray, np.ndarray]:
-        return (
-            np.asarray(self.emitted)[: self.t_real],
-            np.asarray(self.lengths)[: self.t_real],
-        )
+        emitted, lengths = self.group.fetch()
+        if self.group_idx is not None:
+            emitted, lengths = emitted[self.group_idx], lengths[self.group_idx]
+        return emitted[: self.t_real], lengths[: self.t_real]
+
+
+def _pack4(codes: np.ndarray) -> np.ndarray:
+    """Two 4-bit codes per byte along the last axis (length must be even)."""
+    return (codes[..., 0::2] | (codes[..., 1::2] << 4)).astype(np.uint8)
+
+
+def _pack6(codes: np.ndarray) -> np.ndarray:
+    """Four 6-bit codes per three bytes along the last axis (length %4==0)."""
+    c = codes.reshape(codes.shape[:-1] + (-1, 4)).astype(np.uint16)
+    b0 = (c[..., 0] | (c[..., 1] << 6)) & 255
+    b1 = ((c[..., 1] >> 2) | (c[..., 2] << 4)) & 255
+    b2 = ((c[..., 2] >> 4) | (c[..., 3] << 2)) & 255
+    out = np.stack([b0, b1, b2], axis=-1)
+    return out.reshape(codes.shape[:-1] + (-1,)).astype(np.uint8)
+
+
+def _unpack4(packed: jnp.ndarray, w: int) -> jnp.ndarray:
+    lo = packed & 15
+    hi = packed >> 4
+    return jnp.stack([lo, hi], axis=-1).reshape(packed.shape[:-1] + (w,))
+
+
+def _unpack6(packed: jnp.ndarray, w: int) -> jnp.ndarray:
+    b = packed.reshape(packed.shape[:-1] + (w // 4, 3))
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    c0 = b0 & 63
+    c1 = (b0 >> 6) | ((b1 & 15) << 2)
+    c2 = (b1 >> 4) | ((b2 & 3) << 4)
+    c3 = b2 >> 2
+    return jnp.stack([c0, c1, c2, c3], axis=-1).reshape(
+        packed.shape[:-1] + (w,))
 
 
 def _encode_residue(residue: np.ndarray):
-    """Lossless dictionary coding of residue spectra for the host link.
+    """Lossless compaction of residue spectra for the host link.
 
-    Vorbis residues are sums of a few VQ codebook rows, so a whole stream
-    typically takes well under 256 distinct float values — u8 codes + a tiny
-    dictionary cut the dominant input transfer 4x.  Falls back to u16 codes
-    or raw f32 when the value set is larger.
+    Two orthogonal reductions (the host link is corpus decode's bottleneck):
+
+    1. **Trailing-zero trim**: Vorbis residue vectors are decoded only up to
+       the residue's ``end`` bound (reference: ParseOggVorbis.hpp:670-683),
+       so the tail of each half-spectrum is exactly zero.  Only the leading
+       ``res_cols`` columns ship; the device multiplies against the
+       correspondingly sliced IMDCT matrix (fewer MXU FLOPs, same result).
+    2. **Dictionary + bit-pack**: residues are sums of a few VQ codebook
+       rows, so a whole stream typically takes tens of distinct float
+       values.  Codes pack to 4 or 6 bits when the dictionary allows, else
+       u8/u16, falling back to raw f32 for dense value sets.
+
+    Returns (enc, data, dictionary, res_cols).
     """
-    uniq = np.unique(residue)
-    if len(uniq) <= 256:
-        codes = np.searchsorted(uniq, residue).astype(np.uint8)
+    half = residue.shape[2]
+    nz = np.nonzero(np.any(residue != 0, axis=(0, 1)))[0]
+    end = int(nz[-1]) + 1 if len(nz) else 0
+    # pad to /64 to bound executable-shape variety; 0 -> minimum slab
+    res_cols = min(half, max(64, -(-end // 64) * 64))
+    trimmed = np.ascontiguousarray(residue[:, :, :res_cols])
+
+    uniq = np.unique(trimmed)
+    nu = len(uniq)
+    if nu > 65536:
+        return "f32", trimmed, None, res_cols
+    codes = np.searchsorted(uniq, trimmed)
+    if nu <= 16:
+        d = np.zeros(16, dtype=np.float32)
+        d[:nu] = uniq
+        return "p4", _pack4(codes), d, res_cols
+    if nu <= 64:
+        d = np.zeros(64, dtype=np.float32)
+        d[:nu] = uniq
+        return "p6", _pack6(codes), d, res_cols
+    if nu <= 256:
         d = np.zeros(256, dtype=np.float32)
-        d[: len(uniq)] = uniq
-        return "u8", codes, d
-    if len(uniq) <= 65536:
-        codes = np.searchsorted(uniq, residue).astype(np.uint16)
-        size = 1 << max(9, int(len(uniq) - 1).bit_length())
-        d = np.zeros(size, dtype=np.float32)
-        d[: len(uniq)] = uniq
-        return "u16", codes, d
-    return "f32", residue, None
+        d[:nu] = uniq
+        return "u8", codes.astype(np.uint8), d, res_cols
+    size = 1 << max(9, int(nu - 1).bit_length())
+    d = np.zeros(size, dtype=np.float32)
+    d[:nu] = uniq
+    return "u16", codes.astype(np.uint16), d, res_cols
 
 
 def _prepare_stream(sf, out_i16: bool):
@@ -292,7 +408,7 @@ def _prepare_stream(sf, out_i16: bool):
         pad_ids = np.full(b_pad, t_pad, dtype=np.int32)  # trash row
         pad_ids[:b] = ids
 
-        res_enc, res_data, res_dict = _encode_residue(residue)
+        res_enc, res_data, res_dict, res_cols = _encode_residue(residue)
         if res_enc == "f32":
             res_arg = padded(res_data)
         else:
@@ -321,14 +437,15 @@ def _prepare_stream(sf, out_i16: bool):
             ))
         else:
             mode_args.append((
-                res_arg, padded(curve), padded(decoded), padded(used),
-                padded(wsel), pad_ids,
+                res_arg, padded(np.ascontiguousarray(curve[:, :, :res_cols])),
+                padded(decoded), padded(used), padded(wsel), pad_ids,
             ))
         mode_sigs.append(ModeSig(
             n=n, couplings=mi.couplings, num_windows=mi.windows.shape[0],
             batch=b_pad, floor_pts=floor_pts, floor_mults=floor_mults,
             res_enc=res_enc,
             dict_size=0 if res_dict is None else len(res_dict),
+            res_cols=res_cols,
         ))
         consts.append((
             n,
@@ -387,6 +504,10 @@ class _ChunkedPending:
         self.pendings = pendings
         self.t_real = t_real
 
+    def prefetch(self):
+        for p in self.pendings:
+            p.prefetch()
+
     def fetch(self):
         parts_e = []
         parts_l = []
@@ -443,10 +564,15 @@ def _launch_one(sf, out_i16: bool) -> PendingDecode:
     return PendingDecode(emitted, lengths, sf.num_frames)
 
 
-# Streams per stacked dispatch.  Sized so each transfer leaf stays in the
-# low-MB range: large single transfers degrade badly on tunneled hosts, and
-# moderate chunks let XLA overlap one group's transfer with another's compute.
-_GROUP_S = int(os.environ.get("POV_GROUP_STREAMS", "8"))
+# Streams per stacked dispatch.  With asynchronous dispatch plus
+# copy_to_host_async group prefetch, per-stream dispatches (GROUP_S=1)
+# pipeline best on latency-bound links: each stream's output transfer
+# starts the moment its own compute finishes, and host->device, compute,
+# and device->host of different streams overlap (measured 88x vs 50x
+# realtime for stacked 16-groups on the tunneled v5e).  Stacked vmapped
+# dispatch (>1) remains available for dense local links where per-call
+# overhead dominates.
+_GROUP_S = int(os.environ.get("POV_GROUP_STREAMS", "1"))
 
 
 def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
@@ -492,10 +618,15 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
             emitted, lengths = fn(stacked_args, stacked_nhalf, imdct_ms,
                                   window_stacks, _CONSTS.inverse_db,
                                   floor_consts)
+            group = _GroupResult(emitted, lengths)
             for gi, i in enumerate(chunk):
                 pendings[i] = PendingDecode(
-                    emitted[gi], lengths[gi], streams[i].num_frames
+                    emitted, lengths, streams[i].num_frames,
+                    group=group, group_idx=gi,
                 )
+    for p in pendings:
+        if p is not None:
+            p.prefetch()
     return pendings
 
 
