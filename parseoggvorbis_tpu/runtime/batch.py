@@ -63,6 +63,9 @@ class StreamFrames:
     mode_floor_numbers: Optional[List[np.ndarray]] = None
     # exporter_ys(frame_ids, total_pts) -> (final_ys, flags) [B, total_pts] u8
     exporter_ys: Optional[Callable] = None
+    # granule-validated per-frame emission counts (set by the chunked decode
+    # driver on frame-range views; computed on demand otherwise)
+    emission_nums: Optional[np.ndarray] = None
 
     @property
     def num_frames(self) -> int:
@@ -348,8 +351,7 @@ def decode_corpus(
                                 sample_rate=sf.sample_rate,
                                 error=str(pending))
         try:
-            emitted, lengths = pending.fetch()
-            pcm = dd.assemble_pcm(sf, emitted, lengths)
+            pcm = pending.fetch()
             return DecodedAudio(pcm=pcm, sample_rate=sf.sample_rate)
         except Exception as exc:
             if strict:

@@ -148,11 +148,16 @@ class StreamSig:
     t_pad: int
     out_i16: bool
     modes: Tuple[ModeSig, ...]
+    # padded dense output length (samples); the device gathers the
+    # overlap-add emissions into an exactly-positioned [C, out_n] PCM
+    # buffer so no padding rows ever cross the host link
+    out_n: int = 0
 
 
 def _decode_stream_impl(
     mode_args: Sequence[tuple],
     n_half: jnp.ndarray,         # [T_pad] i32
+    nums: jnp.ndarray,           # [T_pad] i32 — granule-validated emissions
     imdct_ms: Sequence[jnp.ndarray],
     window_stacks: Sequence[jnp.ndarray],
     inverse_db: jnp.ndarray,
@@ -174,7 +179,12 @@ def _decode_stream_impl(
                 codes = _unpack4(codes, w_cols)
             elif ms.res_enc == "p6":
                 codes = _unpack6(codes, w_cols)
-            residue = jnp.take(res_dict, codes.astype(jnp.int32), axis=0)
+            codes = codes.astype(jnp.int32)
+            if ms.res_enc == "u8g":
+                # per-slab dictionaries: row b reads dict slab b//_DICT_SLAB
+                slab = jnp.arange(codes.shape[0], dtype=jnp.int32) // _DICT_SLAB
+                codes = codes + (slab * 256)[:, None, None]
+            residue = jnp.take(res_dict, codes, axis=0)
         if ms.floor_pts:
             ys, flags = floor_data
             curves = []
@@ -202,22 +212,40 @@ def _decode_stream_impl(
             w = jnp.pad(w, ((0, 0), (0, 0), (0, bs1 - ms.n)))
         z = z.at[ids].set(w)
     z = z[: sig.t_pad]
-    emitted, lengths = ola_scan(z, n_half, bs1)
+    emitted, _ = ola_scan(z, n_half, bs1)
+
+    # Dense PCM assembly on device: gather each output sample from its
+    # (frame, offset) emission position.  The host link then carries
+    # exactly the audio samples (bucket-padded), never the [T, C, bs1/2]
+    # padded emission rows — decisive for short-block-heavy streams where
+    # rows are mostly padding.  ``nums`` is host-computed from the frame
+    # geometry + Ogg granule truncation (reference: forwardReadyPcm,
+    # ParseOggVorbis.hpp:1019-1059), so the gather map needs no data-
+    # dependent shapes.
+    cum = jnp.cumsum(nums)
+    excl = cum - nums
+    s = jnp.arange(sig.out_n, dtype=jnp.int32)
+    f = jnp.searchsorted(cum, s, side="right").astype(jnp.int32)
+    f_c = jnp.minimum(f, sig.t_pad - 1)
+    pos = s - excl[f_c]
+    dense = emitted[f_c, :, pos]                # [out_n, C]
+    dense = jnp.where((s < cum[-1])[:, None], dense, 0.0)
+    pcm = dense.T                               # [C, out_n]
     if sig.out_i16:
-        emitted = jnp.clip(
-            jnp.round(emitted * 32767.0), -32768.0, 32767.0
+        pcm = jnp.clip(
+            jnp.round(pcm * 32767.0), -32768.0, 32767.0
         ).astype(jnp.int16)
-    return emitted, lengths
+    return pcm
 
 
 @functools.lru_cache(maxsize=256)
 def _get_stream_fn(sig: StreamSig):
     setup_jax()
 
-    def fn(flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db,
+    def fn(flat_mode_args, n_half, nums, imdct_ms, window_stacks, inverse_db,
            floor_consts):
         return _decode_stream_impl(
-            flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db,
+            flat_mode_args, n_half, nums, imdct_ms, window_stacks, inverse_db,
             floor_consts, sig
         )
 
@@ -229,74 +257,74 @@ def _get_stacked_fn(sig: StreamSig, s: int):
     """vmapped-over-streams variant: one dispatch decodes S streams."""
     setup_jax()
 
-    def fn(flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db,
+    def fn(flat_mode_args, n_half, nums, imdct_ms, window_stacks, inverse_db,
            floor_consts):
         return _decode_stream_impl(
-            flat_mode_args, n_half, imdct_ms, window_stacks, inverse_db,
+            flat_mode_args, n_half, nums, imdct_ms, window_stacks, inverse_db,
             floor_consts, sig
         )
 
     return jax.jit(
-        jax.vmap(fn, in_axes=(0, 0, None, None, None, None))
+        jax.vmap(fn, in_axes=(0, 0, 0, None, None, None, None))
     )
 
 
 # ------------------------------------------------------------- host driver --
 
 class _GroupResult:
-    """Shared device->host fetch for one dispatch's stacked output.
+    """Shared device->host fetch for one dispatch's output.
 
-    The whole group's output crosses the link as ONE transfer (per-stream
+    The whole dispatch's PCM crosses the link as ONE transfer (per-stream
     slice fetches would each pay the link's ~30-90ms round-trip latency —
     this was the dominant cost of corpus decode on tunneled hosts), started
-    early via ``copy_to_host_async`` so transfers of different groups
+    early via ``copy_to_host_async`` so transfers of different streams
     pipeline with each other and with device compute.
     """
 
-    def __init__(self, emitted, lengths):
-        self.emitted = emitted
-        self.lengths = lengths
-        self._host: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    def __init__(self, pcm):
+        self.pcm = pcm
+        self._host: Optional[np.ndarray] = None
         self._lock = __import__("threading").Lock()
 
     def prefetch(self) -> None:
         try:
-            self.emitted.copy_to_host_async()
-            self.lengths.copy_to_host_async()
+            self.pcm.copy_to_host_async()
         except Exception:
             pass  # non-jax arrays (tests) or backends without async copy
 
-    def fetch(self) -> Tuple[np.ndarray, np.ndarray]:
+    def fetch(self) -> np.ndarray:
         with self._lock:
             if self._host is None:
-                self._host = (np.asarray(self.emitted),
-                              np.asarray(self.lengths))
+                self._host = np.asarray(self.pcm)
             return self._host
 
 
 class PendingDecode:
-    """An in-flight async device decode for one stream."""
+    """An in-flight async device decode for one stream.
 
-    def __init__(self, emitted, lengths, t_real: int,
+    ``fetch()`` returns the final granule-truncated PCM [C, num_samples]
+    (float32, or int16 when launched with out_i16).
+    """
+
+    def __init__(self, pcm, n_total: int,
                  group: Optional[_GroupResult] = None,
                  group_idx: Optional[int] = None):
-        self.emitted = emitted
-        self.lengths = lengths
-        self.t_real = t_real
-        self.group = group
+        self.n_total = n_total
+        self.group = group if group is not None else _GroupResult(pcm)
         self.group_idx = group_idx
-        if group is None:
-            self.group = _GroupResult(emitted, lengths)
-            self.group_idx = None
 
     def prefetch(self) -> None:
         self.group.prefetch()
 
-    def fetch(self) -> Tuple[np.ndarray, np.ndarray]:
-        emitted, lengths = self.group.fetch()
+    def fetch(self) -> np.ndarray:
+        pcm = self.group.fetch()
         if self.group_idx is not None:
-            emitted, lengths = emitted[self.group_idx], lengths[self.group_idx]
-        return emitted[: self.t_real], lengths[: self.t_real]
+            pcm = pcm[self.group_idx]
+        return pcm[:, : self.n_total]
+
+
+# Frames per u8g dictionary slab (see _encode_residue).
+_DICT_SLAB = 64
 
 
 def _pack4(codes: np.ndarray) -> np.ndarray:
@@ -357,25 +385,93 @@ def _encode_residue(residue: np.ndarray):
 
     uniq = np.unique(trimmed)
     nu = len(uniq)
-    if nu > 65536:
-        return "f32", trimmed, None, res_cols
-    codes = np.searchsorted(uniq, trimmed)
-    if nu <= 16:
-        d = np.zeros(16, dtype=np.float32)
-        d[:nu] = uniq
-        return "p4", _pack4(codes), d, res_cols
-    if nu <= 64:
-        d = np.zeros(64, dtype=np.float32)
-        d[:nu] = uniq
-        return "p6", _pack6(codes), d, res_cols
     if nu <= 256:
+        codes = np.searchsorted(uniq, trimmed)
+        if nu <= 16:
+            d = np.zeros(16, dtype=np.float32)
+            d[:nu] = uniq
+            return "p4", _pack4(codes), d, res_cols
+        if nu <= 64:
+            d = np.zeros(64, dtype=np.float32)
+            d[:nu] = uniq
+            return "p6", _pack6(codes), d, res_cols
         d = np.zeros(256, dtype=np.float32)
         d[:nu] = uniq
         return "u8", codes.astype(np.uint8), d, res_cols
-    size = 1 << max(9, int(nu - 1).bit_length())
-    d = np.zeros(size, dtype=np.float32)
-    d[:nu] = uniq
-    return "u16", codes.astype(np.uint16), d, res_cols
+
+    # Dense streams (music at moderate quality reaches a few hundred
+    # distinct values stream-wide) still stay under 256 values within a
+    # *slab* of consecutive frames: per-slab u8 dictionaries keep the
+    # dominant transfer at one byte per bin.  Padded batch rows decode
+    # garbage through slab dicts by design — they land in the dropped
+    # trash emission row.
+    b = trimmed.shape[0]
+    b_pad = _pad32(b)
+    nslabs = -(-b_pad // _DICT_SLAB)
+    dicts = np.zeros((nslabs, 256), dtype=np.float32)
+    codes = np.empty(trimmed.shape, dtype=np.uint8)
+    ok = True
+    for s in range(-(-b // _DICT_SLAB)):
+        sl = trimmed[s * _DICT_SLAB : (s + 1) * _DICT_SLAB]
+        u = np.unique(sl)
+        if len(u) > 256:
+            ok = False
+            break
+        dicts[s, : len(u)] = u
+        codes[s * _DICT_SLAB : (s + 1) * _DICT_SLAB] = np.searchsorted(u, sl)
+    if ok:
+        return "u8g", codes, dicts.reshape(-1), res_cols
+
+    if nu <= 65536:
+        codes16 = np.searchsorted(uniq, trimmed).astype(np.uint16)
+        size = 1 << max(9, int(nu - 1).bit_length())
+        d = np.zeros(size, dtype=np.float32)
+        d[:nu] = uniq
+        return "u16", codes16, d, res_cols
+    return "f32", trimmed, None, res_cols
+
+
+# Dense-output bucket (samples).  out_n pads to a multiple of this so
+# executable shapes stay reusable across similar-length streams while the
+# output transfer padding stays ~1-3%.
+_OUT_BUCKET = 4096
+
+
+def _compute_emission_nums(sf) -> np.ndarray:
+    """Host-side per-frame PCM emission counts, granule-validated.
+
+    Mirrors the reference's forwardReadyPcm accounting
+    (ParseOggVorbis.hpp:1019-1059): frame t >= 1 emits the region between
+    the centers of frames t-1 and t; only a page-final granule position may
+    truncate (mid-stream short frames are an error); the host computes this
+    before dispatch so the device can assemble a dense PCM buffer.
+    """
+    t_real = sf.num_frames
+    quarters = (sf.frame_n.astype(np.int64) // 4)
+    lengths = np.zeros(t_real, dtype=np.int64)
+    if t_real > 1:
+        lengths[1:] = quarters[:-1] + quarters[1:]
+    granules = sf.granules
+    nums = lengths.copy()
+    cum = np.cumsum(lengths)
+    gmask = granules[:t_real] >= 0
+    if np.any(gmask):
+        g_idx = np.nonzero(gmask)[0]
+        g_val = granules[g_idx]
+        before = cum[g_idx] - lengths[g_idx]
+        if np.any(before > g_val):
+            raise ValueError("stream position past granule position")
+        if np.any(cum[g_idx] < g_val):
+            raise ValueError("granule implies mid-stream short frame")
+        mismatched = cum[g_idx] != g_val
+        if np.any(mismatched[:-1]):
+            # mid-stream truncation (tolerated by the reference): replay the
+            # exact sequential semantics
+            nums = _assemble_nums_sequential(lengths, granules, t_real)
+        elif len(mismatched) and mismatched[-1]:
+            last = g_idx[-1]
+            nums[last] = g_val[-1] - (cum[last] - lengths[last])
+    return nums
 
 
 def _prepare_stream(sf, out_i16: bool):
@@ -457,11 +553,19 @@ def _prepare_stream(sf, out_i16: bool):
     n_half = np.full(t_pad, sf.blocksize0 // 2, dtype=np.int32)
     n_half[:t_real] = sf.frame_n[:t_real] // 2
 
+    nums_real = getattr(sf, "emission_nums", None)
+    if nums_real is None:
+        nums_real = _compute_emission_nums(sf)
+    nums = np.zeros(t_pad, dtype=np.int32)
+    nums[:t_real] = nums_real
+    n_total = int(nums_real.sum())
+    out_n = max(_OUT_BUCKET, -(-n_total // _OUT_BUCKET) * _OUT_BUCKET)
+
     sig = StreamSig(
         channels=c, bs1=sf.blocksize1, t_pad=t_pad, out_i16=out_i16,
-        modes=tuple(mode_sigs),
+        modes=tuple(mode_sigs), out_n=out_n,
     )
-    return sig, tuple(mode_args), n_half, consts
+    return sig, tuple(mode_args), n_half, nums, n_total, consts
 
 
 def _floor_const_arrays(xs_key, half):
@@ -492,36 +596,79 @@ def _device_consts(consts):
 
 
 # Frames per device chunk for long streams: bounds device memory at roughly
-# chunk * C * bs1 * 4 bytes and keeps executable shapes reusable.  Decode
+# chunk * C * bs1 * 8 bytes and keeps executable shapes reusable.  Decode
 # correctness across chunk boundaries follows from the OLA geometry: a
 # frame's emission depends only on its immediate predecessor, so each chunk
-# carries one context frame whose (empty) local emission row is dropped.
-_CHUNK_T = int(os.environ.get("POV_CHUNK_FRAMES", "1024"))
+# carries one context frame that emits nothing locally.
+_CHUNK_T = int(os.environ.get("POV_CHUNK_FRAMES", "0"))  # 0 = adaptive
+
+
+def _chunk_frames(sf) -> int:
+    """Frames per chunk: targets ~1.5M output samples per dispatch (a few
+    MB per transfer — the link's sweet spot) instead of a fixed frame
+    count, so short-block-heavy streams don't shatter into tiny chunks.
+    Power-of-two sized to bound executable-shape variety; capped so the
+    on-device frame buffers stay in the low hundreds of MB."""
+    if _CHUNK_T:
+        return _CHUNK_T
+    avg_emission = max(64.0, float(np.mean(sf.frame_n)) / 2.0)
+    target = int(6e6 / avg_emission)
+    # cap the dominant input array (residue codes, ~C*bs1/2 bytes/frame) at
+    # ~3MB per transfer: tunneled links stall unpredictably on large single
+    # buffers (measured: 16MB h2d sporadically takes 10s+)
+    in_cap = max(1, (3 << 20) // (sf.channels * (sf.blocksize1 // 2)))
+    mem_cap = max(1, (256 << 20) // (sf.channels * sf.blocksize1 * 8))
+    t = 1 << max(9, int(np.log2(max(512, min(target, in_cap, mem_cap)))))
+    return min(t, 16384)
+
+
+def _get_chunk_pool():
+    """Dedicated pool for chunk prepare+dispatch.
+
+    Separate from decode_corpus's task pool on purpose: chunk futures are
+    awaited from inside pool tasks, which would deadlock a shared
+    fixed-size executor.
+    """
+    global _CHUNK_POOL
+    if _CHUNK_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _CHUNK_POOL = ThreadPoolExecutor(
+            max_workers=int(os.environ.get("POV_CHUNK_THREADS", "8")),
+            thread_name_prefix="pov-chunk")
+    return _CHUNK_POOL
+
+
+_CHUNK_POOL = None
 
 
 class _ChunkedPending:
-    def __init__(self, pendings: List[PendingDecode], t_real: int):
-        self.pendings = pendings
+    """Futures of per-chunk PendingDecodes (chunks prep+dispatch in the
+    chunk pool so one stream's chunks pipeline with everything else)."""
+
+    def __init__(self, futures, t_real: int):
+        self.futures = futures
         self.t_real = t_real
 
     def prefetch(self):
-        for p in self.pendings:
-            p.prefetch()
+        # non-blocking: kick the transfers of whatever is already dispatched
+        for f in self.futures:
+            if f.done() and not f.exception():
+                f.result().prefetch()
 
     def fetch(self):
-        parts_e = []
-        parts_l = []
-        for k, p in enumerate(self.pendings):
-            e, l = p.fetch()
-            if k > 0:
-                e, l = e[1:], l[1:]  # context frame's empty emission row
-            parts_e.append(e)
-            parts_l.append(l)
-        return np.concatenate(parts_e), np.concatenate(parts_l)
+        pendings = [f.result() for f in self.futures]
+        for p in pendings:
+            p.prefetch()
+        return np.concatenate([p.fetch() for p in pendings], axis=1)
 
 
-def _slice_stream(sf, start: int, end: int):
-    """A frame-range view of a StreamFrames (for chunked decode)."""
+def _slice_stream(sf, start: int, end: int, nums: np.ndarray):
+    """A frame-range view of a StreamFrames (for chunked decode).
+
+    ``nums`` is the chunk's emission vector: its first row is zeroed when
+    it is a context frame (its emission belongs to the previous chunk).
+    """
     import copy
 
     view = copy.copy(sf)
@@ -533,6 +680,7 @@ def _slice_stream(sf, start: int, end: int):
     if sf.exporter_ys is not None:
         view.exporter_ys = lambda ids, tp: sf.exporter_ys(
             np.asarray(ids) + start, tp)
+    view.emission_nums = nums
     return view
 
 
@@ -540,28 +688,36 @@ def launch_stream_decode(sf, out_i16: bool = False):
     """Launch the fused device decode for one parsed stream (async).
 
     Streams longer than _CHUNK_T frames decode in overlapping chunks so
-    device memory stays bounded regardless of file length.
+    device memory stays bounded regardless of file length.  Granule
+    accounting runs once over the whole stream; each chunk carries one
+    context frame whose emission is assigned to the previous chunk.
     """
-    if sf.num_frames > _CHUNK_T + 1:
-        pendings = []
+    chunk_t = _chunk_frames(sf)
+    if sf.num_frames > chunk_t + 1:
+        nums = _compute_emission_nums(sf)
+        pool = _get_chunk_pool()
+        futures = []
         start = 0
         while start < sf.num_frames:
             ctx = 1 if start > 0 else 0
-            end = min(start + _CHUNK_T, sf.num_frames)
-            pendings.append(_launch_one(_slice_stream(sf, start - ctx, end),
-                                        out_i16))
+            end = min(start + chunk_t, sf.num_frames)
+            chunk_nums = np.concatenate(
+                [np.zeros(ctx, dtype=nums.dtype), nums[start:end]])
+            view = _slice_stream(sf, start - ctx, end, chunk_nums)
+            futures.append(pool.submit(_launch_one, view, out_i16))
             start = end
-        return _ChunkedPending(pendings, sf.num_frames)
+        return _ChunkedPending(futures, sf.num_frames)
     return _launch_one(sf, out_i16)
 
 
 def _launch_one(sf, out_i16: bool) -> PendingDecode:
-    sig, mode_args, n_half, consts = _prepare_stream(sf, out_i16)
+    sig, mode_args, n_half, nums, n_total, consts = _prepare_stream(
+        sf, out_i16)
     imdct_ms, window_stacks, floor_consts = _device_consts(consts)
     fn = _get_stream_fn(sig)
-    emitted, lengths = fn(mode_args, n_half, imdct_ms, window_stacks,
-                          _CONSTS.inverse_db, floor_consts)
-    return PendingDecode(emitted, lengths, sf.num_frames)
+    pcm = fn(mode_args, n_half, nums, imdct_ms, window_stacks,
+             _CONSTS.inverse_db, floor_consts)
+    return PendingDecode(pcm, n_total)
 
 
 # Streams per stacked dispatch.  With asynchronous dispatch plus
@@ -583,7 +739,7 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
     # long streams decode individually in bounded chunks
     short_idx = []
     for i, sf in enumerate(streams):
-        if sf.num_frames > _CHUNK_T + 1:
+        if sf.num_frames > _chunk_frames(sf) + 1:
             pendings[i] = launch_stream_decode(sf, out_i16=out_i16)
         else:
             short_idx.append(i)
@@ -594,17 +750,17 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
         by_sig.setdefault(prepared_map[i][0], []).append(i)
     prepared = prepared_map
     for sig, idxs in by_sig.items():
-        imdct_ms, window_stacks, floor_consts = _device_consts(prepared[idxs[0]][3])
+        imdct_ms, window_stacks, floor_consts = _device_consts(
+            prepared[idxs[0]][5])
         for start in range(0, len(idxs), _GROUP_S):
             chunk = idxs[start : start + _GROUP_S]
             if len(chunk) == 1:
                 i = chunk[0]
                 fn = _get_stream_fn(sig)
-                emitted, lengths = fn(prepared[i][1], prepared[i][2], imdct_ms,
-                                      window_stacks, _CONSTS.inverse_db,
-                                      floor_consts)
-                pendings[i] = PendingDecode(emitted, lengths,
-                                            streams[i].num_frames)
+                pcm = fn(prepared[i][1], prepared[i][2], prepared[i][3],
+                         imdct_ms, window_stacks, _CONSTS.inverse_db,
+                         floor_consts)
+                pendings[i] = PendingDecode(pcm, prepared[i][4])
                 continue
             # pad group size to the next power of two (bounded compiles)
             s_real = len(chunk)
@@ -614,61 +770,19 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
                 lambda *xs: np.stack(xs), *[take(i)[1] for i in range(s_pad)]
             )
             stacked_nhalf = np.stack([take(i)[2] for i in range(s_pad)])
+            stacked_nums = np.stack([take(i)[3] for i in range(s_pad)])
             fn = _get_stacked_fn(sig, s_pad)
-            emitted, lengths = fn(stacked_args, stacked_nhalf, imdct_ms,
-                                  window_stacks, _CONSTS.inverse_db,
-                                  floor_consts)
-            group = _GroupResult(emitted, lengths)
+            pcm = fn(stacked_args, stacked_nhalf, stacked_nums, imdct_ms,
+                     window_stacks, _CONSTS.inverse_db, floor_consts)
+            group = _GroupResult(pcm)
             for gi, i in enumerate(chunk):
                 pendings[i] = PendingDecode(
-                    emitted, lengths, streams[i].num_frames,
-                    group=group, group_idx=gi,
+                    pcm, prepared[i][4], group=group, group_idx=gi,
                 )
     for p in pendings:
         if p is not None:
             p.prefetch()
     return pendings
-
-
-def assemble_pcm(sf, emitted: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-    """Host pass 3: granule-validated assembly of emitted regions -> [C, N].
-
-    Mirrors the reference's forwardReadyPcm granule logic
-    (ParseOggVorbis.hpp:1019-1059): mid-stream short frames are an error,
-    the final page's granule truncates the last emission.
-    """
-    c = emitted.shape[1]
-    t_real = len(lengths)
-    granules = sf.granules
-    lengths = np.asarray(lengths, dtype=np.int64)
-
-    # Granule validation/truncation.  In valid streams only the final frame
-    # can truncate, so the vectorized check-first/fix-up-last form is exact.
-    cum = np.cumsum(lengths)
-    nums = lengths.copy()
-    gmask = granules[:t_real] >= 0
-    if np.any(gmask):
-        g_idx = np.nonzero(gmask)[0]
-        g_val = granules[g_idx]
-        before = cum[g_idx] - lengths[g_idx]
-        if np.any(before > g_val):
-            raise ValueError("stream position past granule position")
-        short = cum[g_idx] < g_val
-        if np.any(short):
-            raise ValueError("granule implies mid-stream short frame")
-        mismatched = cum[g_idx] != g_val
-        if np.any(mismatched[:-1]):
-            # mid-stream truncation (tolerated by the reference): replay the
-            # exact sequential semantics
-            nums = _assemble_nums_sequential(lengths, granules, t_real)
-        elif mismatched[-1]:
-            last = g_idx[-1]
-            nums[last] = g_val[-1] - (cum[last] - lengths[last])
-
-    maxh = emitted.shape[2]
-    mask = np.arange(maxh)[None, :] < nums[:, None]  # [T, maxh]
-    out = emitted.transpose(1, 0, 2)[:, mask]  # [C, total]
-    return np.ascontiguousarray(out)
 
 
 def _assemble_nums_sequential(lengths, granules, t_real):

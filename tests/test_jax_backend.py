@@ -105,20 +105,18 @@ def test_chunked_long_stream_decode(stereo_ogg, monkeypatch):
     single-shot decode exactly."""
     from parseoggvorbis_tpu.runtime import device_decoder as dd
     from parseoggvorbis_tpu.runtime.batch import parse_stream
-    from parseoggvorbis_tpu.runtime.device_decoder import (
-        assemble_pcm, launch_stream_decode,
-    )
+    from parseoggvorbis_tpu.runtime.device_decoder import launch_stream_decode
 
     data = open(stereo_ogg, "rb").read()
     sf = parse_stream(data)
     ref_pend = launch_stream_decode(sf)
-    ref = assemble_pcm(sf, *ref_pend.fetch())
+    ref = ref_pend.fetch()
 
     monkeypatch.setattr(dd, "_CHUNK_T", 16)
     pend = launch_stream_decode(sf)
     assert isinstance(pend, dd._ChunkedPending)
-    assert len(pend.pendings) == 6
-    got = assemble_pcm(sf, *pend.fetch())
+    assert len(pend.futures) == 6
+    got = pend.fetch()
     assert got.shape == ref.shape
     np.testing.assert_array_equal(got, ref)
 
@@ -127,8 +125,7 @@ def test_chunked_long_stream_decode(stereo_ogg, monkeypatch):
 
     pends = launch_corpus_decode([sf, sf])
     for p in pends:
-        got2 = assemble_pcm(sf, *p.fetch())
-        np.testing.assert_array_equal(got2, ref)
+        np.testing.assert_array_equal(p.fetch(), ref)
 
 
 def test_sharded_mesh_decode_vs_scalar():

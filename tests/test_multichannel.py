@@ -105,16 +105,13 @@ def _scalar_reference(sf, frames):
 
 
 def test_six_channel_device_vs_scalar():
-    from parseoggvorbis_tpu.runtime.device_decoder import (
-        assemble_pcm, launch_stream_decode,
-    )
+    from parseoggvorbis_tpu.runtime.device_decoder import launch_stream_decode
 
     rng = np.random.RandomState(3)
     sf, frames = _make_stream(rng)
     ref = _scalar_reference(sf, frames)
     pending = launch_stream_decode(sf)
-    emitted, lengths = pending.fetch()
-    pcm = assemble_pcm(sf, emitted, lengths)
+    pcm = pending.fetch()
     assert pcm.shape == ref.pcm.shape
     assert pcm.shape[0] == C
     # device runs f32 (HIGHEST), reference accumulates f64; synthetic
@@ -125,9 +122,7 @@ def test_six_channel_device_vs_scalar():
 
 
 def test_six_channel_corpus_stacked():
-    from parseoggvorbis_tpu.runtime.device_decoder import (
-        assemble_pcm, launch_corpus_decode,
-    )
+    from parseoggvorbis_tpu.runtime.device_decoder import launch_corpus_decode
 
     rng = np.random.RandomState(5)
     streams = []
@@ -138,8 +133,7 @@ def test_six_channel_corpus_stacked():
         refs.append(_scalar_reference(sf, frames))
     pendings = launch_corpus_decode(streams)
     for sf, pending, ref in zip(streams, pendings, refs):
-        emitted, lengths = pending.fetch()
-        pcm = assemble_pcm(sf, emitted, lengths)
+        pcm = pending.fetch()
         scale = max(1.0, float(np.abs(ref.pcm).max()))
         err = np.max(np.abs(pcm - ref.pcm)) / scale
         assert err < 2e-6, err

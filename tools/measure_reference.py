@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Measure the reference C++ decoder's realtime factor on the bench corpus.
+
+Builds albertz/ParseOggVorbis's demo binary out-of-tree (-O2, single thread,
+the reference's own CMake flags) and times full decodes of every corpus
+file.  The resulting corpus-weighted RTF is the ``vs_baseline`` denominator
+baked into bench.py (the reference publishes no numbers of its own).
+
+Usage: python3 tools/measure_reference.py [--reference /root/reference]
+"""
+import argparse
+import glob
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def audio_seconds(path):
+    sys.path.insert(0, REPO)
+    from parseoggvorbis_tpu.runtime.batch import parse_stream
+    sf = parse_stream(open(path, "rb").read())
+    # emitted samples = sum of inter-center distances, bounded by granule
+    return min(int(sf.granules[-1]), int(sum(sf.frame_n)) // 2) / sf.sample_rate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--repeats", type=int, default=20)
+    args = ap.parse_args()
+
+    binary = os.path.join(tempfile.gettempdir(), "ref_ours.bin")
+    srcs = glob.glob(os.path.join(args.reference, "src", "*.cpp"))
+    subprocess.run(["g++", "-O2", "-std=c++11", *srcs,
+                    "-I", os.path.join(args.reference, "src"),
+                    "-o", binary], check=True)
+
+    corpus = sorted(glob.glob(os.path.join(REPO, "tests", "data", "bench", "*.ogg")))
+    corpus += [os.path.join(REPO, "tests", "data", f)
+               for f in ("test.mono44khz.ogg", "test.stereo44khz.ogg")]
+    # The reference asserts out on single-blocksize streams (readBits(0) for
+    # the 0-bit mode number when ilog(num_modes-1)==0, Utils.hpp:347) --
+    # e.g. libvorbis's low-rate encodes.  Skip what it cannot decode and
+    # report the subset; our decoder handles these files (see
+    # tests/test_bench_corpus.py).
+    decodable = []
+    for p in corpus:
+        rc = subprocess.run([binary, "--in", p], stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL).returncode
+        (decodable.append(p) if rc == 0 else
+         print("SKIP (reference cannot decode):", os.path.basename(p)))
+    corpus = decodable
+    total_audio = sum(audio_seconds(p) for p in corpus)
+
+    best = None
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        for p in corpus:
+            subprocess.run([binary, "--in", p], check=True,
+                           stdout=subprocess.DEVNULL)
+        wall = time.perf_counter() - t0
+        best = wall if best is None else min(best, wall)
+    print("corpus: %d files, %.2f audio-seconds" % (len(corpus), total_audio))
+    print("reference best wall: %.3fs -> RTF %.1fx (single thread, -O2)"
+          % (best, total_audio / best))
+
+
+if __name__ == "__main__":
+    main()
