@@ -233,3 +233,21 @@ def dryrun_multichip(n_devices: int) -> None:
         jax.block_until_ready((emitted2, lengths2))
         assert emitted2.shape == (s, t, c, half)
     np.testing.assert_allclose(np.asarray(emitted), np.asarray(emitted2), atol=2e-5)
+
+    # The production path: full corpus decode (real golden file, python host
+    # front-end, mixed blocksizes, device floors, dense PCM assembly)
+    # data-parallel over the same mesh.  Hermetic: every device array in
+    # launch_corpus_decode_mesh is committed to the mesh.
+    import os
+
+    mono = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "tests", "data", "test.mono44khz.ogg")
+    if os.path.exists(mono):
+        from ..runtime.batch import decode_corpus
+
+        data = open(mono, "rb").read()
+        audios = decode_corpus([data] * 2, prefer_native=False, mesh=mesh)
+        assert [a.num_samples for a in audios] == [63488, 63488]
+        assert all(np.isfinite(a.pcm).all() for a in audios)
+        print("dryrun_multichip: mesh corpus decode OK "
+              "(2 streams x 63488 samples)")

@@ -282,6 +282,7 @@ def decode_corpus(
     host_threads: int = 8,
     out_i16: bool = False,
     strict: bool = True,
+    mesh=None,
 ) -> List[DecodedAudio]:
     """Decode a corpus of in-memory oggs.
 
@@ -296,6 +297,10 @@ def decode_corpus(
     ``strict=False`` enables per-stream error isolation: a corrupt file
     yields a :class:`DecodedAudio` with ``error`` set and empty PCM instead
     of failing the whole batch.
+
+    ``mesh`` (a jax.sharding.Mesh with a 'data' axis) runs the device pass
+    multi-chip: same-signature streams stack into dispatches whose stream
+    axis is sharded over 'data' (see device_decoder.launch_corpus_decode_mesh).
     """
     from . import device_decoder as dd
 
@@ -313,7 +318,14 @@ def decode_corpus(
                 return list(ex.map(fn, items))
         return [fn(x) for x in items]
 
-    if dd._GROUP_S <= 1:
+    if mesh is not None:
+        streams = run(safe_parse, list(blobs))
+        good = [sf for sf in streams if isinstance(sf, StreamFrames)]
+        pendings = dd.launch_corpus_decode_mesh(good, mesh, out_i16=out_i16)
+        it = iter(pendings)
+        launched = [(sf, next(it)) if isinstance(sf, StreamFrames) else sf
+                    for sf in streams]
+    elif dd._GROUP_S <= 1:
         # Fully pipelined per-stream flow: parse -> prepare -> dispatch ->
         # async output prefetch, all inside the thread pool, so one stream's
         # host symbol pass overlaps another's transfers and device compute.
