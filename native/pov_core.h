@@ -31,6 +31,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <map>
 #include <memory>
 #include <string>
 #include <unordered_map>
@@ -840,10 +842,20 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
   pf.frames.emplace_back(std::move(fr));
 }
 
-static void parse_file(ParsedFile& pf, const uint8_t* data, size_t len) {
-  size_t off = 0;
+struct StreamAccum {
+  ParsedFile pf;
   int packet_count = 0;
-  std::vector<uint8_t> setup_accum;
+};
+
+// Full Ogg demux: streams are created at BOS, pages dispatch by
+// stream_serial_num, EOS retires the serial — chained and multiplexed
+// files yield one ParsedFile per logical stream, in BOS order.
+// (Reference semantics: OggReader::_read_page, ParseOggVorbis.hpp:1433-1484.)
+static void parse_file_multi(std::vector<ParsedFile>& out, const uint8_t* data,
+                             size_t len) {
+  size_t off = 0;
+  std::map<uint32_t, size_t> active;  // serial -> index into accums
+  std::deque<StreamAccum> accums;     // deque: stable refs across growth
   while (off < len) {
     POV_CHECK(off + 27 <= len, "truncated page header");
     const uint8_t* h = data + off;
@@ -871,6 +883,22 @@ static void parse_file(ParsedFile& pf, const uint8_t* data, size_t len) {
     crc = crc_update(crc, seg, nseg);
     crc = crc_update(crc, payload, data_len);
     POV_CHECK(crc == expected_crc, "page CRC mismatch");
+
+    // stream demux (BOS creates, EOS retires)
+    uint32_t serial;
+    memcpy(&serial, h + 14, 4);
+    uint8_t flags = h[5];
+    if (flags & 0x02) {  // BOS
+      POV_CHECK(active.find(serial) == active.end(),
+                "BOS page for already-active stream serial");
+      active[serial] = accums.size();
+      accums.emplace_back();
+    }
+    auto it = active.find(serial);
+    POV_CHECK(it != active.end(), "page for unknown stream serial");
+    StreamAccum& sa = accums[it->second];
+    ParsedFile& pf = sa.pf;
+    int& packet_count = sa.packet_count;
 
     // packets
     size_t poff = 0, plen = 0;
@@ -910,9 +938,22 @@ static void parse_file(ParsedFile& pf, const uint8_t* data, size_t len) {
       }
     }
     POV_CHECK(plen == 0 && poff == data_len, "trailing partial packet");
+    if (flags & 0x04)  // EOS
+      active.erase(serial);
     off += 27 + nseg + data_len;
   }
-  POV_CHECK(packet_count >= 3, "no setup packet found");
+  POV_CHECK(!accums.empty(), "no ogg stream found");
+  for (auto& sa : accums) {
+    POV_CHECK(sa.packet_count >= 3, "no setup packet found");
+    out.emplace_back(std::move(sa.pf));
+  }
+}
+
+// Single-stream front-end: first logical stream of the file.
+static void parse_file(ParsedFile& pf, const uint8_t* data, size_t len) {
+  std::vector<ParsedFile> out;
+  parse_file_multi(out, data, len);
+  pf = std::move(out[0]);
 }
 
 }  // namespace pov

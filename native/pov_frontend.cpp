@@ -40,6 +40,36 @@ PovHandle* pov_parse(const uint8_t* data, size_t len, char* err_out,
 
 void pov_free(PovHandle* h) { delete h; }
 
+// Full demux: one handle per logical stream (chained/multiplexed files),
+// in BOS order.  Returns the stream count (fills up to max_out handles),
+// or -1 on parse error (message in err_out).
+int32_t pov_parse_multi(const uint8_t* data, size_t len, PovHandle** out,
+                        int32_t max_out, char* err_out, size_t err_cap) {
+  try {
+    std::vector<pov::ParsedFile> parsed;
+    pov::parse_file_multi(parsed, data, len);
+    int32_t count = (int32_t)parsed.size();
+    for (int32_t i = 0; i < count && i < max_out; ++i) {
+      auto* h = new PovHandle();
+      h->pf = std::move(parsed[i]);
+      out[i] = h;
+    }
+    return count;
+  } catch (const pov::ParseError& e) {
+    if (err_out && err_cap) {
+      strncpy(err_out, e.msg.c_str(), err_cap - 1);
+      err_out[err_cap - 1] = 0;
+    }
+    return -1;
+  } catch (const std::exception& e) {
+    if (err_out && err_cap) {
+      strncpy(err_out, e.what(), err_cap - 1);
+      err_out[err_cap - 1] = 0;
+    }
+    return -1;
+  }
+}
+
 void pov_info(PovHandle* h, uint32_t* sample_rate, int32_t* channels,
               int32_t* blocksize0, int32_t* blocksize1, int64_t* num_frames,
               int32_t* num_modes) {

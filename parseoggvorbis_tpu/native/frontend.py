@@ -100,6 +100,11 @@ def _load():
         lib.pov_mode_floor_numbers.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
         ]
+        lib.pov_parse_multi.restype = ctypes.c_int32
+        lib.pov_parse_multi.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_char_p, ctypes.c_size_t,
+        ]
         _lib = lib
         return _lib
 
@@ -209,18 +214,34 @@ class NativeParsed:
             pass
 
 
-def parse_stream_native(data: bytes) -> NativeParsed:
-    """Parse an in-memory single-stream Ogg Vorbis file natively."""
+def parse_streams_native(data: bytes) -> List[NativeParsed]:
+    """Parse an in-memory Ogg file natively with full stream demux.
+
+    Chained/multiplexed files return one NativeParsed per logical stream,
+    in BOS order (reference semantics: ParseOggVorbis.hpp:1433-1484)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native front-end not built (run native/build.py)")
     err = ctypes.create_string_buffer(512)
-    handle = lib.pov_parse(data, len(data), err, len(err))
-    if not handle:
+    max_streams = 64
+    handles = (ctypes.c_void_p * max_streams)()
+    count = lib.pov_parse_multi(data, len(data), handles, max_streams,
+                                err, len(err))
+    if count < 0:
         from ..utils.errors import ParseError
 
         raise ParseError(err.value.decode("utf8", errors="replace"))
+    if count > max_streams:
+        raise RuntimeError("too many logical streams: %d" % count)
+    return [_from_handle(lib, handles[i]) for i in range(count)]
 
+
+def parse_stream_native(data: bytes) -> NativeParsed:
+    """Parse an in-memory Ogg Vorbis file natively (first logical stream)."""
+    return parse_streams_native(data)[0]
+
+
+def _from_handle(lib, handle) -> NativeParsed:
     sr = ctypes.c_uint32()
     ch = ctypes.c_int32()
     bs0 = ctypes.c_int32()

@@ -77,6 +77,8 @@ class DecodedAudio:
     pcm: np.ndarray  # [C, num_samples] float32 (or int16)
     sample_rate: int
     error: Optional[str] = None  # set when per-stream isolation caught a failure
+    blob_index: int = 0  # which input blob this stream came from
+    stream_index: int = 0  # logical stream within the blob (BOS order)
 
     @property
     def ok(self) -> bool:
@@ -102,16 +104,32 @@ def _mode_windows(block_flag: bool, bs0: int, bs1: int) -> np.ndarray:
     return make_window(bs0, bs0 // 2, bs0 // 2)[None, :]
 
 
-def parse_stream_python(data: bytes) -> StreamFrames:
-    """Pure-Python host pass (fallback + oracle for the native path)."""
-    stream = VorbisStream()
-    frames: List[FrameSymbols] = []
-    granules: List[int] = []
+def parse_streams_python(data: bytes) -> List[StreamFrames]:
+    """Pure-Python host pass with full Ogg stream demux.
+
+    Handles chained (sequential BOS..EOS links) and multiplexed
+    (interleaved serials) files exactly like the reference's OggReader
+    (ParseOggVorbis.hpp:1433-1484): streams are created at BOS, pages
+    dispatch by stream_serial_num, EOS retires the serial.  Returns one
+    StreamFrames per logical stream, in BOS order.
+    """
+    active = {}  # serial -> (VorbisStream, frames, granules)
+    in_order: List[tuple] = []
     offset = 0
     while True:
         page, offset = read_page(data, offset)
         if page is None:
             break
+        serial = page.stream_serial_num
+        if page.is_bos:
+            check(serial not in active,
+                  "BOS page for already-active stream serial")
+            entry = (VorbisStream(), [], [])
+            active[serial] = entry
+            in_order.append(entry)
+        entry = active.get(serial)
+        check(entry is not None, "page for unknown stream serial")
+        stream, frames, granules = entry
         for packet, is_last in page.packets():
             granule = page.absolute_granule_pos if is_last else -1
             if stream.packet_count == 0:
@@ -124,6 +142,20 @@ def parse_stream_python(data: bytes) -> StreamFrames:
                 frames.append(stream.decode_packet_symbols(packet))
                 granules.append(granule)
             stream.packet_count += 1
+        if page.is_eos:
+            del active[serial]
+    check(len(in_order) > 0, "no ogg stream found")
+    return [_build_stream_frames(st, fr, gr) for st, fr, gr in in_order]
+
+
+def parse_stream_python(data: bytes) -> StreamFrames:
+    """Pure-Python host pass; single-stream front-end (first logical
+    stream — use parse_streams_python for chained/multiplexed files)."""
+    return parse_streams_python(data)[0]
+
+
+def _build_stream_frames(stream: VorbisStream, frames: List[FrameSymbols],
+                         granules: List[int]) -> StreamFrames:
     check(stream.setup is not None, "no setup packet found")
     header = stream.header
     setup = stream.setup
@@ -199,40 +231,51 @@ def parse_stream_python(data: bytes) -> StreamFrames:
     )
 
 
-def parse_stream(data: bytes, prefer_native: bool = True) -> StreamFrames:
-    """Host pass 1: parse a single-stream Ogg Vorbis file to frame tensors."""
+def _native_to_stream_frames(p) -> StreamFrames:
+    modes = [
+        ModeInfo(
+            block_flag=bf,
+            couplings=cpl,
+            blocksize=p.blocksize1 if bf else p.blocksize0,
+            windows=_mode_windows(bf, p.blocksize0, p.blocksize1),
+        )
+        for bf, cpl in zip(p.mode_block_flag, p.mode_couplings)
+    ]
+    return StreamFrames(
+        sample_rate=p.sample_rate,
+        channels=p.channels,
+        blocksize0=p.blocksize0,
+        blocksize1=p.blocksize1,
+        mode_idx=p.mode_idx,
+        win_sel=p.win_sel,
+        frame_n=p.frame_n,
+        granules=p.granules,
+        modes=modes,
+        exporter=p.export_frames,
+        floors=p.floor1_info(),
+        mode_floor_numbers=[
+            p.mode_floor_numbers(m) for m in range(len(modes))
+        ],
+        exporter_ys=p.export_floor_ys_flags,
+    )
+
+
+def parse_streams(data: bytes, prefer_native: bool = True) -> List[StreamFrames]:
+    """Host pass 1: parse an Ogg Vorbis file to frame tensors, one
+    StreamFrames per logical stream (chained/multiplexed demux)."""
     if prefer_native:
         from ..native import frontend as native
 
         if native.available():
-            p = native.parse_stream_native(data)
-            modes = [
-                ModeInfo(
-                    block_flag=bf,
-                    couplings=cpl,
-                    blocksize=p.blocksize1 if bf else p.blocksize0,
-                    windows=_mode_windows(bf, p.blocksize0, p.blocksize1),
-                )
-                for bf, cpl in zip(p.mode_block_flag, p.mode_couplings)
-            ]
-            return StreamFrames(
-                sample_rate=p.sample_rate,
-                channels=p.channels,
-                blocksize0=p.blocksize0,
-                blocksize1=p.blocksize1,
-                mode_idx=p.mode_idx,
-                win_sel=p.win_sel,
-                frame_n=p.frame_n,
-                granules=p.granules,
-                modes=modes,
-                exporter=p.export_frames,
-                floors=p.floor1_info(),
-                mode_floor_numbers=[
-                    p.mode_floor_numbers(m) for m in range(len(modes))
-                ],
-                exporter_ys=p.export_floor_ys_flags,
-            )
-    return parse_stream_python(data)
+            return [_native_to_stream_frames(p)
+                    for p in native.parse_streams_native(data)]
+    return parse_streams_python(data)
+
+
+def parse_stream(data: bytes, prefer_native: bool = True) -> StreamFrames:
+    """Host pass 1 for the common single-stream case (first logical
+    stream; use parse_streams for chained/multiplexed files)."""
+    return parse_streams(data, prefer_native=prefer_native)[0]
 
 
 # ------------------------------------------------------------ device pass --
@@ -269,6 +312,13 @@ def decode_bytes(data: bytes, prefer_native: bool = True,
                          out_i16=out_i16)[0]
 
 
+def decode_all_streams(data: bytes, prefer_native: bool = True,
+                       out_i16: bool = False) -> List[DecodedAudio]:
+    """Decode every logical stream of a chained/multiplexed Ogg file."""
+    return decode_corpus([data], prefer_native=prefer_native,
+                         out_i16=out_i16)
+
+
 def decode_file(path: str, prefer_native: bool = True,
                 out_i16: bool = False) -> DecodedAudio:
     with open(path, "rb") as f:
@@ -294,6 +344,11 @@ def decode_corpus(
     ``out_i16`` returns 16-bit PCM (the standard delivery format, converted
     on device — halves the device->host transfer) instead of float32.
 
+    Chained/multiplexed Ogg files expand to one :class:`DecodedAudio` per
+    logical stream, in (blob, BOS) order — ``blob_index``/``stream_index``
+    say where each came from.  For the common single-stream blobs the
+    result list maps 1:1 to ``blobs``.
+
     ``strict=False`` enables per-stream error isolation: a corrupt file
     yields a :class:`DecodedAudio` with ``error`` set and empty PCM instead
     of failing the whole batch.
@@ -305,8 +360,9 @@ def decode_corpus(
     from . import device_decoder as dd
 
     def safe_parse(b):
+        """-> list of StreamFrames (one per logical stream) or Exception."""
         try:
-            return parse_stream(b, prefer_native=prefer_native)
+            return parse_streams(b, prefer_native=prefer_native)
         except Exception as exc:
             if strict:
                 raise
@@ -318,62 +374,79 @@ def decode_corpus(
                 return list(ex.map(fn, items))
         return [fn(x) for x in items]
 
+    # ``launched`` mirrors the blob list: per blob either an Exception or a
+    # list of (StreamFrames, pending-or-Exception), one per logical stream.
     if mesh is not None:
-        streams = run(safe_parse, list(blobs))
-        good = [sf for sf in streams if isinstance(sf, StreamFrames)]
-        pendings = dd.launch_corpus_decode_mesh(good, mesh, out_i16=out_i16)
+        parsed = run(safe_parse, list(blobs))
+        flat = [sf for sfs in parsed if isinstance(sfs, list) for sf in sfs]
+        pendings = dd.launch_corpus_decode_mesh(flat, mesh, out_i16=out_i16)
         it = iter(pendings)
-        launched = [(sf, next(it)) if isinstance(sf, StreamFrames) else sf
-                    for sf in streams]
+        launched = [[(sf, next(it)) for sf in sfs] if isinstance(sfs, list)
+                    else sfs for sfs in parsed]
     elif dd._GROUP_S <= 1:
         # Fully pipelined per-stream flow: parse -> prepare -> dispatch ->
         # async output prefetch, all inside the thread pool, so one stream's
         # host symbol pass overlaps another's transfers and device compute.
         def parse_and_launch(b):
-            sf = safe_parse(b)
-            if not isinstance(sf, StreamFrames):
-                return sf
-            try:
-                pending = dd.launch_stream_decode(sf, out_i16=out_i16)
-                pending.prefetch()
-                return (sf, pending)
-            except Exception as exc:
-                if strict:
-                    raise
-                return (sf, exc)
+            sfs = safe_parse(b)
+            if not isinstance(sfs, list):
+                return sfs
+            out = []
+            for sf in sfs:
+                try:
+                    pending = dd.launch_stream_decode(sf, out_i16=out_i16)
+                    pending.prefetch()
+                    out.append((sf, pending))
+                except Exception as exc:
+                    if strict:
+                        raise
+                    out.append((sf, exc))
+            return out
 
         launched = run(parse_and_launch, list(blobs))
     else:
         # Stacked-group flow (POV_GROUP_STREAMS>1): same-signature streams
         # share vmapped dispatches; best on dense local links.
-        streams = run(safe_parse, list(blobs))
-        good = [sf for sf in streams if isinstance(sf, StreamFrames)]
-        pendings = dd.launch_corpus_decode(good, out_i16=out_i16)
+        parsed = run(safe_parse, list(blobs))
+        flat = [sf for sfs in parsed if isinstance(sfs, list) for sf in sfs]
+        pendings = dd.launch_corpus_decode(flat, out_i16=out_i16)
         it = iter(pendings)
-        launched = [(sf, next(it)) if isinstance(sf, StreamFrames) else sf
-                    for sf in streams]
+        launched = [[(sf, next(it)) for sf in sfs] if isinstance(sfs, list)
+                    else sfs for sfs in parsed]
 
     def finish(item):
-        if not isinstance(item, tuple):  # parse error (non-strict)
+        blob_i, stream_i, entry = item
+        if not isinstance(entry, tuple):  # parse error (non-strict)
             return DecodedAudio(pcm=np.zeros((0, 0), np.float32),
-                                sample_rate=0, error=str(item))
-        sf, pending = item
+                                sample_rate=0, error=str(entry),
+                                blob_index=blob_i, stream_index=stream_i)
+        sf, pending = entry
         if isinstance(pending, Exception):  # launch error (non-strict)
             return DecodedAudio(pcm=np.zeros((sf.channels, 0), np.float32),
                                 sample_rate=sf.sample_rate,
-                                error=str(pending))
+                                error=str(pending),
+                                blob_index=blob_i, stream_index=stream_i)
         try:
             pcm = pending.fetch()
-            return DecodedAudio(pcm=pcm, sample_rate=sf.sample_rate)
+            return DecodedAudio(pcm=pcm, sample_rate=sf.sample_rate,
+                                blob_index=blob_i, stream_index=stream_i)
         except Exception as exc:
             if strict:
                 raise
             return DecodedAudio(
                 pcm=np.zeros((sf.channels, 0), np.float32),
                 sample_rate=sf.sample_rate, error=str(exc),
+                blob_index=blob_i, stream_index=stream_i,
             )
 
-    return run(finish, launched)
+    items = []
+    for blob_i, per_blob in enumerate(launched):
+        if isinstance(per_blob, list):
+            items.extend((blob_i, k, entry)
+                         for k, entry in enumerate(per_blob))
+        else:
+            items.append((blob_i, 0, per_blob))
+    return run(finish, items)
 
 
 def decode_files(paths: Sequence[str], prefer_native: bool = True,
