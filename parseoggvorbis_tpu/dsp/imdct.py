@@ -9,11 +9,17 @@ n=2048):
 with no scale factor on the backward path (the 4/n scale is forward-only,
 mdct.cpp:126).
 
-TPU-native formulation: a batched matmul ``[B, n/2] @ [n/2, n]`` against a
-precomputed cosine matrix — this maps directly onto the MXU and is exact to
-float32 rounding.  There is also an O(n log n) irfft-based path used when the
-batch is small or n is large; both are numerically verified against the
-direct float64 transform in tests.
+TPU-native formulations (both numerically verified against the direct
+float64 transform in tests/test_imdct_fft.py):
+
+* a batched matmul ``[B, n/2] @ [n/2, n]`` against a precomputed cosine
+  matrix — maps directly onto the MXU; the default for n <= 4096;
+* an O(n log n) irfft path (:func:`imdct_via_rfft` here,
+  ``runtime.jax_backend.imdct_via_rfft`` on device): the IMDCT phase
+  pi/(2n)(2j+1+n/2)(2k+1) is the (2j+1+n/2)-th sample of a length-4n DFT
+  whose odd harmonics 2k+1 carry X[k] — selected for n >= 8192 where the
+  cosine matrix alone would occupy 128MB of HBM
+  (runtime.device_decoder._FFT_IMDCT_MIN_N).
 
 This module provides the numpy (host/reference) implementation; the JAX
 device kernels live in ``runtime/jax_backend.py`` and reuse the same matrix
@@ -50,6 +56,21 @@ def imdct(spectrum: np.ndarray) -> np.ndarray:
     n = half * 2
     m = imdct_matrix_f64(n)
     return (spectrum.astype(np.float64) @ m).astype(np.float32)
+
+
+def imdct_via_rfft(spectrum: np.ndarray, n: int) -> np.ndarray:
+    """O(n log n) IMDCT of [..., m<=n/2] spectra -> [..., n] (float64 FFT).
+
+    Numpy twin of ``runtime.jax_backend.imdct_via_rfft`` (see that docstring
+    for the derivation); the host-side oracle for the device FFT path.
+    """
+    m = n // 2
+    l = 4 * n
+    h = np.zeros(spectrum.shape[:-1] + (l // 2 + 1,), dtype=np.complex128)
+    h[..., 1 : 2 * spectrum.shape[-1] : 2] = spectrum
+    t = np.fft.irfft(h, n=l, axis=-1)
+    idx = 2 * np.arange(n) + 1 + m
+    return (t[..., idx] * (l / 2)).astype(np.float32)
 
 
 def mdct_forward(frames: np.ndarray) -> np.ndarray:

@@ -144,6 +144,8 @@ class ModeSig:
     dict_size: int = 0
     # leading spectrum columns actually shipped (trailing zeros trimmed)
     res_cols: int = 0
+    # True: O(n log n) FFT IMDCT instead of the cosine-matrix matmul
+    fft: bool = False
 
 
 @dataclass(frozen=True)
@@ -208,10 +210,13 @@ def _decode_stream_impl(
         # Spectrum columns past w_cols are exactly zero (residue 'end'
         # bound), so the matmul runs against the sliced IMDCT rows — same
         # result, fewer FLOPs, and only w_cols columns crossed the link.
+        # (The FFT path simply loads fewer odd harmonics.)
         w = frame_pipeline(
             residue, curve, dec, used, wsel,
-            imdct_m=imdct_m[:w_cols], windows=windows, inverse_db=inverse_db,
+            imdct_m=None if ms.fft else imdct_m[:w_cols],
+            windows=windows, inverse_db=inverse_db,
             couplings=ms.couplings,
+            fft_n=ms.n if ms.fft else None,
         )
         if ms.n < bs1:
             w = jnp.pad(w, ((0, 0), (0, 0), (0, bs1 - ms.n)))
@@ -330,6 +335,12 @@ class PendingDecode:
 
 # Frames per u8g dictionary slab (see _encode_residue).
 _DICT_SLAB = 64
+
+# Blocksize at and above which the O(n log n) FFT IMDCT replaces the
+# cosine-matrix MXU matmul (jax_backend.imdct_via_rfft).  At 8192 the
+# matrix alone is 128MB of HBM and 33M MACs/frame/channel; the measured
+# crossover on the v5e sits between 2048 and 8192 depending on batch.
+_FFT_IMDCT_MIN_N = int(os.environ.get("POV_FFT_IMDCT_MIN_N", "8192"))
 
 
 def _pack4(codes: np.ndarray) -> np.ndarray:
@@ -547,9 +558,10 @@ def _prepare_stream(sf, out_i16: bool):
             res_enc=res_enc,
             dict_size=0 if res_dict is None else len(res_dict),
             res_cols=res_cols,
+            fft=n >= _FFT_IMDCT_MIN_N,
         ))
         consts.append((
-            n,
+            None if n >= _FFT_IMDCT_MIN_N else n,
             ("mode", c, n, mi.block_flag, sf.blocksize0, sf.blocksize1),
             mi.windows,
             fconst_keys,
@@ -594,7 +606,8 @@ def _device_consts(consts):
     window_stacks = []
     floor_consts = []
     for n, wkey, windows, fconst_keys in consts:
-        imdct_ms.append(_CONSTS.imdct(n))
+        # n is None for FFT-IMDCT modes: no cosine matrix lives in HBM
+        imdct_ms.append(None if n is None else _CONSTS.imdct(n))
         window_stacks.append(_CONSTS.windows(wkey, lambda w=windows: w))
         floor_consts.append(tuple(
             _floor_const_arrays(xs_key, half) for xs_key, half in fconst_keys
@@ -859,7 +872,7 @@ def _mesh_consts(consts, mesh):
     rep = NamedSharding(mesh, P())
     imdct_ms, window_stacks, floor_consts = [], [], []
     for n, wkey, windows, fconst_keys in consts:
-        imdct_ms.append(_CONSTS.cached(
+        imdct_ms.append(None if n is None else _CONSTS.cached(
             ("mesh-imdct", mesh, n),
             lambda n=n: _build_imdct_on_device(n, sharding=rep)))
         window_stacks.append(_CONSTS.cached(

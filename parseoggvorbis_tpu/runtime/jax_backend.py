@@ -27,7 +27,7 @@ ParseOggVorbis.hpp:1128-1274 (see SURVEY.md section 3.2).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -93,6 +93,26 @@ def render_floor_curve_int(
     return y
 
 
+def imdct_via_rfft(spec: jnp.ndarray, n: int) -> jnp.ndarray:
+    """O(n log n) IMDCT: [..., m<=n/2] spectra -> [..., n] time frames.
+
+    The IMDCT phase pi/(2n)(2j+1+n/2)(2k+1) is the (2j+1+n/2)-th sample of
+    a length-4n DFT whose only nonzero bins are the odd harmonics 2k+1
+    loaded with X[k] (conjugate-symmetric): one batched irfft plus a
+    strided gather.  ~2*(4n)log(4n) FLOPs vs n^2 for the matmul — and no
+    [n/2, n] cosine matrix in HBM (128MB at n=8192).  Verified against the
+    float64 direct transform for n=64..8192 (tests/test_imdct_fft.py).
+    Reference transform being replaced: /root/reference/src/mdct.cpp:433-527.
+    """
+    m = n // 2
+    l = 4 * n
+    h = jnp.zeros(spec.shape[:-1] + (l // 2 + 1,), dtype=jnp.complex64)
+    h = h.at[..., 1 : 2 * spec.shape[-1] : 2].set(spec.astype(jnp.complex64))
+    t = jnp.fft.irfft(h, n=l, axis=-1)
+    idx = 2 * jnp.arange(n, dtype=jnp.int32) + 1 + m
+    return (t[..., idx] * (l / 2)).astype(spec.dtype)
+
+
 def frame_pipeline(
     residue: jnp.ndarray,       # [B, C, half] f32 — raw residue spectra
     floor_curve: jnp.ndarray,   # [B, C, half] int32/uint8 — integer floor curve
@@ -100,10 +120,11 @@ def frame_pipeline(
     floor_used: jnp.ndarray,    # [B, C] bool — post nonzero-vector propagate
     win_sel: jnp.ndarray,       # [B] int32 — window variant index
     *,
-    imdct_m: jnp.ndarray,      # [half, n] f32
+    imdct_m: Optional[jnp.ndarray],  # [half, n] f32, or None with fft_n set
     windows: jnp.ndarray,      # [W, n] f32
     inverse_db: jnp.ndarray,   # [256] f32
     couplings: Tuple[Tuple[int, int], ...],  # static: (magnitude, angle) pairs
+    fft_n: Optional[int] = None,  # use the O(n log n) IMDCT at this size
 ) -> jnp.ndarray:
     """One bucket's decode: residues + floors -> windowed time frames [B, C, n]."""
     # 4.3.5 inverse coupling, reverse declaration order (pre floor multiply
@@ -120,11 +141,15 @@ def frame_pipeline(
     envelope = jnp.where(floor_decoded[..., None], envelope, 0.0)
     spectrum = residue * jnp.where(floor_used[..., None], envelope, 1.0)
 
-    # 4.3.7 inverse MDCT — the MXU matmul.
+    # 4.3.7 inverse MDCT — MXU matmul, or the FFT path for large frames.
     b, c, half = spectrum.shape
-    pcm = jnp.matmul(
-        spectrum.reshape(b * c, half), imdct_m, precision=_HIGHEST
-    ).reshape(b, c, imdct_m.shape[1])
+    if fft_n is not None:
+        pcm = imdct_via_rfft(spectrum.reshape(b * c, half), fft_n)
+        pcm = pcm.reshape(b, c, fft_n)
+    else:
+        pcm = jnp.matmul(
+            spectrum.reshape(b * c, half), imdct_m, precision=_HIGHEST
+        ).reshape(b, c, imdct_m.shape[1])
 
     # window
     win = windows[win_sel]  # [B, n]

@@ -1,0 +1,67 @@
+"""The O(n log n) FFT IMDCT vs the float64 direct transform, n = 64..8192.
+
+Covers the 8192 blocksize the encoder corpus can't produce (no libvorbis
+mode emits it; the spec allows it and the decoder must handle it,
+ParseOggVorbis.hpp:1294-1298).
+"""
+
+import numpy as np
+import pytest
+
+from parseoggvorbis_tpu.dsp.imdct import imdct_matrix_f64, imdct_via_rfft
+
+SIZES = [64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_numpy_fft_imdct_matches_f64_direct(n):
+    rng = np.random.RandomState(n)
+    x = rng.randn(3, n // 2)
+    ref = x @ imdct_matrix_f64(n)
+    got = imdct_via_rfft(x, n)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 1e-6
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_device_fft_imdct_matches_f64_direct(n):
+    import jax.numpy as jnp
+
+    from parseoggvorbis_tpu.runtime.jax_backend import imdct_via_rfft as dev
+
+    rng = np.random.RandomState(n + 1)
+    x = rng.randn(3, n // 2).astype(np.float32)
+    ref = x.astype(np.float64) @ imdct_matrix_f64(n)
+    got = np.asarray(dev(jnp.asarray(x), n))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-6
+
+
+def test_device_fft_imdct_trimmed_spectrum():
+    """The FFT path accepts residue-trimmed spectra (m < n/2 leading
+    columns): missing tail coefficients are exactly zero harmonics."""
+    import jax.numpy as jnp
+
+    from parseoggvorbis_tpu.runtime.jax_backend import imdct_via_rfft as dev
+
+    n = 2048
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, n // 2).astype(np.float32)
+    x[:, 832:] = 0.0
+    full = np.asarray(dev(jnp.asarray(x), n))
+    trimmed = np.asarray(dev(jnp.asarray(x[:, :832]), n))
+    np.testing.assert_array_equal(full, trimmed)
+
+
+def test_golden_decode_through_fft_path(stereo_ogg, monkeypatch):
+    """Forcing every mode onto the FFT IMDCT must reproduce the matmul
+    path's golden decode within the float32 budget."""
+    from parseoggvorbis_tpu.runtime import device_decoder as dd
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    data = open(stereo_ogg, "rb").read()
+    ref = decode_bytes(data)
+    monkeypatch.setattr(dd, "_FFT_IMDCT_MIN_N", 64)
+    got = decode_bytes(data)
+    assert got.pcm.shape == ref.pcm.shape
+    assert np.abs(got.pcm - ref.pcm).max() < 1e-6

@@ -68,6 +68,47 @@ def main():
     print("pallas vs xla max abs diff:", diff)
     assert diff < 1e-5
 
+    bench_imdct_crossover()
+
+
+def bench_imdct_crossover():
+    """Cosine-matrix matmul vs O(n log n) FFT IMDCT, chained timing.
+
+    Caveat: on tunneled hosts every chained step pays an RPC dispatch
+    (~5-9ms measured), which swamps sub-ms kernels — readings below ~5ms
+    per call are dispatch-bound, not compute.  The n>=8192 FFT default
+    (device_decoder._FFT_IMDCT_MIN_N) rests on arithmetic (13x fewer FLOPs
+    at n=8192) and on not holding the 128MB cosine matrix in HBM.
+    """
+    from parseoggvorbis_tpu.runtime.device_decoder import _CONSTS
+    from parseoggvorbis_tpu.runtime.jax_backend import imdct_via_rfft
+
+    rng = np.random.RandomState(1)
+    for n in (2048, 8192):
+        half = n // 2
+        m = _CONSTS.imdct(n)
+
+        @jax.jit
+        def mm_step(x, m=m, half=half):
+            y = jnp.matmul(x, m, precision=jax.lax.Precision.HIGHEST)
+            return y[:, :half] * jnp.float32(1e-3)
+
+        @jax.jit
+        def ff_step(x, n=n, half=half):
+            return imdct_via_rfft(x, n)[:, :half] * jnp.float32(1e-3)
+
+        for b in (64, 512):
+            x0 = jax.device_put(rng.randn(b, half).astype(np.float32))
+            for name, step in (("matmul", mm_step), ("fft", ff_step)):
+                x = step(x0)
+                jax.block_until_ready(x)
+                t0 = time.time()
+                for _ in range(5):
+                    x = step(x)  # chained: output feeds the next input
+                jax.block_until_ready(x)
+                dt = (time.time() - t0) / 5
+                print("imdct %-6s n=%-5d b=%-4d %.4fs/call" % (name, n, b, dt))
+
 
 if __name__ == "__main__":
     main()
