@@ -7,11 +7,16 @@ application — with no intermediate HBM round-trips between stages.  The
 grid tiles (frame-batch x output-columns); the spectrum stages run on the
 VPU per frame tile and feed the MXU tile matmul directly from VMEM.
 
-The XLA path (runtime/jax_backend.frame_pipeline) computes the same thing
-via compiler fusion; this kernel exists for the cases where explicit
-scheduling wins (large n, small batches, guaranteed fusion) and is verified
-bit-for-bit against the XLA path in tests (interpret mode on CPU, compiled
-on TPU).  Select with POV_USE_PALLAS=1.
+STATUS: EXPERIMENTAL — not on the production path.  The XLA path
+(runtime/jax_backend.frame_pipeline) computes the same thing via compiler
+fusion and, measured on the v5e, is the faster of the two (991x vs 884x
+realtime-equivalent, tools/bench_kernels.py round 1); end-to-end corpus
+decode is host-link-bound either way, so explicit scheduling currently
+buys nothing.  Numerics: bit-exact vs XLA in interpret mode (CPU tests);
+on real TPU hardware the compiled kernel agrees with the XLA path to
+~6e-6 (different MXU accumulation order), within the decode budget but
+NOT bit-for-bit.  Kept as the starting point for a future fused
+frame+overlap-add grid pass; select explicitly via this module.
 """
 
 from __future__ import annotations

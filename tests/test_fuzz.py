@@ -18,24 +18,93 @@ def test_random_bytes_rejected():
             parse_stream_python(blob)
 
 
-def test_mutated_setup_packets(stereo_ogg):
-    """Flip bytes in the setup region; decoder must reject or decode, never
-    crash. CRC catches most; disable-CRC-style mutations are simulated by
-    re-checksumming is out of scope (the reference rejects on CRC too)."""
+class _ParseBudget:
+    """SIGALRM-based wall-clock budget for one parse attempt.
+
+    A flipped codebook-count bit can legally imply a multi-million-entry
+    setup parse — bounded work the C++ front-end shrugs off but Python
+    crawls through.  The budget distinguishes 'slow but bounded' from a
+    hang/crash; budget hits must still be clean rejections natively.
+    """
+
+    class Timeout(Exception):
+        pass
+
+    def __init__(self, seconds: float):
+        self.seconds = seconds
+
+    def __enter__(self):
+        import signal
+
+        def _fire(signum, frame):
+            raise _ParseBudget.Timeout()
+
+        self._old = signal.signal(signal.SIGALRM, _fire)
+        signal.setitimer(signal.ITIMER_REAL, self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
+def test_mutated_whole_file_python(stereo_ogg):
+    """Flip one random bit anywhere in the file; the python front-end must
+    reject cleanly or decode, never crash or hang (5s budget per parse)."""
     data = bytearray(open(stereo_ogg, "rb").read())
     rng = np.random.RandomState(1)
-    for _ in range(30):
+    budget_hits = 0
+    for _ in range(60):
         mutated = bytearray(data)
-        # container/header region only for the (slow) python path — a flipped
-        # codebook-count bit can legally imply a multi-million-entry parse,
-        # which the C++ front-end shrugs off but python crawls through;
-        # the native fuzz test below covers the whole file
-        pos = rng.randint(0, 120)
+        pos = rng.randint(0, len(data))
         mutated[pos] ^= 1 << rng.randint(0, 8)
         try:
-            parse_stream_python(bytes(mutated))
+            with _ParseBudget(5.0):
+                parse_stream_python(bytes(mutated))
         except (ParseError, ValueError, AssertionError):
             pass  # clean rejection
+        except _ParseBudget.Timeout:
+            budget_hits += 1
+    # legally-huge setup tables are rare under single-bit flips; anything
+    # more smells like an accidental quadratic blowup
+    assert budget_hits <= 6, budget_hits
+
+
+def test_truncation_sweep_every_page_boundary(stereo_ogg, mono_ogg):
+    """Truncate at (and one byte around) every page boundary; python and
+    native front-ends must agree on accept/reject at every cut."""
+    from parseoggvorbis_tpu.native.frontend import available, parse_streams_native
+    from parseoggvorbis_tpu.ogg.page import read_page
+
+    if not available():
+        pytest.skip("native front-end not built")
+    for path in (stereo_ogg, mono_ogg):
+        data = open(path, "rb").read()
+        boundaries = [0]
+        off = 0
+        while True:
+            page, off = read_page(data, off)
+            if page is None:
+                break
+            boundaries.append(off)
+        assert len(boundaries) > 3
+        cuts = sorted({max(0, b + d) for b in boundaries for d in (-1, 0, 1)})
+        for cut in cuts:
+            blob = data[:cut]
+            py_err = nat_err = None
+            try:
+                parse_stream_python(blob)
+            except Exception as e:
+                py_err = type(e).__name__
+            try:
+                parse_streams_native(blob)
+            except Exception as e:
+                nat_err = type(e).__name__
+            assert (py_err is None) == (nat_err is None), (
+                path, cut, py_err, nat_err)
 
 
 def test_random_codebook_bits():
