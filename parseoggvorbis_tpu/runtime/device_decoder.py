@@ -631,12 +631,14 @@ def _chunk_frames(sf) -> int:
     on-device frame buffers stay in the low hundreds of MB."""
     if _CHUNK_T:
         return _CHUNK_T
+    # avg bins/frame = mean(frame_n)/2 — equals both the mean emission in
+    # samples and the mean per-channel residue bytes/frame (u8 codes)
     avg_emission = max(64.0, float(np.mean(sf.frame_n)) / 2.0)
     target = int(6e6 / avg_emission)
-    # cap the dominant input array (residue codes, ~C*bs1/2 bytes/frame) at
-    # ~3MB per transfer: tunneled links stall unpredictably on large single
-    # buffers (measured: 16MB h2d sporadically takes 10s+)
-    in_cap = max(1, (3 << 20) // (sf.channels * (sf.blocksize1 // 2)))
+    # cap the dominant input array (residue codes, ~C*avg bins bytes/frame)
+    # at ~3MB per transfer: tunneled links stall unpredictably on large
+    # single buffers (measured: 16MB h2d sporadically takes 10s+)
+    in_cap = max(1, int(3e6 / (sf.channels * avg_emission)))
     mem_cap = max(1, (256 << 20) // (sf.channels * sf.blocksize1 * 8))
     t = 1 << max(9, int(np.log2(max(512, min(target, in_cap, mem_cap)))))
     return min(t, 16384)
