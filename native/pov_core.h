@@ -845,7 +845,47 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
 struct StreamAccum {
   ParsedFile pf;
   int packet_count = 0;
+  // cross-page packet reassembly (page-spanning packets — a capability
+  // the reference lacks: it caps packets at 64 KiB, ParseOggVorbis.hpp:66,89)
+  std::vector<uint8_t> pending;
+  bool has_pending = false;
 };
+
+// Generous spanning-packet cap to bound memory on fuzzed input (the
+// reference capped at 64 KiB; real high-bitrate packets can exceed that).
+static const size_t kMaxPacket = size_t(1) << 24;
+
+static void dispatch_packet(StreamAccum& sa, const uint8_t* pkt, size_t plen,
+                            int64_t pkt_granule) {
+  ParsedFile& pf = sa.pf;
+  int packet_count = sa.packet_count;
+  if (packet_count == 0) {
+    POV_CHECK(plen >= 30 && pkt[0] == 1 && memcmp(pkt + 1, "vorbis", 6) == 0,
+              "bad id header");
+    uint32_t version;
+    memcpy(&version, pkt + 7, 4);
+    POV_CHECK(version == 0, "vorbis version");
+    pf.channels = pkt[11];
+    memcpy(&pf.sample_rate, pkt + 12, 4);
+    uint8_t bs = pkt[28];
+    pf.blocksize0 = 1 << (bs & 0xf);
+    pf.blocksize1 = 1 << (bs >> 4);
+    POV_CHECK(pf.blocksize0 >= 64 && pf.blocksize1 <= 8192 &&
+                  pf.blocksize0 <= pf.blocksize1,
+              "blocksize range");
+    POV_CHECK(pkt[29] == 1, "id framing");
+  } else if (packet_count == 1) {
+    POV_CHECK(plen >= 7 && pkt[0] == 3, "bad comment header");
+  } else if (packet_count == 2) {
+    POV_CHECK(plen >= 7 && pkt[0] == 5 && memcmp(pkt + 1, "vorbis", 6) == 0,
+              "bad setup header");
+    BitReader sbr(pkt + 7, plen - 7);
+    pf.setup.parse(sbr, pf.channels);
+  } else {
+    parse_audio_packet(pf, pkt, plen, pkt_granule);
+  }
+  ++sa.packet_count;
+}
 
 // Full Ogg demux: streams are created at BOS, pages dispatch by
 // stream_serial_num, EOS retires the serial — chained and multiplexed
@@ -870,8 +910,6 @@ static void parse_file_multi(std::vector<ParsedFile>& out, const uint8_t* data,
     const uint8_t* seg = h + 27;
     size_t data_len = 0;
     for (int i = 0; i < nseg; ++i) data_len += seg[i];
-    if (nseg > 0)
-      POV_CHECK(seg[nseg - 1] != 255, "packets spanning pages not supported");
     const uint8_t* payload = seg + nseg;
     POV_CHECK(off + 27 + nseg + data_len <= len, "truncated page payload");
 
@@ -897,49 +935,67 @@ static void parse_file_multi(std::vector<ParsedFile>& out, const uint8_t* data,
     auto it = active.find(serial);
     POV_CHECK(it != active.end(), "page for unknown stream serial");
     StreamAccum& sa = accums[it->second];
-    ParsedFile& pf = sa.pf;
-    int& packet_count = sa.packet_count;
 
-    // packets
+    // Packet runs: completion at lacing < 255; a trailing 255-run spans
+    // to the next page.  Granule attaches to the LAST packet completed on
+    // the page (RFC 3533); completed packets are collected first so the
+    // last one is known before dispatch.
+    struct Pkt { const uint8_t* p; size_t len; };
+    std::vector<Pkt> completed;
+    std::vector<uint8_t> assembled;  // pending + first run, when continuing
     size_t poff = 0, plen = 0;
+    bool first_run = true;
     for (int i = 0; i < nseg; ++i) {
       plen += seg[i];
       if (seg[i] < 255) {
         const uint8_t* pkt = payload + poff;
-        int64_t pkt_granule = (i == nseg - 1) ? granule : -1;
-        if (packet_count == 0) {
-          POV_CHECK(plen >= 30 && pkt[0] == 1 && memcmp(pkt + 1, "vorbis", 6) == 0,
-                    "bad id header");
-          uint32_t version;
-          memcpy(&version, pkt + 7, 4);
-          POV_CHECK(version == 0, "vorbis version");
-          pf.channels = pkt[11];
-          memcpy(&pf.sample_rate, pkt + 12, 4);
-          uint8_t bs = pkt[28];
-          pf.blocksize0 = 1 << (bs & 0xf);
-          pf.blocksize1 = 1 << (bs >> 4);
-          POV_CHECK(pf.blocksize0 >= 64 && pf.blocksize1 <= 8192 &&
-                        pf.blocksize0 <= pf.blocksize1,
-                    "blocksize range");
-          POV_CHECK(pkt[29] == 1, "id framing");
-        } else if (packet_count == 1) {
-          POV_CHECK(plen >= 7 && pkt[0] == 3, "bad comment header");
-        } else if (packet_count == 2) {
-          POV_CHECK(plen >= 7 && pkt[0] == 5 && memcmp(pkt + 1, "vorbis", 6) == 0,
-                    "bad setup header");
-          BitReader sbr(pkt + 7, plen - 7);
-          pf.setup.parse(sbr, pf.channels);
-        } else {
-          parse_audio_packet(pf, pkt, plen, pkt_granule);
+        size_t pkt_len = plen;
+        if (first_run) {
+          if (flags & 0x01) {  // continued: prepend the pending tail
+            POV_CHECK(sa.has_pending, "continued page without a pending packet");
+            assembled = std::move(sa.pending);
+            assembled.insert(assembled.end(), pkt, pkt + plen);
+            sa.pending.clear();
+            sa.has_pending = false;
+            pkt = assembled.data();
+            pkt_len = assembled.size();
+          } else {
+            POV_CHECK(!sa.has_pending, "expected packet continuation page");
+          }
+          first_run = false;
         }
-        ++packet_count;
+        completed.push_back(Pkt{pkt, pkt_len});
         poff += plen;
         plen = 0;
       }
     }
-    POV_CHECK(plen == 0 && poff == data_len, "trailing partial packet");
-    if (flags & 0x04)  // EOS
+    if (plen > 0) {  // trailing run spans to the next page
+      const uint8_t* tail = payload + poff;
+      if (first_run) {
+        if (flags & 0x01) {
+          POV_CHECK(sa.has_pending, "continued page without a pending packet");
+        } else {
+          POV_CHECK(!sa.has_pending, "expected packet continuation page");
+        }
+        sa.pending.insert(sa.pending.end(), tail, tail + plen);
+      } else {
+        sa.pending.assign(tail, tail + plen);
+      }
+      sa.has_pending = true;
+      POV_CHECK(sa.pending.size() <= kMaxPacket, "packet too large");
+      poff += plen;
+    } else if (nseg == 0 && !(flags & 0x01)) {
+      POV_CHECK(!sa.has_pending, "expected packet continuation page");
+    }
+    POV_CHECK(poff == data_len, "lacing/payload mismatch");
+    for (size_t i = 0; i < completed.size(); ++i) {
+      int64_t pkt_granule = (i + 1 == completed.size()) ? granule : -1;
+      dispatch_packet(sa, completed[i].p, completed[i].len, pkt_granule);
+    }
+    if (flags & 0x04) {  // EOS
+      POV_CHECK(!sa.has_pending, "EOS page with incomplete packet");
       active.erase(serial);
+    }
     off += 27 + nseg + data_len;
   }
   POV_CHECK(!accums.empty(), "no ogg stream found");

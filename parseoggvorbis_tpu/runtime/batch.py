@@ -25,7 +25,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..ogg.page import read_page
+from ..ogg.page import PacketAssembler, read_page
 from ..utils.errors import check
 from ..vorbis.header import parse_comment_header, parse_id_header
 from ..vorbis.mode import make_window
@@ -113,7 +113,7 @@ def parse_streams_python(data: bytes) -> List[StreamFrames]:
     dispatch by stream_serial_num, EOS retires the serial.  Returns one
     StreamFrames per logical stream, in BOS order.
     """
-    active = {}  # serial -> (VorbisStream, frames, granules)
+    active = {}  # serial -> (VorbisStream, frames, granules, PacketAssembler)
     in_order: List[tuple] = []
     offset = 0
     while True:
@@ -124,14 +124,13 @@ def parse_streams_python(data: bytes) -> List[StreamFrames]:
         if page.is_bos:
             check(serial not in active,
                   "BOS page for already-active stream serial")
-            entry = (VorbisStream(), [], [])
+            entry = (VorbisStream(), [], [], PacketAssembler())
             active[serial] = entry
             in_order.append(entry)
         entry = active.get(serial)
         check(entry is not None, "page for unknown stream serial")
-        stream, frames, granules = entry
-        for packet, is_last in page.packets():
-            granule = page.absolute_granule_pos if is_last else -1
+        stream, frames, granules, assembler = entry
+        for packet, granule in assembler.feed(page):
             if stream.packet_count == 0:
                 stream.header = parse_id_header(packet)
             elif stream.packet_count == 1:
@@ -145,7 +144,7 @@ def parse_streams_python(data: bytes) -> List[StreamFrames]:
         if page.is_eos:
             del active[serial]
     check(len(in_order) > 0, "no ogg stream found")
-    return [_build_stream_frames(st, fr, gr) for st, fr, gr in in_order]
+    return [_build_stream_frames(st, fr, gr) for st, fr, gr, _ in in_order]
 
 
 def parse_stream_python(data: bytes) -> StreamFrames:

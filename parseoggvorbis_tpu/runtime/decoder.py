@@ -93,6 +93,11 @@ class VorbisStream:
         self.packet_count = 0
         self.audio_packet_count = 0
         self.taps: Optional[taps_registry.DecoderTaps] = None
+        # cross-page packet reassembly (page-spanning packets supported —
+        # a capability the reference lacks, ParseOggVorbis.hpp:66,89)
+        from ..ogg.page import PacketAssembler
+
+        self.assembler = PacketAssembler()
 
     # -- tap helper ------------------------------------------------------
 
@@ -316,11 +321,9 @@ class OggReader:
         check(serial in self.streams, "page for unknown stream")
         stream = self.streams[serial]
 
-        for packet, is_last_of_page in page.packets():
+        for packet, granule in stream.assembler.feed(page):
             if stream.decode_state is not None:
-                stream.decode_state.set_expected_ending_pos(
-                    page.absolute_granule_pos if is_last_of_page else -1
-                )
+                stream.decode_state.set_expected_ending_pos(granule)
             if stream.packet_count == 0:
                 stream.parse_id(packet, self.callbacks)
             elif stream.packet_count == 1:
