@@ -6,6 +6,11 @@ g++ -O3 -march=native -shared -fPIC native/pov_frontend.cpp
 
 The Python package falls back to the pure-Python front-end when the library
 is absent, so this build is an optimization, not a requirement.
+
+Sanitizer builds (the thread contract is registry-mutex + thread-local
+pending config, callbacks/registry.py and native povcb; the reference had
+no sanitizer story at all): POV_SANITIZE=address|thread|undefined builds
+the library and binary with the matching -fsanitize flag and -O1 -g.
 """
 
 import os
@@ -18,19 +23,23 @@ SRC = [os.path.join(HERE, "pov_frontend.cpp"), os.path.join(HERE, "pov_capi.cpp"
 OUT_DIR = os.path.join(REPO, "parseoggvorbis_tpu", "native")
 OUT = os.path.join(OUT_DIR, "_libpov.so")
 
+SANITIZE = os.environ.get("POV_SANITIZE", "")
+_SAN_FLAGS = (["-fsanitize=%s" % SANITIZE, "-fno-omit-frame-pointer",
+               "-O1", "-g"] if SANITIZE else ["-O3"])
+
 
 def build(verbose: bool = True) -> str:
     os.makedirs(OUT_DIR, exist_ok=True)
     cmd = [
-        "g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-Wall", "-Wextra",
-    ] + SRC + ["-o", OUT]
+        "g++", "-std=c++17", "-fPIC", "-shared", "-Wall", "-Wextra",
+    ] + _SAN_FLAGS + SRC + ["-o", OUT]
     if verbose:
         print("$", " ".join(cmd))
     subprocess.check_call(cmd)
     # native demo binary (same CLI contract as the reference's ours.bin)
     main_src = os.path.join(HERE, "pov_main.cpp")
     bin_out = os.path.join(OUT_DIR, "pov_decode")
-    cmd = ["g++", "-std=c++17", "-O3", "-Wall", main_src] + SRC[1:] + [
+    cmd = ["g++", "-std=c++17", "-Wall"] + _SAN_FLAGS + [main_src] + SRC[1:] + [
         "-o", bin_out]
     if verbose:
         print("$", " ".join(cmd))
