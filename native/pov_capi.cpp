@@ -434,6 +434,9 @@ struct ScalarStream {
   Imdct mdct[2];
   std::vector<Window> windows;  // per mode
   OlaState state;
+  // cross-page packet reassembly (page-spanning packets)
+  std::vector<uint8_t> pending;
+  bool has_pending = false;
 
   void parse_headers_packet(const uint8_t* pkt, size_t len) {
     if (packet_count == 0) {
@@ -619,8 +622,6 @@ static void full_read(const uint8_t* data, size_t len) {
     const uint8_t* seg = h + 27;
     size_t data_len = 0;
     for (int i = 0; i < nseg; ++i) data_len += seg[i];
-    if (nseg > 0)
-      POV_CHECK(seg[nseg - 1] != 255, "packets spanning pages not supported");
     const uint8_t* payload = seg + nseg;
     POV_CHECK(off + 27 + nseg + data_len <= len, "truncated page payload");
 
@@ -639,25 +640,68 @@ static void full_read(const uint8_t* data, size_t len) {
     POV_CHECK(streams.count(serial), "page for unknown stream");
     ScalarStream& st = streams[serial];
 
+    // cross-page packet reassembly (page-spanning packets; granule
+    // attaches to the last packet completed on the page, RFC 3533)
+    struct Pkt { const uint8_t* p; size_t len; };
+    std::vector<Pkt> completed;
+    std::vector<uint8_t> assembled;
     size_t poff = 0, plen = 0;
+    bool first_run = true;
     for (int i = 0; i < nseg; ++i) {
       plen += seg[i];
       if (seg[i] < 255) {
         const uint8_t* pkt = payload + poff;
-        st.state.expected_ending = (i == nseg - 1) ? granule : -1;
-        if (st.packet_count < 3) {
-          st.parse_headers_packet(pkt, plen);
-        } else {
-          st.parse_audio(pkt, plen);
-          ++st.packet_count;
+        size_t pkt_len = plen;
+        if (first_run) {
+          if (flags & 0x01) {
+            POV_CHECK(st.has_pending, "continued page without a pending packet");
+            assembled = std::move(st.pending);
+            assembled.insert(assembled.end(), pkt, pkt + plen);
+            st.pending.clear();
+            st.has_pending = false;
+            pkt = assembled.data();
+            pkt_len = assembled.size();
+          } else {
+            POV_CHECK(!st.has_pending, "expected packet continuation page");
+          }
+          first_run = false;
         }
+        completed.push_back(Pkt{pkt, pkt_len});
         poff += plen;
         plen = 0;
       }
     }
-    POV_CHECK(plen == 0 && poff == data_len, "trailing partial packet");
+    if (plen > 0) {
+      const uint8_t* tail = payload + poff;
+      if (first_run) {
+        if (flags & 0x01) {
+          POV_CHECK(st.has_pending, "continued page without a pending packet");
+        } else {
+          POV_CHECK(!st.has_pending, "expected packet continuation page");
+        }
+        st.pending.insert(st.pending.end(), tail, tail + plen);
+      } else {
+        st.pending.assign(tail, tail + plen);
+      }
+      st.has_pending = true;
+      POV_CHECK(st.pending.size() <= pov::kMaxPacket, "packet too large");
+      poff += plen;
+    } else if (nseg == 0 && !(flags & 0x01)) {
+      POV_CHECK(!st.has_pending, "expected packet continuation page");
+    }
+    POV_CHECK(poff == data_len, "lacing/payload mismatch");
+    for (size_t i = 0; i < completed.size(); ++i) {
+      st.state.expected_ending = (i + 1 == completed.size()) ? granule : -1;
+      if (st.packet_count < 3) {
+        st.parse_headers_packet(completed[i].p, completed[i].len);
+      } else {
+        st.parse_audio(completed[i].p, completed[i].len);
+        ++st.packet_count;
+      }
+    }
 
     if (flags & 0x4) {  // EOS
+      POV_CHECK(!st.has_pending, "EOS page with incomplete packet");
       unregister_decoder_ref(&streams[serial]);
       streams.erase(serial);
     }

@@ -109,3 +109,26 @@ def test_spanning_framing_errors(spanning_pair, prefer_native):
     assert patched
     with pytest.raises(ParseError):
         parse_streams(bytes(broken), prefer_native=prefer_native)
+
+
+def test_native_capi_streaming_spanning(spanning_pair):
+    """The reference-compatible C API path (povsc::full_read) also
+    reassembles spanning packets; the full dump must equal the original
+    file's (identical packets, only the pagination differs)."""
+    import ctypes
+
+    from parseoggvorbis_tpu.native.frontend import _LIB_PATH, available
+
+    if not available():
+        pytest.skip("native front-end not built")
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.ogg_vorbis_full_read_from_memory.restype = ctypes.c_int
+    lib.ogg_vorbis_full_read_from_memory.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_char_p)]
+
+    original, spanned = spanning_pair
+    err = ctypes.c_char_p()
+    for blob in (original, spanned):
+        rc = lib.ogg_vorbis_full_read_from_memory(
+            blob, len(blob), ctypes.byref(err))
+        assert rc == 0, err.value
