@@ -126,6 +126,42 @@ class _DeviceConstants:
 _CONSTS = _DeviceConstants()
 
 
+class _TransferStats:
+    """Process-wide link-traffic counters (observability: the host link is
+    corpus decode's bottleneck, so bytes are the metric that matters)."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self.bytes_in = 0
+        self.bytes_out = 0
+        self.dispatches = 0
+
+    def add(self, bytes_in: int, bytes_out: int) -> None:
+        with self._lock:
+            self.bytes_in += bytes_in
+            self.bytes_out += bytes_out
+            self.dispatches += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {"bytes_in": self.bytes_in, "bytes_out": self.bytes_out,
+                    "dispatches": self.dispatches}
+
+    def reset(self) -> None:
+        with self._lock:
+            self.bytes_in = self.bytes_out = self.dispatches = 0
+
+
+TRANSFER_STATS = _TransferStats()
+
+
+def transfer_stats() -> dict:
+    """Cumulative host-link traffic of all device decodes this process."""
+    return TRANSFER_STATS.snapshot()
+
+
 # ------------------------------------------------------------ the big jit --
 
 @dataclass(frozen=True)
@@ -739,6 +775,9 @@ def _launch_one(sf, out_i16: bool) -> PendingDecode:
     fn = _get_stream_fn(sig)
     pcm = fn(mode_args, n_half, nums, imdct_ms, window_stacks,
              _CONSTS.inverse_db, floor_consts)
+    in_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(
+        (mode_args, n_half, nums)))
+    TRANSFER_STATS.add(in_bytes, pcm.nbytes)
     return PendingDecode(pcm, n_total)
 
 
@@ -782,6 +821,9 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
                 pcm = fn(prepared[i][1], prepared[i][2], prepared[i][3],
                          imdct_ms, window_stacks, _CONSTS.inverse_db,
                          floor_consts)
+                TRANSFER_STATS.add(sum(x.nbytes for x in
+                                       jax.tree_util.tree_leaves(
+                                           prepared[i][1:4])), pcm.nbytes)
                 pendings[i] = PendingDecode(pcm, prepared[i][4])
                 continue
             # pad group size to the next power of two (bounded compiles)
@@ -796,6 +838,9 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
             fn = _get_stacked_fn(sig, s_pad)
             pcm = fn(stacked_args, stacked_nhalf, stacked_nums, imdct_ms,
                      window_stacks, _CONSTS.inverse_db, floor_consts)
+            TRANSFER_STATS.add(
+                sum(x.nbytes for x in jax.tree_util.tree_leaves(
+                    (stacked_args, stacked_nhalf, stacked_nums))), pcm.nbytes)
             group = _GroupResult(pcm)
             for gi, i in enumerate(chunk):
                 pendings[i] = PendingDecode(
@@ -934,6 +979,9 @@ def launch_corpus_decode_mesh(streams, mesh, out_i16: bool = False):
             fn = _get_stacked_fn(sig, s_pad)
             pcm = fn(stacked_args, stacked_nhalf, stacked_nums, imdct_ms,
                      window_stacks, inverse_db, floor_consts)
+            TRANSFER_STATS.add(
+                sum(x.nbytes for x in jax.tree_util.tree_leaves(
+                    (stacked_args, stacked_nhalf, stacked_nums))), pcm.nbytes)
             group = _GroupResult(pcm)
             for gi, key in enumerate(keys):
                 results[key] = PendingDecode(
