@@ -61,3 +61,24 @@ def test_decodes_streams_the_reference_crashes_on():
         data = open(os.path.join(BENCH_DIR, name), "rb").read()
         out = decode_bytes(data)
         assert out.ok and out.num_samples > 0
+
+
+@pytest.mark.parametrize("kind", ["floor_final_ys", "residue_ys"])
+def test_batched_features_match_dump_path_on_corpus(kind):
+    """The dump-free batched feature path must be bit-equal to the
+    reference-semantics dump path on the varied corpus (5.1, low-rate,
+    high-bitrate) — not just the golden files."""
+    import numpy as np
+
+    from parseoggvorbis_tpu.features.batched import get_features_batched
+    from parseoggvorbis_tpu.features.lib import ParseOggVorbisLib
+
+    names = ["surround6s.5_1.44k.q4.ogg", "lowrate8s.mono.8k.q_1.ogg",
+             "music8s.stereo.44k.q8.ogg"]
+    blobs = [open(os.path.join(BENCH_DIR, n), "rb").read() for n in names]
+    batched = get_features_batched(blobs, 64, kind=kind)
+    lib = ParseOggVorbisLib.get_instance()
+    for name, blob, got in zip(names, blobs, batched):
+        ref = lib.get_features_from_raw_bytes(blob, 64, kind=kind)
+        assert got.shape == ref.shape, (name, got.shape, ref.shape)
+        np.testing.assert_array_equal(got, ref, err_msg=name)
