@@ -8,13 +8,15 @@ bucketed by (blocksize, channel topology) — across *all files of a corpus*
 in one dispatch per bucket, not per file.
 
 Flow:
-  1. host: Ogg demux + setup parse + per-packet symbol decode
-     -> per-frame tensors (uint8 floor curves, channel flags, f32 residues)
-  2. device: one fused executable per stream signature (coupling,
-     inverse-dB floor, IMDCT matmul, window, overlap-add scan) with
-     same-signature streams stacked into vmapped dispatches
+  1. host: Ogg demux (chained/multiplexed/page-spanning) + setup parse +
+     per-packet symbol decode -> per-frame symbol tensors + granule-
+     validated emission counts
+  2. device: one fused executable per stream signature (floor render,
+     coupling, inverse-dB envelope, IMDCT, window, overlap-add scan,
+     dense PCM gather) — per-stream async dispatches by default, vmapped
+     same-signature stacks or a multi-chip mesh optionally
      (runtime/device_decoder.py)
-  3. granule-validated PCM assembly (host, vectorized)
+  3. host: single prefetched fetch per dispatch; the PCM arrives final
 """
 
 from __future__ import annotations

@@ -1,18 +1,26 @@
-"""Fused per-stream device decode: frame pipelines + overlap-add in ONE jit.
+"""Fused per-stream device decode: frame pipelines + overlap-add + dense
+PCM assembly in ONE jit.
 
-Transfer-optimal TPU design: the host ships only the per-frame symbol
-tensors (residues f32, floor curves u8, flags, window selectors) and gets
-back only the overlap-added PCM regions (f32 or int16) — windowed frames
-never cross the PCIe/host link.  All heavy constants (IMDCT cosine matrices,
-window stacks, the inverse-dB table) live on device as persistent buffers
-passed as arguments, NOT baked into executables (baked multi-MB constants
-make XLA serialization/compile-cache pathological).
+Transfer-optimal TPU design (the host link, not device compute, bounds
+corpus decode): the host ships only compacted per-frame symbol tensors
+(trailing-zero-trimmed residues as 4/6-bit packed or per-slab u8
+dictionary codes, packed floor Y values, flags, window selectors) plus the
+granule-validated per-frame emission counts, and gets back exactly the
+audio samples as one dense [C, N] buffer per dispatch (f32 or int16) —
+windowed frames and emission-row padding never cross the link, and every
+output crosses it as a single async-prefetched transfer.  All heavy
+constants (IMDCT cosine matrices, window stacks, the inverse-dB table)
+live on device as persistent buffers passed as arguments, NOT baked into
+executables (baked multi-MB constants make XLA serialization/compile-cache
+pathological); IMDCT matrices are built *on* device.
 
 One compiled executable per stream *signature* (channels, blocksizes, mode
-topology, padded batch sizes); batch sizes are padded to multiples of 32 so
-a homogeneous corpus reuses a handful of executables.  Dispatches are
-asynchronous: the host launches every stream's decode before fetching any
-output, overlapping transfers with compute.
+topology, padded batch sizes, output bucket); paddings are bucketed so a
+corpus reuses a bounded executable set.  Dispatches are asynchronous and
+per-stream by default (best on latency-bound links); same-signature
+streams can stack into vmapped dispatches (POV_GROUP_STREAMS>1) and
+`launch_corpus_decode_mesh` shards the stacked stream axis over a
+multi-chip mesh.
 """
 
 from __future__ import annotations
