@@ -35,10 +35,18 @@ import numpy as np
 
 @lru_cache(maxsize=None)
 def imdct_matrix_f64(n: int) -> np.ndarray:
-    """The [n/2, n] float64 IMDCT matrix M with y = X @ M."""
-    j = np.arange(n, dtype=np.float64)[None, :]
-    k = np.arange(n // 2, dtype=np.float64)[:, None]
-    return np.cos(np.pi / (2 * n) * (2 * j + 1 + n / 2) * (2 * k + 1))
+    """The [n/2, n] float64 IMDCT matrix M with y = X @ M.
+
+    The integer phase (2j+1+n/2)(2k+1) is reduced modulo the cosine period
+    4n exactly in int64 before the float multiply — more accurate than
+    evaluating cos at ~1e8 radians, and an order of magnitude faster
+    (large-argument range reduction in libm is slow)."""
+    j = np.arange(n, dtype=np.int64)[None, :]
+    k = np.arange(n // 2, dtype=np.int64)[:, None]
+    # cos(m*pi/(2n)) = sin((m+n)*pi/(2n)): numpy's sin has a SIMD path that
+    # its cos lacks (measured 10x), and the shift is exact in the int phase
+    m = ((2 * k + 1) * (2 * j + 1 + n // 2) + n) % (4 * n)
+    return np.sin(m.astype(np.float64) * (np.pi / (2 * n)))
 
 
 @lru_cache(maxsize=None)

@@ -30,16 +30,22 @@ def test_mesh_corpus_decode_equals_single_device(mesh):
         np.testing.assert_array_equal(g.pcm, r.pcm)
 
 
-def test_mesh_corpus_decode_i16_and_chunked(mesh):
-    """A long (chunked) stream plus a single-blocksize stream through the
-    mesh path, int16 output."""
-    long_path = os.path.join(REPO_ROOT, "tests", "data", "bench",
-                             "long64s.stereo.44k.q3.ogg")
+def test_mesh_corpus_decode_i16_and_chunked(mesh, monkeypatch):
+    """A chunked stream plus a single-blocksize stream through the mesh
+    path, int16 output.  Chunking is forced small so the golden stereo
+    file exercises the multi-chunk mesh path without compiling the 64s
+    corpus signatures (compile time, not coverage)."""
+    from parseoggvorbis_tpu.runtime import device_decoder as dd
+
     low_path = os.path.join(REPO_ROOT, "tests", "data", "bench",
                             "lowrate8s.mono.8k.q_1.ogg")
-    if not (os.path.exists(long_path) and os.path.exists(low_path)):
+    if not os.path.exists(low_path):
         pytest.skip("bench corpus not generated")
-    blobs = [open(long_path, "rb").read(), open(low_path, "rb").read()]
+    blobs = [open(STEREO_OGG, "rb").read(), open(low_path, "rb").read()]
+    monkeypatch.setattr(dd, "_CHUNK_T", 32)
+    assert len(dd._chunk_views(
+        __import__("parseoggvorbis_tpu.runtime.batch",
+                   fromlist=["parse_stream"]).parse_stream(blobs[0]))) > 1
     ref = decode_corpus(blobs, out_i16=True)
     got = decode_corpus(blobs, out_i16=True, mesh=mesh)
     for g, r in zip(got, ref):
