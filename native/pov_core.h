@@ -849,6 +849,9 @@ struct StreamAccum {
   // the reference lacks: it caps packets at 64 KiB, ParseOggVorbis.hpp:66,89)
   std::vector<uint8_t> pending;
   bool has_pending = false;
+  // false: non-Vorbis logical stream (e.g. an .ogv video track), pages
+  // consumed and ignored — beyond parity (the reference fails the file)
+  bool vorbis = true;
 };
 
 // Generous spanning-packet cap to bound memory on fuzzed input (the
@@ -931,10 +934,20 @@ static void parse_file_multi(std::vector<ParsedFile>& out, const uint8_t* data,
                 "BOS page for already-active stream serial");
       active[serial] = accums.size();
       accums.emplace_back();
+      // identify the stream by its first packet's magic; non-Vorbis
+      // streams are consumed and ignored
+      if (!(data_len >= 7 && payload[0] == 1 &&
+            memcmp(payload + 1, "vorbis", 6) == 0))
+        accums.back().vorbis = false;
     }
     auto it = active.find(serial);
     POV_CHECK(it != active.end(), "page for unknown stream serial");
     StreamAccum& sa = accums[it->second];
+    if (!sa.vorbis) {
+      if (flags & 0x04) active.erase(serial);
+      off += 27 + nseg + data_len;
+      continue;
+    }
 
     // Packet runs: completion at lacing < 255; a trailing 255-run spans
     // to the next page.  Granule attaches to the LAST packet completed on
@@ -998,11 +1011,12 @@ static void parse_file_multi(std::vector<ParsedFile>& out, const uint8_t* data,
     }
     off += 27 + nseg + data_len;
   }
-  POV_CHECK(!accums.empty(), "no ogg stream found");
   for (auto& sa : accums) {
+    if (!sa.vorbis) continue;
     POV_CHECK(sa.packet_count >= 3, "no setup packet found");
     out.emplace_back(std::move(sa.pf));
   }
+  POV_CHECK(!out.empty(), "no vorbis stream found");
 }
 
 // Single-stream front-end: first logical stream of the file.

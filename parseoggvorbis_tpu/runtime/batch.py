@@ -112,10 +112,12 @@ def parse_streams_python(data: bytes) -> List[StreamFrames]:
     Handles chained (sequential BOS..EOS links) and multiplexed
     (interleaved serials) files exactly like the reference's OggReader
     (ParseOggVorbis.hpp:1433-1484): streams are created at BOS, pages
-    dispatch by stream_serial_num, EOS retires the serial.  Returns one
-    StreamFrames per logical stream, in BOS order.
+    dispatch by stream_serial_num, EOS retires the serial.  Non-Vorbis
+    logical streams (e.g. the video track of an .ogv) are skipped
+    gracefully — beyond parity: the reference fails the whole file.
+    Returns one StreamFrames per Vorbis stream, in BOS order.
     """
-    active = {}  # serial -> (VorbisStream, frames, granules, PacketAssembler)
+    active = {}  # serial -> entry or None (non-vorbis, skipped)
     in_order: List[tuple] = []
     offset = 0
     while True:
@@ -126,26 +128,31 @@ def parse_streams_python(data: bytes) -> List[StreamFrames]:
         if page.is_bos:
             check(serial not in active,
                   "BOS page for already-active stream serial")
-            entry = (VorbisStream(), [], [], PacketAssembler())
-            active[serial] = entry
-            in_order.append(entry)
-        entry = active.get(serial)
-        check(entry is not None, "page for unknown stream serial")
-        stream, frames, granules, assembler = entry
-        for packet, granule in assembler.feed(page):
-            if stream.packet_count == 0:
-                stream.header = parse_id_header(packet)
-            elif stream.packet_count == 1:
-                parse_comment_header(packet)
-            elif stream.packet_count == 2:
-                stream.setup = Setup.parse_packet(packet, stream.header)
+            first = page.packet_runs()
+            if first and not first[0][0].startswith(b"\x01vorbis"):
+                active[serial] = None  # not Vorbis: consume and ignore
             else:
-                frames.append(stream.decode_packet_symbols(packet))
-                granules.append(granule)
-            stream.packet_count += 1
+                entry = (VorbisStream(), [], [], PacketAssembler())
+                active[serial] = entry
+                in_order.append(entry)
+        check(serial in active, "page for unknown stream serial")
+        entry = active[serial]
+        if entry is not None:
+            stream, frames, granules, assembler = entry
+            for packet, granule in assembler.feed(page):
+                if stream.packet_count == 0:
+                    stream.header = parse_id_header(packet)
+                elif stream.packet_count == 1:
+                    parse_comment_header(packet)
+                elif stream.packet_count == 2:
+                    stream.setup = Setup.parse_packet(packet, stream.header)
+                else:
+                    frames.append(stream.decode_packet_symbols(packet))
+                    granules.append(granule)
+                stream.packet_count += 1
         if page.is_eos:
             del active[serial]
-    check(len(in_order) > 0, "no ogg stream found")
+    check(len(in_order) > 0, "no vorbis stream found")
     return [_build_stream_frames(st, fr, gr) for st, fr, gr, _ in in_order]
 
 

@@ -118,3 +118,53 @@ def test_duplicate_bos_rejected(mono, prefer_native):
     dup = pages[0] + pages[0] + b"".join(pages[1:])
     with pytest.raises(ParseError, match="already-active stream serial"):
         parse_streams(dup, prefer_native=prefer_native)
+
+
+def _fake_video_stream(serial, n_pages=4):
+    """A minimal non-Vorbis logical stream (theora-style BOS magic)."""
+    pages = []
+    for i in range(n_pages):
+        if i == 0:
+            payload = b"\x80theora" + bytes(20)  # id-like packet
+            flags = 0x02
+        else:
+            payload = b"\x00video-data" + bytes(50 + i)
+            flags = 0x04 if i == n_pages - 1 else 0
+        header = struct.pack("<4sBBqIIIB", b"OggS", 0, flags,
+                             i * 1000, serial, i, 0, 1)
+        seg = bytes([len(payload)])
+        crc = ogg_page_crc(header, seg, payload)
+        header = header[:22] + struct.pack("<I", crc) + header[26:]
+        pages.append(header + seg + payload)
+    return pages
+
+
+@pytest.mark.parametrize("prefer_native", [True, False],
+                         ids=["native", "python"])
+def test_non_vorbis_streams_skipped(mono, prefer_native):
+    """Multiplexed non-Vorbis tracks (e.g. .ogv video) are consumed and
+    ignored; the Vorbis track decodes.  Beyond parity: the reference
+    fails the whole file on the first non-Vorbis id packet."""
+    pm = [_set_serial(p, 0x0AAA) for p in _raw_pages(mono)]
+    pv = _fake_video_stream(0x0BBB)
+    inter = [pm[0], pv[0]]
+    a, b = pm[1:], pv[1:]
+    rest = []
+    while a or b:
+        if a:
+            rest.append(a.pop(0))
+        if b:
+            rest.append(b.pop(0))
+    data = b"".join(inter + rest)
+    sfs = parse_streams(data, prefer_native=prefer_native)
+    assert [(s.channels, s.num_frames) for s in sfs] == [(1, 67)]
+    out = decode_corpus([data])
+    assert len(out) == 1 and out[0].num_samples == 63488
+
+
+@pytest.mark.parametrize("prefer_native", [True, False],
+                         ids=["native", "python"])
+def test_only_non_vorbis_streams_rejected(prefer_native):
+    data = b"".join(_fake_video_stream(0x0CCC))
+    with pytest.raises(ParseError, match="no vorbis stream"):
+        parse_streams(data, prefer_native=prefer_native)
