@@ -171,3 +171,18 @@ def test_sharded_mesh_decode_vs_scalar():
                 emitted[si, tt], expect, atol=2e-5 * max(1, np.abs(expect).max())
             )
         assert lengths[si, 0] == 0
+
+
+def test_stacked_group_path_equals_per_stream(stereo_ogg, mono_ogg, monkeypatch):
+    """POV_GROUP_STREAMS>1 (vmapped same-signature stacking, the dense-link
+    configuration) must produce identical PCM to the default per-stream
+    dispatches."""
+    from parseoggvorbis_tpu.runtime import device_decoder as dd
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
+
+    blobs = [open(stereo_ogg, "rb").read()] * 3 + [open(mono_ogg, "rb").read()]
+    ref = decode_corpus(blobs, out_i16=True)
+    monkeypatch.setattr(dd, "_GROUP_S", 4)
+    got = decode_corpus(blobs, out_i16=True)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(g.pcm, r.pcm)
