@@ -758,22 +758,12 @@ def launch_stream_decode(sf, out_i16: bool = False):
     accounting runs once over the whole stream; each chunk carries one
     context frame whose emission is assigned to the previous chunk.
     """
-    chunk_t = _chunk_frames(sf)
-    if sf.num_frames > chunk_t + 1:
-        nums = _compute_emission_nums(sf)
-        pool = _get_chunk_pool()
-        futures = []
-        start = 0
-        while start < sf.num_frames:
-            ctx = 1 if start > 0 else 0
-            end = min(start + chunk_t, sf.num_frames)
-            chunk_nums = np.concatenate(
-                [np.zeros(ctx, dtype=nums.dtype), nums[start:end]])
-            view = _slice_stream(sf, start - ctx, end, chunk_nums)
-            futures.append(pool.submit(_launch_one, view, out_i16))
-            start = end
-        return _ChunkedPending(futures, sf.num_frames)
-    return _launch_one(sf, out_i16)
+    views = _chunk_views(sf)
+    if len(views) == 1:
+        return _launch_one(sf, out_i16)
+    pool = _get_chunk_pool()
+    futures = [pool.submit(_launch_one, v, out_i16) for v in views]
+    return _ChunkedPending(futures, sf.num_frames)
 
 
 def _launch_one(sf, out_i16: bool) -> PendingDecode:
