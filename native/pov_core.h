@@ -566,7 +566,13 @@ struct Residue {
             }
           }
         }
-        for (uint32_t i = 0; i < cw_per && pcount < partitions; ++i) {
+        // pcount advances once per PARTITION (after the channel loop) per
+        // spec 8.6.2 step 6 and libvorbis; the reference advances it per
+        // channel (ParseOggVorbis.hpp:757) — a latent bug masked by its
+        // single-channel test files that misdecodes multichannel uncoupled
+        // streams (found by tools/fuzz_roundtrip.py vs system libvorbis).
+        for (uint32_t i = 0; i < cw_per && pcount < partitions;
+             ++i, ++pcount) {
           for (int j = 0; j < num_channel; ++j) {
             if (channel_used[j]) {
               uint8_t vq_class = cls[(size_t)j * count_per_ch + pcount];
@@ -596,7 +602,6 @@ struct Residue {
                 }
               }
             }
-            ++pcount;
           }
         }
       }

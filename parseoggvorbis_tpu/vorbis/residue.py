@@ -2,12 +2,10 @@
 
 Reference behavior: /root/reference/src/ParseOggVorbis.hpp:622-763.
 
-TPU split: the classification/VQ codeword stream is bit-serial (host); the
-accumulation of codebook rows into the spectrum is array math.  The host
-decoder here can either materialize the residue spectra directly
-(:meth:`Residue.decode`) or emit the decoded (book, entry, offset) stream for
-device-side gather-accumulate (:meth:`Residue.decode_symbols`, used by the
-batched JAX pipeline).
+TPU split: the classification/VQ codeword stream is bit-serial (host, this
+module); the reconstructed spectra ship to the device compacted
+(trailing-zero-trimmed dictionary codes, see runtime/device_decoder.py)
+where the numeric pipeline consumes them.
 """
 
 from __future__ import annotations
@@ -112,6 +110,15 @@ class Residue:
                                 temp //= ncls
                 i = 0
                 while i < cw_per_codeword and partition_count < partitions_to_read:
+                    # NOTE: partition_count advances once per PARTITION
+                    # (after the channel loop), per spec 8.6.2 step 6 and
+                    # libvorbis.  The reference advances it per (i, j)
+                    # INSIDE its channel loop (ParseOggVorbis.hpp:757) — a
+                    # latent bug there, masked because its test files only
+                    # exercise single-channel (type-2 interleaved) residues;
+                    # multichannel uncoupled streams (e.g. libvorbis 4/6ch
+                    # templates) misdecode under that order.  Found by
+                    # tools/fuzz_roundtrip.py against system libvorbis.
                     for j in range(num_channel):
                         if channel_used[j]:
                             vq_class = classifications[j, partition_count]
@@ -122,7 +129,7 @@ class Residue:
                                 _accumulate_partition(
                                     br, vq_codebook, out[j], offset, psize, rtype
                                 )
-                        partition_count += 1
+                    partition_count += 1
                     i += 1
         return out
 

@@ -82,3 +82,24 @@ def test_batched_features_match_dump_path_on_corpus(kind):
         ref = lib.get_features_from_raw_bytes(blob, 64, kind=kind)
         assert got.shape == ref.shape, (name, got.shape, ref.shape)
         np.testing.assert_array_equal(got, ref, err_msg=name)
+
+
+def test_uncoupled_multichannel_residue_order():
+    """Regression: multichannel UNCOUPLED residues (4ch, no coupling pairs)
+    decode with the spec's partition advance (8.6.2 step 6: once per
+    partition, after the channel loop).  The reference advances per
+    channel — a latent bug its single-channel test files never hit — and
+    this framework inherited it until tools/fuzz_roundtrip.py caught a
+    ~1.0 max-abs misdecode vs system libvorbis on 4/6ch low-rate streams."""
+    import numpy as np
+
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    path = os.path.join(REPO_ROOT, "tests", "data", "quad4s.4ch.32k.q5.ogg")
+    data = open(path, "rb").read()
+    ref, rate = vorbis_oracle.decode_ogg(data)
+    for prefer_native in (True, False):
+        ours = decode_bytes(data, prefer_native=prefer_native)
+        assert ours.pcm.shape == ref.shape
+        err = float(np.abs(ours.pcm - ref).max())
+        assert err <= 1e-6, (prefer_native, err)

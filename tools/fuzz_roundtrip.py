@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Randomized encode->decode differential fuzz against system libvorbis.
+
+Each iteration synthesizes random audio (random channel count, sample
+rate, duration, spectral content, transient density), encodes it with the
+system libvorbisenc at a random VBR quality, decodes it with BOTH our
+framework (native front-end + device pipeline) and the system
+libvorbisfile, and asserts sample-count equality and max-abs error
+<= 1e-6.  Sweeps far more encoder mode/codebook configurations than any
+fixed corpus.
+
+Usage: python3 tools/fuzz_roundtrip.py [--iters 50] [--seed 0]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests", "tools"))
+
+RATES = [8000, 11025, 16000, 22050, 32000, 44100, 48000]
+
+
+def random_audio(rng):
+    channels = int(rng.choice([1, 1, 2, 2, 2, 4, 6]))
+    rate = int(rng.choice(RATES))
+    seconds = float(rng.uniform(0.3, 6.0))
+    n = int(seconds * rate)
+    t = np.arange(n) / rate
+    out = np.zeros((channels, n), np.float32)
+    for _ in range(rng.randint(1, 6)):  # random tonal components
+        f = rng.uniform(30, rate / 2 * 0.9)
+        amp = rng.uniform(0.01, 0.4)
+        ph = rng.uniform(0, 2 * np.pi, size=(channels, 1))
+        out += (amp * np.sin(2 * np.pi * f * t[None, :] + ph)).astype(np.float32)
+    if rng.rand() < 0.7:  # noise bed
+        out += rng.uniform(0.001, 0.1) * rng.randn(channels, n).astype(np.float32)
+    for _ in range(rng.randint(0, 8)):  # transients
+        at = rng.randint(0, max(1, n - 64))
+        out[:, at : at + 64] += rng.uniform(0.2, 0.9) * rng.randn(64).astype(np.float32)
+    if rng.rand() < 0.1:
+        out[:] = 0.0  # digital silence
+    peak = max(1e-9, float(np.abs(out).max()))
+    if peak > 0.95:
+        out *= 0.95 / peak
+    return out, rate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    args = ap.parse_args()
+
+    from vorbis_oracle import decode_ogg, encode_ogg
+
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    rng = np.random.RandomState(args.seed)
+    worst = 0.0
+    fails = 0
+    for i in range(args.iters):
+        pcm, rate = random_audio(rng)
+        q = float(rng.uniform(-0.1, 1.0))
+        try:
+            ogg = encode_ogg(pcm, rate, q, serial=i)
+        except RuntimeError as exc:
+            print("%3d: encoder refused (ch=%d rate=%d q=%.2f): %s"
+                  % (i, pcm.shape[0], rate, q, exc))
+            continue
+        ours = decode_bytes(ogg)
+        ref, ref_rate = decode_ogg(ogg)
+        ok = (ours.sample_rate == ref_rate and ours.pcm.shape == ref.shape)
+        err = float(np.abs(ours.pcm - ref).max()) if ok else float("inf")
+        worst = max(worst, err)
+        status = "ok" if ok and err <= args.tol else "FAIL"
+        if status == "FAIL":
+            fails += 1
+        print("%3d: ch=%d rate=%5d q=%+.2f %5.2fs -> %7d B  err=%.2e  %s"
+              % (i, pcm.shape[0], rate, q, pcm.shape[1] / rate, len(ogg),
+                 err, status), flush=True)
+    print("worst err: %.3e   failures: %d/%d" % (worst, fails, args.iters))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
