@@ -153,3 +153,40 @@ def test_native_fuzz_rejects(stereo_ogg):
         except Exception as e:
             nat_err = type(e).__name__
         assert (py_err is None) == (nat_err is None)
+
+
+def test_roundtrip_differential_vs_system_libvorbis():
+    """Seeded mini-campaign of tools/fuzz_roundtrip.py: random audio ->
+    system libvorbisenc -> decode ours vs system libvorbisfile.  This is
+    the harness that caught the multichannel residue-order bug the
+    reference itself has (see vorbis/residue.py NOTE)."""
+    import os
+    import sys
+
+    from conftest import REPO_ROOT
+
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tests", "tools"))
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+    import vorbis_oracle
+
+    if not vorbis_oracle.available():
+        pytest.skip("system libvorbis not installed")
+    import fuzz_roundtrip
+
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    rng = np.random.RandomState(7)
+    worst = 0.0
+    for i in range(8):
+        pcm, rate = fuzz_roundtrip.random_audio(rng)
+        q = float(rng.uniform(-0.1, 1.0))
+        try:
+            ogg = vorbis_oracle.encode_ogg(pcm, rate, q, serial=i)
+        except RuntimeError:
+            continue
+        ours = decode_bytes(ogg)
+        ref, ref_rate = vorbis_oracle.decode_ogg(ogg)
+        assert ours.sample_rate == ref_rate
+        assert ours.pcm.shape == ref.shape
+        worst = max(worst, float(np.abs(ours.pcm - ref).max()))
+    assert worst <= 1e-6, worst
