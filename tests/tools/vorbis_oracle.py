@@ -85,10 +85,11 @@ def _blob() -> C.Array:
     return C.create_string_buffer(_BLOB)
 
 
-def encode_ogg(pcm: np.ndarray, rate: int, quality: float,
-               serial: int = 0) -> bytes:
+def encode_ogg(pcm: np.ndarray, rate: int, quality: float = 0.3,
+               serial: int = 0, bitrate: Optional[int] = None) -> bytes:
     """Encode float32 PCM [channels, samples] (in [-1,1]) to an Ogg Vorbis
-    stream via the system libvorbisenc (VBR at *quality* in [-0.1, 1.0])."""
+    stream via the system libvorbisenc: VBR at *quality* in [-0.1, 1.0],
+    or managed-bitrate mode when *bitrate* (bits/s nominal) is given."""
     libs = _Libs.get()
     v, e, o = libs.vorbis, libs.enc, libs.ogg
     pcm = np.ascontiguousarray(pcm, dtype=np.float32)
@@ -96,12 +97,17 @@ def encode_ogg(pcm: np.ndarray, rate: int, quality: float,
 
     vi, vc, vd, vb, ost = _blob(), _blob(), _blob(), _blob(), _blob()
     v.vorbis_info_init(vi)
-    rc = e.vorbis_encode_init_vbr(vi, C.c_long(channels), C.c_long(rate),
-                                  C.c_float(quality))
+    if bitrate is not None:
+        rc = e.vorbis_encode_init(vi, C.c_long(channels), C.c_long(rate),
+                                  C.c_long(-1), C.c_long(bitrate),
+                                  C.c_long(-1))
+    else:
+        rc = e.vorbis_encode_init_vbr(vi, C.c_long(channels), C.c_long(rate),
+                                      C.c_float(quality))
     if rc != 0:
-        raise RuntimeError("vorbis_encode_init_vbr failed rc=%d "
-                           "(channels=%d rate=%d q=%.2f)"
-                           % (rc, channels, rate, quality))
+        raise RuntimeError("vorbis_encode_init failed rc=%d "
+                           "(channels=%d rate=%d q=%.2f br=%r)"
+                           % (rc, channels, rate, quality, bitrate))
     v.vorbis_comment_init(vc)
     v.vorbis_analysis_init(vd, vi)
     v.vorbis_block_init(vd, vb)

@@ -67,11 +67,14 @@ def main():
     for i in range(args.iters):
         pcm, rate = random_audio(rng)
         q = float(rng.uniform(-0.1, 1.0))
+        bitrate = None
+        if rng.rand() < 0.25:  # managed-bitrate mode (different templates)
+            bitrate = int(rng.uniform(12000, 80000)) * pcm.shape[0]
         try:
-            ogg = encode_ogg(pcm, rate, q, serial=i)
+            ogg = encode_ogg(pcm, rate, q, serial=i, bitrate=bitrate)
         except RuntimeError as exc:
-            print("%3d: encoder refused (ch=%d rate=%d q=%.2f): %s"
-                  % (i, pcm.shape[0], rate, q, exc))
+            print("%3d: encoder refused (ch=%d rate=%d q=%.2f br=%r): %s"
+                  % (i, pcm.shape[0], rate, q, bitrate, exc))
             continue
         ours = decode_bytes(ogg)
         ref, ref_rate = decode_ogg(ogg)
@@ -81,8 +84,9 @@ def main():
         status = "ok" if ok and err <= args.tol else "FAIL"
         if status == "FAIL":
             fails += 1
-        print("%3d: ch=%d rate=%5d q=%+.2f %5.2fs -> %7d B  err=%.2e  %s"
-              % (i, pcm.shape[0], rate, q, pcm.shape[1] / rate, len(ogg),
+        mode = ("br=%dk" % (bitrate // 1000)) if bitrate else ("q=%+.2f" % q)
+        print("%3d: ch=%d rate=%5d %-8s %5.2fs -> %7d B  err=%.2e  %s"
+              % (i, pcm.shape[0], rate, mode, pcm.shape[1] / rate, len(ogg),
                  err, status), flush=True)
     print("worst err: %.3e   failures: %d/%d" % (worst, fails, args.iters))
     return 1 if fails else 0
