@@ -132,3 +132,29 @@ def test_native_capi_streaming_spanning(spanning_pair):
         rc = lib.ogg_vorbis_full_read_from_memory(
             blob, len(blob), ctypes.byref(err))
         assert rc == 0, err.value
+
+
+def test_granule_attaches_to_last_completed_packet():
+    """RFC 3533: a page's granule belongs to the LAST packet completed on
+    it — even when a spanning packet also completes earlier on the page
+    and another packet spans onward."""
+    from parseoggvorbis_tpu.ogg.page import Page, PacketAssembler
+
+    def mkpage(flags, granule, lacings, payload):
+        return Page(header_type_flag=flags, absolute_granule_pos=granule,
+                    stream_serial_num=1, page_sequence_num=0,
+                    segment_table=bytes(lacings), data=payload)
+
+    a = bytes(range(256)) + b"A" * 100  # spans page1 -> page2
+    b = b"B" * 50                       # completes last on page2
+    c = b"C" * 300                      # spans page2 -> page3
+    pages = [
+        mkpage(0x02, -1, [255], a[:255]),
+        mkpage(0x01, 777, [101, 50, 255], a[255:] + b + c[:255]),
+        mkpage(0x05, 999, [45], c[255:]),
+    ]
+    asm = PacketAssembler()
+    out = []
+    for p in pages:
+        out += asm.feed(p)
+    assert out == [(a, -1), (b, 777), (c, 999)]
