@@ -232,6 +232,8 @@ def parse_streams_native(data: bytes) -> List[NativeParsed]:
 
         raise ParseError(err.value.decode("utf8", errors="replace"))
     if count > max_streams:
+        for i in range(max_streams):  # free the handles that were filled
+            lib.pov_free(handles[i])
         raise RuntimeError("too many logical streams: %d" % count)
     return [_from_handle(lib, handles[i]) for i in range(count)]
 

@@ -359,7 +359,10 @@ def decode_corpus(
 
     ``strict=False`` enables per-stream error isolation: a corrupt file
     yields a :class:`DecodedAudio` with ``error`` set and empty PCM instead
-    of failing the whole batch.
+    of failing the whole batch.  On the default per-stream path isolation
+    covers the full parse->launch->fetch chain; the stacked-group and mesh
+    paths isolate parse and fetch errors (a launch-phase failure there is
+    shared by construction — streams co-reside in one dispatch).
 
     ``mesh`` (a jax.sharding.Mesh with a 'data' axis) runs the device pass
     multi-chip: same-signature streams stack into dispatches whose stream
