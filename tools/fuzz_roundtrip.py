@@ -61,9 +61,14 @@ def main():
 
     from parseoggvorbis_tpu.runtime.batch import decode_bytes
 
+    from repaginate import repaginate
+
+    from parseoggvorbis_tpu.runtime.batch import decode_all_streams
+
     rng = np.random.RandomState(args.seed)
     worst = 0.0
     fails = 0
+    prev = None  # (ogg, ref) for chained-file checks
     for i in range(args.iters):
         pcm, rate = random_audio(rng)
         q = float(rng.uniform(-0.1, 1.0))
@@ -85,9 +90,38 @@ def main():
         if status == "FAIL":
             fails += 1
         mode = ("br=%dk" % (bitrate // 1000)) if bitrate else ("q=%+.2f" % q)
-        print("%3d: ch=%d rate=%5d %-8s %5.2fs -> %7d B  err=%.2e  %s"
+        extra = ""
+        if ok and err <= args.tol:
+            # re-paginate with spanning packets: identical decode expected
+            if rng.rand() < 0.3:
+                try:
+                    spanned, nspans = repaginate(ogg)
+                except AssertionError:
+                    spanned = None  # no packet long enough to span
+                if spanned is not None:
+                    got = decode_bytes(spanned)
+                    if (got.pcm.shape != ours.pcm.shape
+                            or not np.array_equal(got.pcm, ours.pcm)):
+                        fails += 1
+                        status = "FAIL(spanning)"
+                    extra += " +span%d" % nspans
+            # chain with the previous file: demux must recover both
+            if prev is not None and rng.rand() < 0.3:
+                p_ogg, p_ref = prev
+                outs = decode_all_streams(p_ogg + ogg)
+                ok2 = (len(outs) == 2
+                       and outs[0].pcm.shape == p_ref.shape
+                       and np.abs(outs[0].pcm - p_ref).max() <= args.tol
+                       and outs[1].pcm.shape == ref.shape
+                       and np.abs(outs[1].pcm - ref).max() <= args.tol)
+                if not ok2:
+                    fails += 1
+                    status = "FAIL(chained)"
+                extra += " +chain"
+            prev = (ogg, ref)
+        print("%3d: ch=%d rate=%5d %-8s %5.2fs -> %7d B  err=%.2e  %s%s"
               % (i, pcm.shape[0], rate, mode, pcm.shape[1] / rate, len(ogg),
-                 err, status), flush=True)
+                 err, status, extra), flush=True)
     print("worst err: %.3e   failures: %d/%d" % (worst, fails, args.iters))
     return 1 if fails else 0
 
