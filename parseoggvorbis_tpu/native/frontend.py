@@ -224,18 +224,22 @@ def parse_streams_native(data: bytes) -> List[NativeParsed]:
         raise RuntimeError("native front-end not built (run native/build.py)")
     err = ctypes.create_string_buffer(512)
     max_streams = 64
-    handles = (ctypes.c_void_p * max_streams)()
-    count = lib.pov_parse_multi(data, len(data), handles, max_streams,
-                                err, len(err))
-    if count < 0:
-        from ..utils.errors import ParseError
+    while True:
+        handles = (ctypes.c_void_p * max_streams)()
+        count = lib.pov_parse_multi(data, len(data), handles, max_streams,
+                                    err, len(err))
+        if count < 0:
+            from ..utils.errors import ParseError
 
-        raise ParseError(err.value.decode("utf8", errors="replace"))
-    if count > max_streams:
-        for i in range(max_streams):  # free the handles that were filled
+            raise ParseError(err.value.decode("utf8", errors="replace"))
+        if count <= max_streams:
+            return [_from_handle(lib, handles[i]) for i in range(count)]
+        # More logical streams than the buffer held: free what was filled
+        # and re-parse with an exactly-sized buffer (keeps the native and
+        # pure-Python front-ends agreeing on arbitrarily chained files).
+        for i in range(max_streams):
             lib.pov_free(handles[i])
-        raise RuntimeError("too many logical streams: %d" % count)
-    return [_from_handle(lib, handles[i]) for i in range(count)]
+        max_streams = count
 
 
 def parse_stream_native(data: bytes) -> NativeParsed:

@@ -133,7 +133,9 @@ def _demo():
     lib = ParseOggVorbisLib.get_instance()
     if args.ogg:
         raw_bytes = open(args.ogg, "rb").read()
-        opts = eval(args.opts) if args.opts else {}
+        import ast
+
+        opts = ast.literal_eval(args.opts) if args.opts else {}
         features = lib.get_features_from_raw_bytes(
             raw_bytes=raw_bytes, kind=args.kind, output_dim=args.dim, **opts)
         if args.no_plot:

@@ -53,7 +53,7 @@ class _ParseBudget:
 
 def test_mutated_whole_file_python(stereo_ogg):
     """Flip one random bit anywhere in the file; the python front-end must
-    reject cleanly or decode, never crash or hang (5s budget per parse)."""
+    reject cleanly or decode, never crash or hang (10s budget per parse)."""
     data = bytearray(open(stereo_ogg, "rb").read())
     rng = np.random.RandomState(1)
     budget_hits = 0

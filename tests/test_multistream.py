@@ -168,3 +168,15 @@ def test_only_non_vorbis_streams_rejected(prefer_native):
     data = b"".join(_fake_video_stream(0x0CCC))
     with pytest.raises(ParseError, match="no vorbis stream"):
         parse_streams(data, prefer_native=prefer_native)
+
+
+def test_native_chain_beyond_handle_buffer(mono):
+    """A >64-link chained file parses natively (the handle buffer grows on
+    demand instead of erroring, keeping front-end agreement)."""
+    from parseoggvorbis_tpu.native import frontend as native
+
+    if not native.available():
+        pytest.skip("native front-end not built")
+    parsed = native.parse_streams_native(mono * 70)
+    assert len(parsed) == 70
+    assert all(p.channels == 1 and len(p.mode_idx) == 67 for p in parsed)
