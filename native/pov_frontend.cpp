@@ -127,6 +127,32 @@ void pov_export_frames(PovHandle* h, const int64_t* frame_ids, int64_t count,
   }
 }
 
+// Floor decode flags only: decoded/used -> [B, C] u8 each.  The device
+// feature path needs row-emission masks without paying for the curve and
+// residue copies of pov_export_frames.
+void pov_export_flags(PovHandle* h, const int64_t* frame_ids, int64_t count,
+                      uint8_t* decoded, uint8_t* used) {
+  int C = h->pf.channels;
+  for (int64_t i = 0; i < count; ++i) {
+    const pov::Frame& f = h->pf.frames[frame_ids[i]];
+    memcpy(decoded + (size_t)i * C, f.decoded.data(), C);
+    memcpy(used + (size_t)i * C, f.used.data(), C);
+  }
+}
+
+// Residue spectra only, for a channel range [ch0, ch1): [B, ch1-ch0, n/2]
+// f32.  The concat-residue feature kind consumes channel 0 only.
+void pov_export_residues(PovHandle* h, const int64_t* frame_ids, int64_t count,
+                         int32_t ch0, int32_t ch1, float* residue) {
+  for (int64_t i = 0; i < count; ++i) {
+    const pov::Frame& f = h->pf.frames[frame_ids[i]];
+    size_t half = (size_t)f.n / 2;
+    for (int32_t ch = ch0; ch < ch1; ++ch)
+      memcpy(residue + ((size_t)i * (ch1 - ch0) + (ch - ch0)) * half,
+             f.residue.data() + (size_t)ch * half, sizeof(float) * half);
+  }
+}
+
 // Full-window curves for the feature-extraction path: [B, C, n] u8.
 void pov_export_curves_full(PovHandle* h, const int64_t* frame_ids,
                             int64_t count, uint8_t* curve) {

@@ -111,6 +111,13 @@ class SyntheticTapReader(FeatureExtractorMixin):
         return entries
 
 
+def _extract(reader, output_dim: int, kind: str, kwargs) -> np.ndarray:
+    if kind in ("floor_final_ys", "floor_final_ys_rendered",
+                "floor_final_ys_rendered_concat_residue"):
+        return reader.read_floor_ys(output_dim=output_dim, **kwargs)
+    return reader.read_residue_ys(output_dim=output_dim, **kwargs)
+
+
 def get_features(raw_bytes: bytes, output_dim: int,
                  kind: str = "floor_final_ys", **kwargs) -> np.ndarray:
     """Features for one file via the native front-end (no dump round-trip)."""
@@ -118,16 +125,43 @@ def get_features(raw_bytes: bytes, output_dim: int,
         raise ValueError("invalid kind %r" % (kind,))
     parsed = native.parse_stream_native(raw_bytes)
     reader = SyntheticTapReader(parsed, DATA_FILTERS[kind])
-    if kind in ("floor_final_ys", "floor_final_ys_rendered",
-                "floor_final_ys_rendered_concat_residue"):
-        return reader.read_floor_ys(output_dim=output_dim, **kwargs)
-    return reader.read_residue_ys(output_dim=output_dim, **kwargs)
+    return _extract(reader, output_dim, kind, kwargs)
 
 
 def get_features_batched(blobs: Sequence[bytes], output_dim: int,
                          kind: str = "floor_final_ys", host_threads: int = 8,
-                         **kwargs) -> List[np.ndarray]:
-    """Corpus-scale feature extraction with thread-parallel native parse."""
+                         device: bool = False, **kwargs) -> List[np.ndarray]:
+    """Corpus-scale feature extraction with thread-parallel native parse.
+
+    ``device=True`` computes the feature matrices on the TPU
+    (features/device.py): the host ships only packed floor Y values and
+    dictionary-coded residues, the device renders/normalizes/assembles, and
+    only the (time, output_dim) float32 matrices return over the link.
+    Launches are asynchronous across the corpus, so one file's host parse
+    overlaps another's device compute and transfers.  Streams the device
+    path cannot plan (floor0 slots) fall back to the host extractors
+    per-file.
+    """
+    if device:
+        from .device import DeviceFeaturesUnsupported, launch_features_device
+
+        def parse_and_launch(b):
+            parsed = native.parse_stream_native(b)
+            try:
+                pending = launch_features_device(parsed, output_dim, kind,
+                                                 **kwargs)
+            except DeviceFeaturesUnsupported:
+                reader = SyntheticTapReader(parsed, DATA_FILTERS[kind])
+                return _extract(reader, output_dim, kind, kwargs)
+            return pending
+
+        if host_threads > 1 and len(blobs) > 1:
+            with ThreadPoolExecutor(max_workers=host_threads) as ex:
+                launched = list(ex.map(parse_and_launch, blobs))
+        else:
+            launched = [parse_and_launch(b) for b in blobs]
+        return [p.fetch() if hasattr(p, "fetch") else p for p in launched]
+
     if host_threads > 1 and len(blobs) > 1:
         with ThreadPoolExecutor(max_workers=host_threads) as ex:
             return list(ex.map(

@@ -1,0 +1,973 @@
+"""TPU device-side corpus feature extraction.
+
+The reference's headline ML use case is corpus-scale feature extraction
+(reference: demo_live_extract.py:262-505 ``read_floor_ys``/``read_residue_ys``,
+returnn_import.py:77-117 ``get_features_from_raw_bytes``).  The host
+extractors in features/extract.py replay a per-tap-entry state machine; this
+module computes the identical (time, output_dim) matrices on the TPU:
+
+  host   native parse (bit-serial, C++) + vectorized emission metadata —
+         row order, static floor-xs selections, the concat-residue
+         offset/target state machine — all small integer arrays;
+  device one fused jit per stream signature: floor-curve evaluation at the
+         selected xs positions (integer-exact Bresenham, shared with the
+         PCM pipeline), normalization through exact value tables, residue
+         log1p / spline-zoom (as a precomputed linear matrix on the MXU) /
+         floor-base weighting, and gather/scatter row assembly.
+
+Only the packed floor Y values (u8), dictionary-coded residues, and the
+(rows, output_dim) float32 result cross the host<->device link — about two
+orders of magnitude less traffic than PCM decode.
+
+Exactness: the floor kinds (``floor_final_ys``, ``floor_final_ys_rendered``)
+are bit-exact with the host extractors (all-integer curve math + exact
+normalization tables).  The residue-touching kinds run log1p/exp/zoom in
+float32 on device where the host runs float64/float32 numpy; the difference
+is bounded by ~1e-6 (documented; asserted <=1e-5 in tests, the project-wide
+eps).  Unsupported corners (floor0 slots in the floor list) raise
+``DeviceFeaturesUnsupported`` and callers fall back to the host extractors.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..runtime.device_decoder import (
+    _CONSTS,
+    _encode_residue,
+    _pad32,
+    _unpack4,
+    _unpack6,
+    _DICT_SLAB,
+    TRANSFER_STATS,
+    setup_jax,
+)
+from ..runtime.jax_backend import render_floor_curve_int
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+# Output rows pad to a multiple of this (bounds executable-shape variety
+# while keeping transfer padding small).
+_ROW_BUCKET = 512
+
+
+class DeviceFeaturesUnsupported(Exception):
+    """Raised when a stream/option combo needs the host extractor path."""
+
+
+# ---------------------------------------------------- accurate f32 transcend --
+#
+# TPU transcendentals are hardware approximations (measured ~1e-5 relative
+# for log/exp on the v5e) while the host extractors use numpy's correctly-
+# rounded libm.  f32 add/mul/div ARE IEEE on the VPU, so evaluating log1p
+# and exp from exponent-bit manipulation + short polynomials reproduces
+# numpy to a few ulps (~1e-7 relative) at negligible cost on these small
+# feature tensors.
+
+# ln 2 split so that integer * _LN2_HI is exact in f32 (12-bit mantissa)
+_LN2_HI = np.float32(0.693359375)
+_LN2_LO = np.float32(-2.12194440054690580e-4)
+
+
+def _log_poly(s: jnp.ndarray) -> jnp.ndarray:
+    """2*atanh(s) via its odd Taylor series; |s| <= (sqrt(2)-1)/(sqrt(2)+1)."""
+    s2 = s * s
+    p = np.float32(2 / 11.0)
+    for c in (2 / 9.0, 2 / 7.0, 2 / 5.0, 2 / 3.0, 2.0):
+        p = p * s2 + np.float32(c)
+    return p * s
+
+
+def accurate_log1p(x: jnp.ndarray) -> jnp.ndarray:
+    """log1p for x >= 0, matching numpy within a few f32 ulps."""
+    # the barrier stops XLA's excess-precision simplifier from folding
+    # (1 + x) - 1 -> x, which would defeat the rounding correction below
+    u = jax.lax.optimization_barrier(1.0 + x)
+    bits = jax.lax.bitcast_convert_type(u, jnp.int32)
+    # center the mantissa on [sqrt(1/2), sqrt(2)) so |s| stays small
+    adj = ((bits + 0x3504f3) >> 23) - 127        # exponent of u, rounded
+    m = jax.lax.bitcast_convert_type(
+        bits - (adj << 23), jnp.float32)          # u / 2^adj in [0.707, 1.414)
+    e = adj.astype(jnp.float32)
+    s = (m - 1.0) / (m + 1.0)
+    log_u = e * _LN2_HI + (_log_poly(s) + e * _LN2_LO)
+    # undo the rounding of 1+x: log1p(x) = log(u) * x / (u - 1)
+    um1 = u - 1.0
+    corr = jnp.where(um1 > 0, x / jnp.where(um1 > 0, um1, 1.0), 1.0)
+    return jnp.where(u == 1.0, x, log_u * corr)
+
+
+def accurate_exp(y: jnp.ndarray) -> jnp.ndarray:
+    """exp matching numpy within a few f32 ulps (|y| < ~80)."""
+    k = jax.lax.optimization_barrier(
+        jnp.round(y * np.float32(1.4426950408889634)))
+    r = (y - k * _LN2_HI) - k * _LN2_LO
+    # degree-7 Taylor on |r| <= ln2/2: max term r^7/5040 ~ 2e-7 * next
+    p = np.float32(1 / 5040.0)
+    for c in (1 / 720.0, 1 / 120.0, 1 / 24.0, 1 / 6.0, 0.5, 1.0, 1.0):
+        p = p * r + np.float32(c)
+    two_k = jax.lax.bitcast_convert_type(
+        (jnp.clip(k.astype(jnp.int32), -126, 127) + 127) << 23, jnp.float32)
+    return p * two_k
+
+
+# ------------------------------------------------------------ exact tables --
+
+@functools.lru_cache(maxsize=None)
+def _norm_table(positive: bool) -> np.ndarray:
+    """normalize(v) for every reachable integer value v in [0, 1020].
+
+    The host extractors normalize integer-valued float32 arrays
+    ((v - 127.5) / 127.5 or v / 255.0, extract.py:86-89); evaluating the
+    same numpy expression over all possible inputs once makes the device
+    gather bit-exact regardless of the accelerator's division rounding.
+    """
+    v = np.arange(1021, dtype=np.float32)
+    if positive:
+        return (v / 255.0).astype(np.float32)
+    return ((v - np.float32(127.5)) / np.float32(127.5)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _zoom_matrix_np(in_len: int) -> np.ndarray:
+    """scipy.ndimage.zoom(v, 0.5, order=3) as a linear map Z [out, in].
+
+    Cubic-spline zoom is linear in its input (the spline prefilter is a
+    linear IIR filter and the interpolation is a weighted sum), so applying
+    it to the identity matrix column-wise yields the full operator.  The
+    reference extractor zooms the log1p'd residue row this way
+    (demo_live_extract.py:408-415); on device the zoom becomes one MXU
+    matmul per frame batch.
+    """
+    import scipy.ndimage
+
+    eye = np.eye(in_len, dtype=np.float64)
+    z = scipy.ndimage.zoom(eye, (0.5, 1.0), order=3)
+    return np.ascontiguousarray(z, dtype=np.float32)
+
+
+def _zoom_matrix_folded(in_len: int, factor: int) -> np.ndarray:
+    """Zoom matrix with the ``idxs // factor`` gather folded in.
+
+    The extractor reads data[arange(len) // factor] before zooming
+    (extract.py:159-165); gather-then-linear-map equals multiplying by the
+    column-summed matrix Z'[:, j] = sum_{p: p//factor == j} Z[:, p].
+    """
+    z = _zoom_matrix_np(in_len)
+    if factor <= 1:
+        return z
+    src = np.arange(in_len) // factor
+    folded = np.zeros((z.shape[0], in_len), dtype=np.float64)
+    np.add.at(folded.T, src, z.T.astype(np.float64))
+    return folded.astype(np.float32)
+
+
+# ------------------------------------------------------- host-side planning --
+
+@dataclass(frozen=True)
+class _ChanSig:
+    l: int            # emitted value count for this channel's rows
+    mult: int         # floor multiplier (final_ys kind re-multiplies)
+    col0: float       # floor-number column value (0.0 when excluded)
+    rendered: bool    # values come from the rendered curve (vs raw ys)
+    pts_off: int      # offset of this channel's ys in the packed [B, pts] row
+    pts: int          # this channel's floor point count
+    col0_code: int = 0  # raw floor number (u16-code output)
+
+
+@dataclass(frozen=True)
+class _BucketSig:
+    n: int
+    b_pad: int
+    total_pts: int
+    chans: Tuple[_ChanSig, ...]
+    # residue payload (concat / residue kinds)
+    res_enc: str = ""
+    dict_size: int = 0
+    res_cols: int = 0
+    res_chans: int = 0
+    zoom_l: int = 0      # concat: zoom output length
+    gated: bool = True   # residue kinds: last-channel floor == biggest
+    sel_l: int = 0       # residue kinds: selected index count
+    base_cand: Tuple[int, ...] = ()  # channels rendering floor_base
+
+
+@dataclass(frozen=True)
+class _FeatSig:
+    family: str          # "floor" | "concat" | "residue"
+    out: int
+    r_pad: int
+    t_pad: int
+    include: bool
+    positive: bool
+    buckets: Tuple[_BucketSig, ...]
+    # residue-kind options
+    log1p: bool = False
+    scale: float = 1.0
+    clip: float = 0.0    # 0 = off
+    base_factor: float = 0.0  # 0 = no floor_base weighting
+    base_l: int = 0
+    codes: bool = False  # u16 value-table codes instead of f32 rows
+
+
+def _floor_setup(p, sorted_xs: bool, upscale: int):
+    """Mirror of FeatureExtractorMixin._read_setup_floors (extract.py:35-62)."""
+    infos = p.floor1_info()
+    if any(i is None for i in infos):
+        # a floor0 slot would shift the extractor's floor indexing; the
+        # host path has the identical quirk but is the validated one
+        raise DeviceFeaturesUnsupported("floor0 slot in floor list")
+    multipliers = [int(i[0]) for i in infos]
+    # the decoder's curve is rendered over the TRUE entry-order xs; the
+    # extractor options (sorted_xs, upscale) only affect the xs list used
+    # for value selection
+    floor_xs_raw = [np.asarray(i[1]).astype(np.int64) for i in infos]
+    floor_xs = list(floor_xs_raw)
+    if sorted_xs:
+        floor_xs = [np.sort(xs) for xs in floor_xs]
+    floor_xs_up = []
+    if upscale != 1:
+        import scipy.ndimage
+
+        for xs in floor_xs:
+            up = scipy.ndimage.zoom(np.array(xs, dtype="float32"),
+                                    zoom=upscale, order=1, mode="nearest")
+            floor_xs_up.append(np.round(up).astype("int32").astype(np.int64))
+    if not multipliers:
+        raise AssertionError("no floor1 in stream")
+    return multipliers, floor_xs, floor_xs_up, floor_xs_raw
+
+
+class _BucketPlan:
+    """Host-side per-mode-bucket working state (not hashable; sig is)."""
+
+    def __init__(self):
+        self.ids = None          # [B] frame indices
+        self.pos = None          # frame -> position in bucket
+        self.args = None         # device input arrays
+        self.consts = []         # per channel device-const keys
+        self.sig = None
+
+
+def _render_consts(xs_key: tuple, sel: np.ndarray):
+    """Device-resident (xs_sorted, sorted_idx, pmap, x_pos) for rendering a
+    floor at the selected positions only."""
+    key = ("feat-render", xs_key, tuple(int(x) for x in sel))
+
+    def build():
+        xs = np.array(xs_key, dtype=np.int64)
+        order = np.argsort(xs, kind="stable")
+        xs_sorted = xs[order]
+        pmap = np.searchsorted(xs_sorted, sel, side="right") - 1
+        return jax.device_put((xs_sorted.astype(np.int32),
+                               order.astype(np.int32),
+                               pmap.astype(np.int32),
+                               sel.astype(np.int32)))
+
+    return _CONSTS.cached(key, build)
+
+
+def _cached_table(positive: bool):
+    return _CONSTS.cached(("feat-normtable", positive),
+                          lambda: jax.device_put(_norm_table(positive)))
+
+
+def _cached_zoom(in_len: int, factor: int, cols: int):
+    return _CONSTS.cached(
+        ("feat-zoom", in_len, factor, cols),
+        lambda: jax.device_put(
+            np.ascontiguousarray(_zoom_matrix_folded(in_len, factor)[:, :cols].T)),
+    )
+
+
+def _cached_i32(tag: str, values: np.ndarray):
+    key = (tag,) + tuple(int(v) for v in values)
+    return _CONSTS.cached(key, lambda: jax.device_put(values.astype(np.int32)))
+
+
+def _encode_bucket_residue(residue: np.ndarray):
+    """(enc, padded_codes_or_f32, dict, cols) via the PCM path's compactor."""
+    enc, data, d, cols = _encode_residue(residue)
+    b = residue.shape[0]
+    b_pad = _pad32(b)
+    out = np.zeros((b_pad,) + data.shape[1:], dtype=data.dtype)
+    out[:b] = data
+    return enc, out, d, cols
+
+
+def _decode_residue_device(bsig: _BucketSig, res_arg):
+    """Undo _encode_residue on device -> [B_pad, C_r, cols] f32."""
+    if bsig.res_enc == "f32":
+        return res_arg
+    codes, res_dict = res_arg
+    if bsig.res_enc == "p4":
+        codes = _unpack4(codes, bsig.res_cols)
+    elif bsig.res_enc == "p6":
+        codes = _unpack6(codes, bsig.res_cols)
+    codes = codes.astype(jnp.int32)
+    if bsig.res_enc == "u8g":
+        slab = jnp.arange(codes.shape[0], dtype=jnp.int32) // _DICT_SLAB
+        codes = codes + (slab * 256)[:, None, None]
+    return jnp.take(res_dict, codes, axis=0)
+
+
+# ------------------------------------------------------------- device impl --
+
+def _rows_floor_bucket(bsig: _BucketSig, ys, flags, consts, table,
+                       include: bool, out: int, codes: bool):
+    """One bucket's candidate rows [B_pad * C, out] for the floor kinds.
+
+    ``codes=True`` emits u16 value-table codes instead of float32 (0 = 0.0,
+    1 + v = normalize(v), 1022 + f = floor f's number column) — every value
+    of a pure floor-kind row is one of <=1278 possibilities, so shipping
+    codes halves the device->host transfer and the host's np.take decode
+    stays bit-exact.
+    """
+    rows_ch = []
+    b = ys.shape[0]
+    for ch, cs in enumerate(bsig.chans):
+        ys_ch = jax.lax.dynamic_slice_in_dim(ys, cs.pts_off, cs.pts, axis=1)
+        if cs.rendered:
+            xs_sorted, sorted_idx, pmap, x_pos = consts[ch]
+            fl_ch = jax.lax.dynamic_slice_in_dim(flags, cs.pts_off, cs.pts,
+                                                 axis=1)
+            vals = render_floor_curve_int(
+                ys_ch, fl_ch, xs_sorted=xs_sorted, sorted_idx=sorted_idx,
+                pmap=pmap, multiplier=cs.mult, x_pos=x_pos,
+            )[:, : cs.l]
+        else:
+            vals = ys_ch.astype(jnp.int32)[:, : cs.l] * cs.mult
+        vals = jnp.clip(vals, 0, 1020)
+        if codes:
+            vals_f = vals + 1
+            c0 = jnp.full((b, 1), np.int32(1022 + cs.col0_code), jnp.int32)
+            zero = jnp.zeros((b, 1), jnp.int32)
+        else:
+            vals_f = jnp.take(table, vals, axis=0)
+            c0 = jnp.full((b, 1), np.float32(cs.col0), jnp.float32)
+            zero = jnp.zeros((b, 1), jnp.float32)
+        pieces = []
+        if include:
+            pieces.append(c0)
+        pieces.append(vals_f)
+        pad = out - (1 if include else 0) - cs.l
+        if pad:
+            pieces.append(jnp.broadcast_to(zero, (b, pad)))
+        rows_ch.append(jnp.concatenate(pieces, axis=1))
+    rows = jnp.stack(rows_ch, axis=1).reshape(b * len(bsig.chans), out)
+    return rows.astype(jnp.uint16) if codes else rows
+
+
+def _feat_impl(sig: _FeatSig, bucket_args, bucket_consts, row_src, table,
+               extra):
+    out = sig.out
+    if sig.family in ("floor", "concat"):
+        allrows = [
+            _rows_floor_bucket(bsig, args[0], args[1], consts, table,
+                               sig.include, out, sig.codes)
+            for bsig, args, consts in zip(sig.buckets, bucket_args,
+                                          bucket_consts)
+        ]
+        allrows.append(jnp.zeros((1, out),
+                                 jnp.uint16 if sig.codes else jnp.float32))
+        rows = jnp.concatenate(allrows, axis=0)[row_src]  # [R_pad + 1, out]
+        if sig.family == "concat":
+            # after_residue append: log1p(|res0|)*0.1 -> zoom(0.5) -> shifted
+            # assignment into the frame's last emitted row
+            # (extract.py:151-168).  Formulated as a per-row GATHER (each row
+            # has at most one appending frame, host-precomputed) — a
+            # scatter-add here trips an XLA:TPU fusion-emitter check.
+            row_vsrc, row_off, row_zl = extra[-1]
+            zmax = max(b.zoom_l for b in sig.buckets)
+            vals_all = []
+            for bsig, args, (zoom_t,) in zip(sig.buckets, bucket_args,
+                                             extra[:-1]):
+                res = _decode_residue_device(bsig, args[2])[:, 0, :]
+                l = accurate_log1p(jnp.abs(res)) * np.float32(0.1)
+                vals = jnp.matmul(l, zoom_t, precision=_HIGHEST)  # [B, zoom_l]
+                if bsig.zoom_l < zmax:
+                    vals = jnp.pad(vals, ((0, 0), (0, zmax - bsig.zoom_l)))
+                vals_all.append(vals)
+            vals_all.append(jnp.zeros((1, zmax), jnp.float32))
+            vals_all = jnp.concatenate(vals_all, axis=0)
+            v = vals_all[row_vsrc]                       # [R_pad + 1, zmax]
+            k = jnp.arange(out, dtype=jnp.int32)[None, :]
+            j = k - row_off[:, None]
+            valid = (j >= 0) & (j < row_zl[:, None])
+            contrib = jnp.where(
+                valid,
+                jnp.take_along_axis(v, jnp.clip(j, 0, zmax - 1), axis=1),
+                0.0,
+            )
+            rows = rows + contrib
+        return rows[: sig.r_pad]
+
+    # residue family
+    base = None
+    if sig.base_factor != 0.0 and sig.base_l:
+        basearr = jnp.zeros((sig.t_pad + 1, sig.base_l), jnp.float32)
+        for bsig, args, consts, ex in zip(sig.buckets, bucket_args,
+                                          bucket_consts, extra):
+            cand = bsig.base_cand
+            if not cand:
+                continue
+            ys, flags = args[0], args[1]
+            winner, frame_ids = ex["base_winner"], ex["base_frames"]
+            curves = []
+            for ch in cand:
+                cs = bsig.chans[ch]
+                xs_sorted, sorted_idx, pmap, x_pos = consts[ch]
+                ys_ch = jax.lax.dynamic_slice_in_dim(ys, cs.pts_off, cs.pts, 1)
+                fl_ch = jax.lax.dynamic_slice_in_dim(flags, cs.pts_off, cs.pts,
+                                                     1)
+                c = render_floor_curve_int(
+                    ys_ch, fl_ch, xs_sorted=xs_sorted, sorted_idx=sorted_idx,
+                    pmap=pmap, multiplier=cs.mult, x_pos=x_pos)
+                curves.append(jnp.take(table, jnp.clip(c, 0, table.shape[0] - 1),
+                                       axis=0))
+            stacked = jnp.stack(curves, axis=1)  # [B, K, L]
+            win = jnp.take_along_axis(
+                stacked, jnp.maximum(winner, 0)[:, None, None], axis=1
+            )[:, 0, :]
+            basearr = basearr.at[frame_ids].set(win)
+        base = basearr
+
+    out_rows = [jnp.zeros((1, out), jnp.float32)]
+    for bsig, args, consts, ex in zip(sig.buckets, bucket_args, bucket_consts,
+                                      extra):
+        if not bsig.gated:
+            continue
+        res = _decode_residue_device(bsig, args[2])  # [B, C, cols]
+        b, c, cols = res.shape
+        res = jnp.concatenate([res, jnp.zeros((b, c, 1), res.dtype)], axis=2)
+        sel = ex["sel"]  # [L] clipped to cols sentinel
+        selected = res[:, :, sel]  # [B, C, L]
+        if sig.log1p:
+            selected = accurate_log1p(jnp.abs(selected))
+        if base is not None:
+            fb = base[ex["src_frame"]]  # [B, L]
+            has = (ex["src_frame"] < sig.t_pad)[:, None, None]
+            if sig.log1p:
+                weighted = selected + (fb * np.float32(sig.base_factor))[:, None, :]
+            else:
+                weighted = selected * accurate_exp(
+                    (fb - 1.0) * np.float32(sig.base_factor))[:, None, :]
+            selected = jnp.where(has, weighted, selected)
+        if sig.scale != 1.0:
+            selected = selected * np.float32(sig.scale)
+        if sig.clip:
+            selected = jnp.clip(selected, -np.float32(sig.clip),
+                                np.float32(sig.clip))
+        pad = out - selected.shape[2]
+        if pad:
+            selected = jnp.pad(selected, ((0, 0), (0, 0), (0, pad)))
+        out_rows.append(selected.reshape(b * c, out))
+    rows = jnp.concatenate(out_rows, axis=0)[row_src]
+    return rows[: sig.r_pad]
+
+
+@functools.lru_cache(maxsize=256)
+def _get_feat_fn(sig: _FeatSig):
+    setup_jax()
+
+    def fn(bucket_args, bucket_consts, row_src, table, extra):
+        return _feat_impl(sig, bucket_args, bucket_consts, row_src, table,
+                          extra)
+
+    return jax.jit(fn)
+
+
+# ------------------------------------------------------------- the planner --
+
+_FLOOR_KINDS = ("floor_final_ys", "floor_final_ys_rendered",
+                "floor_final_ys_rendered_concat_residue")
+_RESIDUE_KINDS = ("residue_ys", "residue_ys_with_floor")
+
+
+def _plan_floor(p, output_dim: int, kind: str, include_floor_number,
+                only_biggest_floor, sorted_xs, upscale_xs_factor,
+                xs_from_biggest_floor, floor_always_positive, verbose=0):
+    """Build the device plan for the read_floor_ys kinds.
+
+    Mirrors extract.py:64-169 exactly; every branch cites the matching host
+    extractor behavior.
+    """
+    if only_biggest_floor:
+        assert include_floor_number in (None, False)
+        include_floor_number = False
+    if include_floor_number is None:
+        include_floor_number = True
+    multipliers, floor_xs, floor_xs_up, floor_xs_raw = _floor_setup(
+        p, sorted_xs, upscale_xs_factor)
+    num_floors = len(floor_xs)
+    biggest = max(range(num_floors), key=lambda i: len(floor_xs[i]))
+    dim = output_dim - (1 if include_floor_number else 0)
+    rendered = kind in ("floor_final_ys_rendered",
+                        "floor_final_ys_rendered_concat_residue")
+    concat = kind == "floor_final_ys_rendered_concat_residue"
+    xs_list = floor_xs_up if floor_xs_up else floor_xs
+
+    t_total = len(p.mode_idx)
+    c = p.channels
+    mode_ids = sorted(set(p.mode_idx.tolist()))
+    buckets: Dict[int, _BucketPlan] = {}
+    decoded_global = np.zeros((t_total, c), dtype=bool)
+    pos_global = np.zeros(t_total, dtype=np.int64)
+    mode_off: Dict[int, int] = {}
+    mode_fnums: Dict[int, np.ndarray] = {}
+    off_acc = 0
+
+    for m in mode_ids:
+        bp = _BucketPlan()
+        ids = np.nonzero(p.mode_idx == m)[0]
+        n = int(p.frame_n[ids[0]])
+        half = n // 2
+        fnums = p.mode_floor_numbers(m)
+        mode_fnums[m] = fnums
+        for f in fnums:
+            assert 0 <= int(f) < num_floors  # extract.py:105 parity
+        pts = [len(floor_xs[int(f)]) for f in fnums]
+        total_pts = int(sum(pts))
+        b = len(ids)
+        b_pad = _pad32(b)
+
+        decoded, _used = p.export_flags(ids)
+        decoded_global[ids] = decoded
+        pos_global[ids] = np.arange(b)
+        mode_off[m] = off_acc
+        off_acc += b_pad * c
+
+        ys, flags = p.export_floor_ys_flags(ids, total_pts)
+        ys_p = np.zeros((b_pad, total_pts), dtype=np.uint8)
+        ys_p[:b] = ys
+        fl_p = np.zeros((b_pad, total_pts), dtype=np.uint8)
+        fl_p[:b] = flags
+
+        chans = []
+        consts = []
+        poff = 0
+        for ch in range(c):
+            fnum = int(fnums[ch])
+            mult = multipliers[fnum]
+            col0 = float(np.float32((fnum + 1.0) / num_floors - 0.5))
+            if rendered:
+                # the "floor1 floor" tap is the FULL-window rendered curve
+                # (length n, reference ParseOggVorbis.hpp:574-585), so the
+                # host extractor's len(data) here is n, not n/2
+                if xs_from_biggest_floor:
+                    xs = xs_list[biggest]
+                    if biggest != fnum:
+                        factor = int(round(float(max(floor_xs[biggest]))
+                                           / float(max(floor_xs[fnum]))))
+                        xs = xs // factor
+                    # host quirk: clips against the current entry's length
+                    xs = np.clip(xs, 0, n - 1)
+                else:
+                    xs = xs_list[fnum]
+                    if len(xs) and int(xs.max()) >= n:
+                        # numpy fancy-index parity (extract.py:141)
+                        raise IndexError(
+                            "floor xs %d out of bounds for rendered curve "
+                            "of length %d" % (int(xs.max()), n))
+                sel = xs[:dim].astype(np.int64)
+                l = len(sel)
+                consts.append(_render_consts(
+                    tuple(int(x) for x in floor_xs_raw[fnum]), sel))
+            else:
+                l = min(pts[ch], dim)
+                consts.append(None)
+            chans.append(_ChanSig(l=l, mult=mult, col0=col0,
+                                  rendered=rendered, pts_off=poff,
+                                  pts=pts[ch], col0_code=fnum))
+            poff += pts[ch]
+
+        bsig_kwargs = {}
+        bargs = [ys_p, fl_p]
+        if concat:
+            res0 = p.export_residues(ids, n, 0, 1)
+            enc, data, d, cols = _encode_bucket_residue(res0)
+            # recent at after_residue time = last channel's floor number
+            recent_after = int(fnums[c - 1])
+            factor = 1
+            if xs_from_biggest_floor and biggest != recent_after:
+                factor = int(round(float(max(floor_xs[biggest]))
+                                   / float(max(floor_xs[recent_after]))))
+            zoom_l = _zoom_matrix_np(half).shape[0]
+            bsig_kwargs = dict(res_enc=enc, dict_size=0 if d is None else len(d),
+                               res_cols=cols, res_chans=1, zoom_l=zoom_l)
+            bargs.append((data, d) if d is not None else data)
+            bp.zoom_t = _cached_zoom(half, factor, cols)
+            bp.recent_after = recent_after
+        bp.sig = _BucketSig(n=n, b_pad=b_pad, total_pts=total_pts,
+                            chans=tuple(chans), **bsig_kwargs)
+        bp.ids = ids
+        bp.args = tuple(bargs)
+        bp.consts = tuple(consts)
+        buckets[m] = bp
+
+    # emission mask + global row order (frame-major, channel-minor)
+    fnum_arr = np.zeros((t_total, c), dtype=np.int64)
+    for m in mode_ids:
+        fnum_arr[buckets[m].ids] = mode_fnums[m]
+    emit = decoded_global.copy()
+    if only_biggest_floor:
+        emit &= fnum_arr == biggest
+    flat_emit = emit.reshape(-1)
+    emit_tc = np.nonzero(flat_emit)[0]
+    r = len(emit_tc)
+    r_pad = max(_ROW_BUCKET, -(-r // _ROW_BUCKET) * _ROW_BUCKET)
+    trash_src = off_acc
+    row_src = np.full(r_pad + 1, trash_src, dtype=np.int64)
+    ts, chs = emit_tc // c, emit_tc % c
+    mode_off_arr = np.zeros(max(mode_ids) + 1, dtype=np.int64)
+    for m in mode_ids:
+        mode_off_arr[m] = mode_off[m]
+    row_src[:r] = mode_off_arr[p.mode_idx[ts]] + pos_global[ts] * c + chs
+
+    extra: List = [None] * len(mode_ids)
+    if concat:
+        # offset/target state machine (extract.py:151-168): rendered rows set
+        # offset_dim = base + L; the first after_residue entry with a live
+        # offset appends to the last emitted row and zeroes the offset.
+        # Encoded per ROW (each row has at most one appending frame) so the
+        # device applies it as a gather.
+        base_col = 1 if include_floor_number else 0
+        voff = {}
+        acc = 0
+        for m in mode_ids:
+            voff[m] = acc
+            acc += buckets[m].sig.b_pad
+        row_vsrc = np.full(r_pad + 1, acc, dtype=np.int64)  # acc = trash
+        row_off = np.zeros(r_pad + 1, dtype=np.int64)
+        row_zl = np.zeros(r_pad + 1, dtype=np.int64)
+        last_row = -1
+        off = 0
+        l_by_mode = {m: np.array([cs.l for cs in buckets[m].sig.chans])
+                     for m in mode_ids}
+        for t in range(t_total):
+            m = int(p.mode_idx[t])
+            em = emit[t]
+            if em.any():
+                last_row += int(em.sum())
+                last_ch = int(np.nonzero(em)[0][-1])
+                off = base_col + int(l_by_mode[m][last_ch])
+            gate = ((not only_biggest_floor)
+                    or buckets[m].recent_after == biggest)
+            if gate and off != 0:
+                assert last_row >= 0
+                assert output_dim >= off  # extract.py:156 parity
+                row_vsrc[last_row] = voff[m] + int(pos_global[t])
+                row_off[last_row] = off
+                row_zl[last_row] = buckets[m].sig.zoom_l
+                off = 0
+        extra = [(buckets[m].zoom_t,) for m in mode_ids]
+        extra.append((row_vsrc.astype(np.int32), row_off.astype(np.int32),
+                      row_zl.astype(np.int32)))
+
+    sig = _FeatSig(
+        family="concat" if concat else "floor", out=output_dim, r_pad=r_pad,
+        t_pad=0, include=include_floor_number,
+        positive=bool(floor_always_positive),
+        buckets=tuple(buckets[m].sig for m in mode_ids),
+        codes=not concat,
+    )
+    ext = None
+    if sig.codes:
+        col0s = np.array([(f + 1.0) / num_floors - 0.5
+                          for f in range(num_floors)], dtype=np.float32)
+        ext = np.concatenate([np.zeros(1, np.float32),
+                              _norm_table(bool(floor_always_positive)),
+                              col0s])
+    return (sig, tuple(buckets[m].args for m in mode_ids),
+            tuple(buckets[m].consts for m in mode_ids),
+            row_src.astype(np.int32), tuple(extra), r, ext)
+
+
+def _plan_residue(p, output_dim: int, kind: str, scale, clip_abs_max,
+                  log1p_abs_space, sorted_xs, ignore_xs, floor_base_factor):
+    """Device plan for read_residue_ys (extract.py:171-230)."""
+    multipliers, floor_xs, _, floor_xs_raw = _floor_setup(p, sorted_xs, 1)
+    floor_xs = [xs.astype(np.int64) for xs in floor_xs]
+    num_floors = len(floor_xs)
+    biggest = max(range(num_floors), key=lambda i: len(floor_xs[i]))
+    with_floor = kind == "residue_ys_with_floor" and floor_base_factor != 0
+
+    t_total = len(p.mode_idx)
+    c = p.channels
+    t_pad = _pad32(t_total)
+    mode_ids = sorted(set(p.mode_idx.tolist()))
+    buckets: Dict[int, _BucketPlan] = {}
+    mode_off: Dict[int, int] = {}
+    off_acc = 1  # row 0 of the concat is the trash row
+    pos_global = np.zeros(t_total, dtype=np.int64)
+    gate_by_mode: Dict[int, bool] = {}
+    base_l = None
+    winner_global = np.full(t_total, -1, dtype=np.int64)
+
+    for m in mode_ids:
+        bp = _BucketPlan()
+        ids = np.nonzero(p.mode_idx == m)[0]
+        n = int(p.frame_n[ids[0]])
+        half = n // 2
+        fnums = p.mode_floor_numbers(m)
+        for f in fnums:
+            assert 0 <= int(f) < num_floors
+        b = len(ids)
+        b_pad = _pad32(b)
+        pos_global[ids] = np.arange(b)
+
+        recent = int(fnums[c - 1])  # floor_number state at after_residue time
+        gate = recent == biggest
+        gate_by_mode[m] = gate
+
+        if ignore_xs:
+            idxs = np.arange(half, dtype=np.int64)[:output_dim]
+        else:
+            idxs = np.clip(floor_xs[recent][:output_dim], 0, half - 1)
+            if gate:
+                # extract.py:210 parity: selected must cover the floor's xs
+                assert len(idxs) == len(floor_xs[recent])
+        l = len(idxs)
+
+        res = p.export_residues(ids, n)
+        enc, data, d, cols = _encode_bucket_residue(res)
+        sel = np.minimum(idxs, cols)  # col `cols` is the appended zero column
+        pts = [len(floor_xs[int(f)]) for f in fnums]
+        total_pts = int(sum(pts))
+        ys, flags = p.export_floor_ys_flags(ids, total_pts)
+        ys_p = np.zeros((b_pad, total_pts), dtype=np.uint8)
+        ys_p[:b] = ys
+        fl_p = np.zeros((b_pad, total_pts), dtype=np.uint8)
+        fl_p[:b] = flags
+
+        chans = []
+        consts = []
+        poff = 0
+        base_cand = []
+        for ch in range(c):
+            fnum = int(fnums[ch])
+            chans.append(_ChanSig(l=l, mult=multipliers[fnum], col0=0.0,
+                                  rendered=True, pts_off=poff, pts=pts[ch]))
+            if with_floor and fnum == biggest:
+                base_cand.append(ch)
+                # "floor1 floor" entries are full-window curves (length n),
+                # so the host clips their selection against n, not n/2
+                consts.append(_render_consts(
+                    tuple(int(x) for x in floor_xs_raw[fnum]),
+                    np.clip(floor_xs[biggest][:output_dim], 0, n - 1)))
+            else:
+                consts.append(None)
+            poff += pts[ch]
+
+        ex = {"sel": _cached_i32("feat-sel", sel)}
+        if with_floor and base_cand:
+            decoded, _ = p.export_flags(ids)
+            cand_dec = decoded[:, base_cand]  # [B, K]
+            has = cand_dec.any(axis=1)
+            winner = np.where(
+                has, cand_dec.shape[1] - 1 - np.argmax(cand_dec[:, ::-1],
+                                                       axis=1), -1)
+            winner_global[ids[has]] = ids[has]
+            win_p = np.full(b_pad, -1, dtype=np.int64)
+            win_p[:b] = winner
+            frames_p = np.full(b_pad, t_pad, dtype=np.int64)
+            frames_p[:b] = np.where(winner >= 0, ids, t_pad)
+            ex["base_winner"] = win_p.astype(np.int32)
+            ex["base_frames"] = frames_p.astype(np.int32)
+            bl = len(np.clip(floor_xs[biggest][:output_dim], 0, half - 1))
+            if base_l is None:
+                base_l = bl
+            elif base_l != bl:
+                raise DeviceFeaturesUnsupported(
+                    "mixed floor_base lengths across modes")
+        bp.sig = _BucketSig(n=n, b_pad=b_pad, total_pts=total_pts,
+                            chans=tuple(chans), res_enc=enc,
+                            dict_size=0 if d is None else len(d),
+                            res_cols=cols, res_chans=c, gated=gate, sel_l=l,
+                            base_cand=tuple(base_cand)
+                            if (with_floor and base_cand) else ())
+        bp.ids = ids
+        bp.args = (ys_p, fl_p, (data, d) if d is not None else data)
+        bp.consts = tuple(consts)
+        bp.extra = ex
+        if gate:
+            mode_off[m] = off_acc
+            off_acc += b_pad * c
+        buckets[m] = bp
+
+    if with_floor and base_l is not None:
+        # floor_base carries across frames (extract.py:183-219): weight each
+        # frame with the most recent frame that produced a base
+        src = np.maximum.accumulate(winner_global)
+        for m in mode_ids:
+            if not gate_by_mode[m]:
+                continue
+            ids = buckets[m].ids
+            s = src[ids]
+            s_p = np.full(buckets[m].sig.b_pad, t_pad, dtype=np.int64)
+            s_p[: len(ids)] = np.where(s >= 0, s, t_pad)
+            buckets[m].extra["src_frame"] = s_p.astype(np.int32)
+    else:
+        base_l = 0
+        with_floor = False
+
+    # row order: gated frames emit one row per channel, (t asc, ch asc)
+    gate_t = np.array([gate_by_mode[int(p.mode_idx[t])]
+                       for t in range(t_total)], dtype=bool)
+    ts = np.nonzero(gate_t)[0]
+    r = len(ts) * c
+    r_pad = max(_ROW_BUCKET, -(-r // _ROW_BUCKET) * _ROW_BUCKET)
+    row_src = np.zeros(r_pad + 1, dtype=np.int64)  # 0 = trash row
+    if r:
+        mode_off_arr = np.zeros(max(mode_ids) + 1, dtype=np.int64)
+        for m in mode_off:
+            mode_off_arr[m] = mode_off[m]
+        src = mode_off_arr[p.mode_idx[ts]]
+        base_idx = (src + pos_global[ts] * c)[:, None] + np.arange(c)[None, :]
+        row_src[:r] = base_idx.reshape(-1)
+
+    sig = _FeatSig(
+        family="residue", out=output_dim, r_pad=r_pad, t_pad=t_pad,
+        include=False, positive=False,
+        buckets=tuple(buckets[m].sig for m in mode_ids),
+        log1p=bool(log1p_abs_space), scale=float(scale),
+        clip=float(clip_abs_max or 0.0),
+        base_factor=float(floor_base_factor) if with_floor else 0.0,
+        base_l=int(base_l),
+    )
+    return (sig, tuple(buckets[m].args for m in mode_ids),
+            tuple(buckets[m].consts for m in mode_ids),
+            row_src.astype(np.int32),
+            tuple(buckets[m].extra for m in mode_ids), r)
+
+
+# ------------------------------------------------------------- public API --
+
+class _PyAdapter:
+    """Device-feature access for the pure-Python front-end (StreamFrames)."""
+
+    def __init__(self, sf):
+        self.sf = sf
+        self.mode_idx = sf.mode_idx
+        self.frame_n = sf.frame_n
+        self.channels = sf.channels
+
+    def floor1_info(self):
+        return self.sf.floors
+
+    def mode_floor_numbers(self, m):
+        return self.sf.mode_floor_numbers[m]
+
+    def export_floor_ys_flags(self, ids, total_pts):
+        return self.sf.exporter_ys(ids, total_pts)
+
+    def export_flags(self, ids):
+        n = int(self.sf.frame_n[ids[0]])
+        _, decoded, used, _ = self.sf.exporter(ids, n)
+        return decoded, used
+
+    def export_residues(self, ids, n, ch0=0, ch1=0):
+        if ch1 <= 0:
+            ch1 = self.sf.channels
+        _, _, _, residue = self.sf.exporter(ids, n)
+        return np.ascontiguousarray(residue[:, ch0:ch1])
+
+
+class PendingFeatures:
+    """In-flight async device feature extraction for one stream.
+
+    ``ext`` decodes u16 value-table rows (pure floor kinds) back to the
+    bit-exact float32 matrix with one host np.take.
+    """
+
+    def __init__(self, rows, r: int, ext: Optional[np.ndarray] = None):
+        self.rows = rows
+        self.r = r
+        self.ext = ext
+
+    def prefetch(self):
+        try:
+            self.rows.copy_to_host_async()
+        except Exception:
+            pass
+
+    def fetch(self) -> np.ndarray:
+        rows = np.asarray(self.rows)[: self.r]
+        if self.ext is not None:
+            rows = np.take(self.ext, rows)
+        return rows
+
+
+_FLOOR_DEFAULTS = dict(include_floor_number=None, only_biggest_floor=False,
+                       sorted_xs=False, upscale_xs_factor=1,
+                       xs_from_biggest_floor=False,
+                       floor_always_positive=False, verbose=0)
+_RESIDUE_DEFAULTS = dict(scale=1.0, clip_abs_max=None, log1p_abs_space=False,
+                         sorted_xs=False, ignore_xs=False,
+                         floor_base_factor=1)
+
+
+def launch_features_device(parsed, output_dim: int,
+                           kind: str = "floor_final_ys",
+                           **kwargs) -> PendingFeatures:
+    """Launch the device feature computation for one parsed stream (async).
+
+    ``parsed`` is a NativeParsed (native front-end) or StreamFrames (the
+    pure-Python front-end, adapted).  Unknown kwargs raise TypeError like
+    the host extractor's signature would.
+    """
+    from ..runtime.batch import StreamFrames
+
+    if isinstance(parsed, StreamFrames):
+        parsed = _PyAdapter(parsed)
+    if kind in _FLOOR_KINDS:
+        opts = dict(_FLOOR_DEFAULTS)
+        bad = set(kwargs) - set(opts)
+        if bad:
+            raise TypeError("unexpected kwargs %s" % sorted(bad))
+        opts.update(kwargs)
+        sig, bargs, bconsts, row_src, extra, r, ext = _plan_floor(
+            parsed, output_dim, kind, **opts)
+        table = _cached_table(bool(opts["floor_always_positive"]))
+    elif kind in _RESIDUE_KINDS:
+        opts = dict(_RESIDUE_DEFAULTS)
+        bad = set(kwargs) - set(opts)
+        if bad:
+            raise TypeError("unexpected kwargs %s" % sorted(bad))
+        opts.update(kwargs)
+        sig, bargs, bconsts, row_src, extra, r = _plan_residue(
+            parsed, output_dim, kind, **opts)
+        ext = None
+        table = _cached_table(True)  # curve / 255.0 for floor_base
+    else:
+        raise ValueError("invalid kind %r" % (kind,))
+
+    fn = _get_feat_fn(sig)
+    rows = fn(bargs, bconsts, row_src, table, extra)
+    in_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(
+        (bargs, row_src)) if hasattr(x, "nbytes"))
+    TRANSFER_STATS.add(in_bytes, rows.nbytes)
+    pending = PendingFeatures(rows, r, ext)
+    pending.prefetch()
+    return pending
+
+
+def get_features_device(raw_bytes: bytes, output_dim: int,
+                        kind: str = "floor_final_ys", **kwargs) -> np.ndarray:
+    """Features for one file, computed on the device (first logical stream,
+    matching features.batched.get_features)."""
+    from ..native import frontend as native
+    from ..runtime.batch import parse_stream_python
+
+    if native.available():
+        parsed = native.parse_stream_native(raw_bytes)
+    else:
+        parsed = parse_stream_python(raw_bytes)
+    return launch_features_device(parsed, output_dim, kind, **kwargs).fetch()

@@ -79,6 +79,14 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.pov_export_flags.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.pov_export_residues.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ]
         lib.pov_export_curves_full.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
@@ -151,6 +159,28 @@ class NativeParsed:
             residue.ctypes.data,
         )
         return curve, decoded.astype(bool), used.astype(bool), residue
+
+    def export_flags(self, frame_ids: np.ndarray):
+        """Floor decode flags only: (decoded, used) bool [B, C] each."""
+        lib = _load()
+        ids = np.ascontiguousarray(frame_ids, dtype=np.int64)
+        decoded = np.empty((len(ids), self.channels), dtype=np.uint8)
+        used = np.empty((len(ids), self.channels), dtype=np.uint8)
+        lib.pov_export_flags(self._handle, ids.ctypes.data, len(ids),
+                             decoded.ctypes.data, used.ctypes.data)
+        return decoded.astype(bool), used.astype(bool)
+
+    def export_residues(self, frame_ids: np.ndarray, n: int,
+                        ch0: int = 0, ch1: int = 0) -> np.ndarray:
+        """Residue spectra [B, ch1-ch0, n/2] f32 for channels [ch0, ch1)."""
+        lib = _load()
+        if ch1 <= 0:
+            ch1 = self.channels
+        ids = np.ascontiguousarray(frame_ids, dtype=np.int64)
+        out = np.empty((len(ids), ch1 - ch0, n // 2), dtype=np.float32)
+        lib.pov_export_residues(self._handle, ids.ctypes.data, len(ids),
+                                ch0, ch1, out.ctypes.data)
+        return out
 
     def export_curves_full(self, frame_ids: np.ndarray, n: int) -> np.ndarray:
         """Full-window integer floor curves [B, C, n] u8 (feature path)."""

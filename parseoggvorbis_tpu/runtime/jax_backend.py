@@ -52,8 +52,10 @@ def render_floor_curve_int(
     *,
     xs_sorted: jnp.ndarray,    # [P] int32 — static floor xs, ascending
     sorted_idx: jnp.ndarray,   # [P] int32 — entry order -> sorted order gather
-    pmap: jnp.ndarray,         # [half] int32 — bin -> sorted segment index
+    pmap: jnp.ndarray,         # [L] int32 — eval position -> sorted segment idx
     multiplier: int,
+    x_pos: Optional[jnp.ndarray] = None,  # [L] int32 eval positions
+                                          # (default arange(len(pmap)))
 ) -> jnp.ndarray:
     """Device-side floor-1 curve synthesis (spec 7.2.4 step 2), int-exact.
 
@@ -62,6 +64,11 @@ def render_floor_curve_int(
     points (cummax/cummin over the point axis) and evaluates the closed-form
     Bresenham line y0 + sign*(|dy|*(x-x0))//dx in int32.  Matches the host
     renderer bit-for-bit (see tests).
+
+    ``x_pos`` evaluates the curve at arbitrary bin positions instead of the
+    dense 0..half-1 grid (the feature path samples the floor at its xs
+    points only); ``pmap`` must then map each position to its sorted
+    segment (searchsorted(xs_sorted, x_pos, 'right') - 1).
     """
     p = xs_sorted.shape[0]
     half = pmap.shape[0]
@@ -81,7 +88,10 @@ def render_floor_curve_int(
     valid = hi < p
     hi_c = jnp.minimum(hi, p - 1)
 
-    x = jnp.arange(half, dtype=jnp.int32)[None, :]
+    if x_pos is None:
+        x = jnp.arange(half, dtype=jnp.int32)[None, :]
+    else:
+        x = x_pos.astype(jnp.int32)[None, :]
     x0 = xs_sorted[li]
     x1 = xs_sorted[hi_c]
     y0 = jnp.take_along_axis(ys_s, li, axis=1)

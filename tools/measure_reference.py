@@ -64,9 +64,19 @@ def main():
                            stdout=subprocess.DEVNULL)
         wall = time.perf_counter() - t0
         best = wall if best is None else min(best, wall)
+    rtf = total_audio / best
     print("corpus: %d files, %.2f audio-seconds" % (len(corpus), total_audio))
     print("reference best wall: %.3fs -> RTF %.1fx (single thread, -O2)"
-          % (best, total_audio / best))
+          % (best, rtf))
+    # cache for bench.py: vs_baseline uses this host's own measurement when
+    # present instead of the baked round-2 number
+    import json
+    cache = os.path.join(REPO, ".reference_rtf.json")
+    with open(cache, "w") as f:
+        json.dump({"rtf": round(rtf, 2), "files": len(corpus),
+                   "audio_seconds": round(total_audio, 2),
+                   "measured_unix_time": time.time()}, f)
+    print("cached ->", cache)
 
 
 if __name__ == "__main__":
