@@ -307,15 +307,16 @@ def _decode_residue_device(bsig: _BucketSig, res_arg):
     if bsig.res_enc == "f32":
         return res_arg
     codes, res_dict = res_arg
+    if bsig.res_enc.startswith("g"):
+        from ..runtime.device_decoder import _decode_slab_codes
+
+        return _decode_slab_codes(bsig.res_enc, codes, res_dict,
+                                  bsig.res_cols)
     if bsig.res_enc == "p4":
         codes = _unpack4(codes, bsig.res_cols)
     elif bsig.res_enc == "p6":
         codes = _unpack6(codes, bsig.res_cols)
-    codes = codes.astype(jnp.int32)
-    if bsig.res_enc == "u8g":
-        slab = jnp.arange(codes.shape[0], dtype=jnp.int32) // _DICT_SLAB
-        codes = codes + (slab * 256)[:, None, None]
-    return jnp.take(res_dict, codes, axis=0)
+    return jnp.take(res_dict, codes.astype(jnp.int32), axis=0)
 
 
 # ------------------------------------------------------------- device impl --

@@ -372,12 +372,17 @@ def decode_corpus(
 
     def safe_parse(b):
         """-> list of StreamFrames (one per logical stream) or Exception."""
+        import time
+
+        t0 = time.perf_counter()
         try:
             return parse_streams(b, prefer_native=prefer_native)
         except Exception as exc:
             if strict:
                 raise
             return exc
+        finally:
+            dd.TRANSFER_STATS.event("parse", t0, time.perf_counter(), len(b))
 
     def run(fn, items):
         if host_threads > 1 and len(items) > 1:

@@ -135,8 +135,18 @@ _CONSTS = _DeviceConstants()
 
 
 class _TransferStats:
-    """Process-wide link-traffic counters (observability: the host link is
-    corpus decode's bottleneck, so bytes are the metric that matters)."""
+    """Process-wide link-traffic counters plus a per-dispatch phase timeline
+    (observability: the host link is corpus decode's bottleneck, so bytes
+    and when they move are the metrics that matter).
+
+    Events: ("parse", t0, t1, input_bytes) host symbol pass per blob;
+    ("dispatch", t0, t1, bytes_in) jit call incl. arg transfer enqueue;
+    ("fetch", t0, t1, bytes_out) blocking device->host output read.
+    Ring-buffered at 16k events; phase_summary() reduces them to the wall
+    occupancy of each phase and the overlap between them.
+    """
+
+    _MAX_EVENTS = 16384
 
     def __init__(self) -> None:
         import threading
@@ -145,12 +155,18 @@ class _TransferStats:
         self.bytes_in = 0
         self.bytes_out = 0
         self.dispatches = 0
+        self.events: List[tuple] = []
 
     def add(self, bytes_in: int, bytes_out: int) -> None:
         with self._lock:
             self.bytes_in += bytes_in
             self.bytes_out += bytes_out
             self.dispatches += 1
+
+    def event(self, kind: str, t0: float, t1: float, nbytes: int) -> None:
+        with self._lock:
+            if len(self.events) < self._MAX_EVENTS:
+                self.events.append((kind, t0, t1, nbytes))
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -160,6 +176,44 @@ class _TransferStats:
     def reset(self) -> None:
         with self._lock:
             self.bytes_in = self.bytes_out = self.dispatches = 0
+            self.events = []
+
+    def phase_summary(self) -> dict:
+        """Reduce the event timeline to per-phase wall occupancy.
+
+        ``busy`` is the union length of a phase's intervals (seconds the
+        wall clock had at least one such operation in flight on the host
+        side); ``span`` is last-end minus first-start.  Effective link
+        bandwidth = bytes / busy for the transfer-bound phases.
+        """
+        with self._lock:
+            events = list(self.events)
+        if not events:
+            return {}
+        t_min = min(e[1] for e in events)
+        out = {"wall_span": round(max(e[2] for e in events) - t_min, 4)}
+        for kind in ("parse", "dispatch", "fetch"):
+            ivs = sorted((e[1], e[2]) for e in events if e[0] == kind)
+            if not ivs:
+                continue
+            busy = 0.0
+            cur_s, cur_e = ivs[0]
+            for s, e in ivs[1:]:
+                if s > cur_e:
+                    busy += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            busy += cur_e - cur_s
+            nbytes = sum(e[3] for e in events if e[0] == kind)
+            out[kind] = {
+                "count": len(ivs), "busy_s": round(busy, 4),
+                "span_s": round(max(e[2] for e in events if e[0] == kind)
+                                - ivs[0][0], 4),
+                "bytes": nbytes,
+                "mb_per_s": round(nbytes / busy / 1e6, 1) if busy else None,
+            }
+        return out
 
 
 TRANSFER_STATS = _TransferStats()
@@ -226,16 +280,16 @@ def _decode_stream_impl(
         w_cols = ms.res_cols or ms.n // 2
         if ms.res_enc != "f32":
             codes, res_dict = residue
-            if ms.res_enc == "p4":
-                codes = _unpack4(codes, w_cols)
-            elif ms.res_enc == "p6":
-                codes = _unpack6(codes, w_cols)
-            codes = codes.astype(jnp.int32)
-            if ms.res_enc == "u8g":
+            if ms.res_enc.startswith("g"):
                 # per-slab dictionaries: row b reads dict slab b//_DICT_SLAB
-                slab = jnp.arange(codes.shape[0], dtype=jnp.int32) // _DICT_SLAB
-                codes = codes + (slab * 256)[:, None, None]
-            residue = jnp.take(res_dict, codes, axis=0)
+                residue = _decode_slab_codes(ms.res_enc, codes, res_dict,
+                                             w_cols)
+            else:
+                if ms.res_enc == "p4":
+                    codes = _unpack4(codes, w_cols)
+                elif ms.res_enc == "p6":
+                    codes = _unpack6(codes, w_cols)
+                residue = jnp.take(res_dict, codes.astype(jnp.int32), axis=0)
         if ms.floor_pts:
             ys, flags = floor_data
             curves = []
@@ -349,7 +403,12 @@ class _GroupResult:
     def fetch(self) -> np.ndarray:
         with self._lock:
             if self._host is None:
+                import time
+
+                t0 = time.perf_counter()
                 self._host = np.asarray(self.pcm)
+                TRANSFER_STATS.event("fetch", t0, time.perf_counter(),
+                                     getattr(self.pcm, "nbytes", 0))
             return self._host
 
 
@@ -392,6 +451,28 @@ def _pack4(codes: np.ndarray) -> np.ndarray:
     return (codes[..., 0::2] | (codes[..., 1::2] << 4)).astype(np.uint8)
 
 
+def _pack10(codes: np.ndarray) -> np.ndarray:
+    """Four 10-bit codes per five bytes along the last axis (length %4==0)."""
+    c = codes.reshape(codes.shape[:-1] + (-1, 4)).astype(np.uint32)
+    b0 = c[..., 0] & 255
+    b1 = (c[..., 0] >> 8) | ((c[..., 1] & 63) << 2)
+    b2 = (c[..., 1] >> 6) | ((c[..., 2] & 15) << 4)
+    b3 = (c[..., 2] >> 4) | ((c[..., 3] & 3) << 6)
+    b4 = c[..., 3] >> 2
+    out = np.stack([b0, b1, b2, b3, b4], axis=-1) & 255
+    return out.reshape(codes.shape[:-1] + (-1,)).astype(np.uint8)
+
+
+def _pack12(codes: np.ndarray) -> np.ndarray:
+    """Two 12-bit codes per three bytes along the last axis (length %2==0)."""
+    c = codes.reshape(codes.shape[:-1] + (-1, 2)).astype(np.uint32)
+    b0 = c[..., 0] & 255
+    b1 = (c[..., 0] >> 8) | ((c[..., 1] & 15) << 4)
+    b2 = c[..., 1] >> 4
+    out = np.stack([b0, b1, b2], axis=-1) & 255
+    return out.reshape(codes.shape[:-1] + (-1,)).astype(np.uint8)
+
+
 def _pack6(codes: np.ndarray) -> np.ndarray:
     """Four 6-bit codes per three bytes along the last axis (length %4==0)."""
     c = codes.reshape(codes.shape[:-1] + (-1, 4)).astype(np.uint16)
@@ -417,6 +498,43 @@ def _unpack6(packed: jnp.ndarray, w: int) -> jnp.ndarray:
     c3 = b2 >> 2
     return jnp.stack([c0, c1, c2, c3], axis=-1).reshape(
         packed.shape[:-1] + (w,))
+
+
+def _unpack10(packed: jnp.ndarray, w: int) -> jnp.ndarray:
+    b = packed.reshape(packed.shape[:-1] + (w // 4, 5)).astype(jnp.int32)
+    b0, b1, b2, b3, b4 = (b[..., i] for i in range(5))
+    c0 = b0 | ((b1 & 3) << 8)
+    c1 = (b1 >> 2) | ((b2 & 15) << 6)
+    c2 = (b2 >> 4) | ((b3 & 63) << 4)
+    c3 = (b3 >> 6) | (b4 << 2)
+    return jnp.stack([c0, c1, c2, c3], axis=-1).reshape(
+        packed.shape[:-1] + (w,))
+
+
+def _unpack12(packed: jnp.ndarray, w: int) -> jnp.ndarray:
+    b = packed.reshape(packed.shape[:-1] + (w // 2, 3)).astype(jnp.int32)
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    c0 = b0 | ((b1 & 15) << 8)
+    c1 = (b1 >> 4) | (b2 << 4)
+    return jnp.stack([c0, c1], axis=-1).reshape(packed.shape[:-1] + (w,))
+
+
+_SLAB_UNPACKERS = {"g4": (_unpack4, 4), "g6": (_unpack6, 6),
+                   "g8": (None, 8), "g10": (_unpack10, 10),
+                   "g12": (_unpack12, 12)}
+
+
+def _decode_slab_codes(enc: str, codes: jnp.ndarray, res_dict: jnp.ndarray,
+                       w_cols: int) -> jnp.ndarray:
+    """Per-slab-dictionary decode: unpack w-bit codes, offset each row into
+    its slab's dictionary, gather."""
+    unpack, w = _SLAB_UNPACKERS[enc]
+    if unpack is not None:
+        codes = unpack(codes, w_cols)
+    codes = codes.astype(jnp.int32)
+    slab = jnp.arange(codes.shape[0], dtype=jnp.int32) // _DICT_SLAB
+    codes = codes + (slab * (1 << w))[:, None, None]
+    return jnp.take(res_dict, codes, axis=0)
 
 
 def _encode_residue(residue: np.ndarray):
@@ -459,28 +577,46 @@ def _encode_residue(residue: np.ndarray):
         d[:nu] = uniq
         return "u8", codes.astype(np.uint8), d, res_cols
 
-    # Dense streams (music at moderate quality reaches a few hundred
-    # distinct values stream-wide) still stay under 256 values within a
-    # *slab* of consecutive frames: per-slab u8 dictionaries keep the
-    # dominant transfer at one byte per bin.  Padded batch rows decode
-    # garbage through slab dicts by design — they land in the dropped
-    # trash emission row.
+    # Dense streams (music at moderate quality reaches thousands of
+    # distinct values stream-wide) still stay narrow within a *slab* of
+    # consecutive frames: per-slab dictionaries with codes bit-packed at
+    # the bucket-uniform width w = ceil(log2(max slab uniques)) keep the
+    # dominant transfer at w/8 bytes per bin (w in 4..12).  Padded batch
+    # rows decode garbage through slab dicts by design — they land in the
+    # dropped trash emission row.
     b = trimmed.shape[0]
     b_pad = _pad32(b)
-    nslabs = -(-b_pad // _DICT_SLAB)
-    dicts = np.zeros((nslabs, 256), dtype=np.float32)
-    codes = np.empty(trimmed.shape, dtype=np.uint8)
-    ok = True
-    for s in range(-(-b // _DICT_SLAB)):
-        sl = trimmed[s * _DICT_SLAB : (s + 1) * _DICT_SLAB]
-        u = np.unique(sl)
-        if len(u) > 256:
-            ok = False
-            break
-        dicts[s, : len(u)] = u
-        codes[s * _DICT_SLAB : (s + 1) * _DICT_SLAB] = np.searchsorted(u, sl)
-    if ok:
-        return "u8g", codes, dicts.reshape(-1), res_cols
+    nslabs_pad = -(-b_pad // _DICT_SLAB)
+    nslabs = -(-b // _DICT_SLAB)
+    slab_uniqs = [np.unique(trimmed[s * _DICT_SLAB : (s + 1) * _DICT_SLAB])
+                  for s in range(nslabs)]
+    max_u = max((len(u) for u in slab_uniqs), default=1)
+    if max_u <= 4096:
+        w = next(w for w in (4, 6, 8, 10, 12) if (1 << w) >= max_u)
+        slab_bytes = (b_pad * trimmed.shape[1] * res_cols * w // 8
+                      + nslabs_pad * (1 << w) * 4)
+        u16_bytes = (b_pad * trimmed.shape[1] * res_cols * 2
+                     + (4 << max(9, int(nu - 1).bit_length()))) \
+            if nu <= 65536 else 1 << 62
+        if slab_bytes <= u16_bytes:
+            dicts = np.zeros((nslabs_pad, 1 << w), dtype=np.float32)
+            codes = np.empty(trimmed.shape, dtype=np.uint16)
+            for s, u in enumerate(slab_uniqs):
+                dicts[s, : len(u)] = u
+                codes[s * _DICT_SLAB : (s + 1) * _DICT_SLAB] = \
+                    np.searchsorted(u, trimmed[s * _DICT_SLAB :
+                                               (s + 1) * _DICT_SLAB])
+            if w == 4:
+                data = _pack4(codes)
+            elif w == 6:
+                data = _pack6(codes)
+            elif w == 8:
+                data = codes.astype(np.uint8)
+            elif w == 10:
+                data = _pack10(codes)
+            else:
+                data = _pack12(codes)
+            return "g%d" % w, data, dicts.reshape(-1), res_cols
 
     if nu <= 65536:
         codes16 = np.searchsorted(uniq, trimmed).astype(np.uint16)
@@ -767,14 +903,18 @@ def launch_stream_decode(sf, out_i16: bool = False):
 
 
 def _launch_one(sf, out_i16: bool) -> PendingDecode:
+    import time
+
     sig, mode_args, n_half, nums, n_total, consts = _prepare_stream(
         sf, out_i16)
     imdct_ms, window_stacks, floor_consts = _device_consts(consts)
     fn = _get_stream_fn(sig)
+    t0 = time.perf_counter()
     pcm = fn(mode_args, n_half, nums, imdct_ms, window_stacks,
              _CONSTS.inverse_db, floor_consts)
     in_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(
         (mode_args, n_half, nums)))
+    TRANSFER_STATS.event("dispatch", t0, time.perf_counter(), in_bytes)
     TRANSFER_STATS.add(in_bytes, pcm.nbytes)
     return PendingDecode(pcm, n_total)
 
@@ -814,14 +954,18 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
         for start in range(0, len(idxs), _GROUP_S):
             chunk = idxs[start : start + _GROUP_S]
             if len(chunk) == 1:
+                import time
+
                 i = chunk[0]
                 fn = _get_stream_fn(sig)
+                t0 = time.perf_counter()
                 pcm = fn(prepared[i][1], prepared[i][2], prepared[i][3],
                          imdct_ms, window_stacks, _CONSTS.inverse_db,
                          floor_consts)
-                TRANSFER_STATS.add(sum(x.nbytes for x in
-                                       jax.tree_util.tree_leaves(
-                                           prepared[i][1:4])), pcm.nbytes)
+                in_b = sum(x.nbytes for x in jax.tree_util.tree_leaves(
+                    prepared[i][1:4]))
+                TRANSFER_STATS.event("dispatch", t0, time.perf_counter(), in_b)
+                TRANSFER_STATS.add(in_b, pcm.nbytes)
                 pendings[i] = PendingDecode(pcm, prepared[i][4])
                 continue
             # pad group size to the next power of two (bounded compiles)

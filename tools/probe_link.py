@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Raw host<->device link bandwidth probe.
+
+Measures device_put (h2d) and np.asarray (d2h) of an 8MB float32 buffer,
+N repeats each, and prints one JSON line with best/median MB/s per
+direction.  The corpus-decode bench is link-bound in this environment;
+this probe anchors the bench's phase timeline to the link's actual
+capability at measurement time (the tunnel's mood swings 4-85 MB/s).
+
+Usage: python3 tools/probe_link.py [--mb 8] [--repeats 8]
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=float, default=8.0)
+    ap.add_argument("--repeats", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    n = int(args.mb * 1e6 / 4)
+    host = np.random.RandomState(0).rand(n).astype(np.float32)
+    dev = jax.device_put(host)  # warm
+    jax.block_until_ready(dev)
+
+    h2d, d2h = [], []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        dev = jax.device_put(host)
+        jax.block_until_ready(dev)
+        h2d.append(host.nbytes / (time.perf_counter() - t0) / 1e6)
+        t0 = time.perf_counter()
+        back = np.asarray(dev)
+        d2h.append(back.nbytes / (time.perf_counter() - t0) / 1e6)
+    h2d.sort(), d2h.sort()
+    print(json.dumps({
+        "buffer_mb": args.mb, "repeats": args.repeats,
+        "h2d_mb_per_s_best": round(h2d[-1], 1),
+        "h2d_mb_per_s_p50": round(h2d[len(h2d) // 2], 1),
+        "d2h_mb_per_s_best": round(d2h[-1], 1),
+        "d2h_mb_per_s_p50": round(d2h[len(d2h) // 2], 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
