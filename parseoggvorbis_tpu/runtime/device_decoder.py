@@ -412,6 +412,24 @@ class _GroupResult:
             return self._host
 
 
+class FailedPending:
+    """A per-stream launch failure, deferred to fetch time.
+
+    Group and mesh launchers return one of these instead of poisoning the
+    whole batch; ``fetch()`` re-raises so decode_corpus's strict/isolation
+    semantics are uniform across the per-stream, stacked, and mesh paths.
+    """
+
+    def __init__(self, exc: Exception):
+        self.exc = exc
+
+    def prefetch(self) -> None:
+        pass
+
+    def fetch(self) -> np.ndarray:
+        raise self.exc
+
+
 class PendingDecode:
     """An in-flight async device decode for one stream.
 
@@ -933,20 +951,35 @@ _GROUP_S = int(os.environ.get("POV_GROUP_STREAMS", "1"))
 def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
     """Launch device decodes for many streams, stacking same-signature
     streams into vmapped dispatches of up to _GROUP_S (kills per-call
-    latency while keeping individual transfers modest)."""
+    latency while keeping individual transfers modest).
+
+    Per-stream failures (bad granule accounting, prepare errors, a failed
+    group dispatch) yield a :class:`FailedPending` for that stream only —
+    the rest of the batch decodes (strict-mode callers re-raise at fetch)."""
     pendings: List[Optional[PendingDecode]] = [None] * len(streams)
     # long streams decode individually in bounded chunks
     short_idx = []
     for i, sf in enumerate(streams):
-        if sf.num_frames > _chunk_frames(sf) + 1:
-            pendings[i] = launch_stream_decode(sf, out_i16=out_i16)
-        else:
+        try:
+            long = sf.num_frames > _chunk_frames(sf) + 1
+            if long:
+                pendings[i] = launch_stream_decode(sf, out_i16=out_i16)
+        except Exception as exc:
+            pendings[i] = FailedPending(exc)
+            continue
+        if not long:
             short_idx.append(i)
 
-    prepared_map = {i: _prepare_stream(streams[i], out_i16) for i in short_idx}
+    prepared_map = {}
+    for i in short_idx:
+        try:
+            prepared_map[i] = _prepare_stream(streams[i], out_i16)
+        except Exception as exc:
+            pendings[i] = FailedPending(exc)
     by_sig: Dict[StreamSig, List[int]] = {}
     for i in short_idx:
-        by_sig.setdefault(prepared_map[i][0], []).append(i)
+        if i in prepared_map:
+            by_sig.setdefault(prepared_map[i][0], []).append(i)
     prepared = prepared_map
     for sig, idxs in by_sig.items():
         imdct_ms, window_stacks, floor_consts = _device_consts(
@@ -978,8 +1011,22 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
             stacked_nhalf = np.stack([take(i)[2] for i in range(s_pad)])
             stacked_nums = np.stack([take(i)[3] for i in range(s_pad)])
             fn = _get_stacked_fn(sig, s_pad)
-            pcm = fn(stacked_args, stacked_nhalf, stacked_nums, imdct_ms,
-                     window_stacks, _CONSTS.inverse_db, floor_consts)
+            try:
+                pcm = fn(stacked_args, stacked_nhalf, stacked_nums, imdct_ms,
+                         window_stacks, _CONSTS.inverse_db, floor_consts)
+            except Exception:
+                # a poison member must not take the group down: retry each
+                # stream in its own dispatch and fail only the bad ones
+                fn1 = _get_stream_fn(sig)
+                for i in chunk:
+                    try:
+                        pcm1 = fn1(prepared[i][1], prepared[i][2],
+                                   prepared[i][3], imdct_ms, window_stacks,
+                                   _CONSTS.inverse_db, floor_consts)
+                        pendings[i] = PendingDecode(pcm1, prepared[i][4])
+                    except Exception as exc1:
+                        pendings[i] = FailedPending(exc1)
+                continue
             TRANSFER_STATS.add(
                 sum(x.nbytes for x in jax.tree_util.tree_leaves(
                     (stacked_args, stacked_nhalf, stacked_nums))), pcm.nbytes)
@@ -1094,14 +1141,29 @@ def launch_corpus_decode_mesh(streams, mesh, out_i16: bool = False):
     data_size = mesh.shape.get("data", mesh.size)
     shard_data = NamedSharding(mesh, P("data"))
 
-    per_stream_views = [_chunk_views(sf) for sf in streams]
+    per_stream_views = []
+    failed: Dict[int, Exception] = {}
+    for i, sf in enumerate(streams):
+        try:
+            per_stream_views.append(_chunk_views(sf))
+        except Exception as exc:  # e.g. granule accounting errors
+            per_stream_views.append([])
+            failed[i] = exc
     flat = [(i, k, v) for i, views in enumerate(per_stream_views)
             for k, v in enumerate(views)]
-    prepared = {(i, k): _prepare_stream(v, out_i16) for i, k, v in flat}
+    prepared = {}
+    for i, k, v in flat:
+        if i in failed:
+            continue
+        try:
+            prepared[(i, k)] = _prepare_stream(v, out_i16)
+        except Exception as exc:
+            failed[i] = exc  # whole stream fails; its other chunks skip
 
     by_sig: Dict[StreamSig, List[tuple]] = {}
     for i, k, _ in flat:
-        by_sig.setdefault(prepared[(i, k)][0], []).append((i, k))
+        if i not in failed:
+            by_sig.setdefault(prepared[(i, k)][0], []).append((i, k))
 
     results: Dict[tuple, PendingDecode] = {}
     with mesh:
@@ -1119,8 +1181,23 @@ def launch_corpus_decode_mesh(streams, mesh, out_i16: bool = False):
             stacked_nhalf = jax.device_put(stacked_nhalf, shard_data)
             stacked_nums = jax.device_put(stacked_nums, shard_data)
             fn = _get_stacked_fn(sig, s_pad)
-            pcm = fn(stacked_args, stacked_nhalf, stacked_nums, imdct_ms,
-                     window_stacks, inverse_db, floor_consts)
+            try:
+                pcm = fn(stacked_args, stacked_nhalf, stacked_nums, imdct_ms,
+                         window_stacks, inverse_db, floor_consts)
+            except Exception:
+                # retry members individually (single-device fallback) so a
+                # poison chunk fails only its own stream
+                fn1 = _get_stream_fn(sig)
+                sd_consts = _device_consts(prepared[keys[0]][5])
+                for key in keys:
+                    try:
+                        pcm1 = fn1(prepared[key][1], prepared[key][2],
+                                   prepared[key][3], *sd_consts[:2],
+                                   _CONSTS.inverse_db, sd_consts[2])
+                        results[key] = PendingDecode(pcm1, prepared[key][4])
+                    except Exception as exc1:
+                        failed.setdefault(key[0], exc1)
+                continue
             TRANSFER_STATS.add(
                 sum(x.nbytes for x in jax.tree_util.tree_leaves(
                     (stacked_args, stacked_nhalf, stacked_nums))), pcm.nbytes)
@@ -1131,6 +1208,9 @@ def launch_corpus_decode_mesh(streams, mesh, out_i16: bool = False):
 
     pendings = []
     for i, views in enumerate(per_stream_views):
+        if i in failed:
+            pendings.append(FailedPending(failed[i]))
+            continue
         ps = [results[(i, k)] for k in range(len(views))]
         pendings.append(ps[0] if len(ps) == 1 else _MultiPending(ps))
     for p in pendings:
