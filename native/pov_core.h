@@ -899,12 +899,28 @@ static void dispatch_packet(StreamAccum& sa, const uint8_t* pkt, size_t plen,
 // stream_serial_num, EOS retires the serial — chained and multiplexed
 // files yield one ParsedFile per logical stream, in BOS order.
 // (Reference semantics: OggReader::_read_page, ParseOggVorbis.hpp:1433-1484.)
-static void parse_file_multi(std::vector<ParsedFile>& out, const uint8_t* data,
-                             size_t len) {
+//
+// Structured as a resumable page stepper so the incremental front-end can
+// parse long streams in bounded-memory windows (the reference decodes in
+// O(blocksize) memory via its streaming OggReader, ParseOggVorbis.hpp:
+// 995-1006; this is the batch-tensor equivalent: O(window) host memory).
+struct MultiParser {
+  const uint8_t* data = nullptr;
+  size_t len = 0;
   size_t off = 0;
   std::map<uint32_t, size_t> active;  // serial -> index into accums
   std::deque<StreamAccum> accums;     // deque: stable refs across growth
-  while (off < len) {
+  // Streaming mode: parse audio only for the first Vorbis stream; later
+  // Vorbis streams' pages are consumed and ignored (bounds memory to one
+  // stream's window).
+  bool only_first_vorbis = false;
+  int first_vorbis = -1;  // accum index of the first Vorbis stream
+  bool step();            // process one page; false at end of data
+};
+
+inline bool MultiParser::step() {
+  if (off >= len) return false;
+  {
     POV_CHECK(off + 27 <= len, "truncated page header");
     const uint8_t* h = data + off;
     POV_CHECK(memcmp(h, "OggS", 4) == 0, "bad capture pattern");
@@ -944,6 +960,10 @@ static void parse_file_multi(std::vector<ParsedFile>& out, const uint8_t* data,
       if (!(data_len >= 7 && payload[0] == 1 &&
             memcmp(payload + 1, "vorbis", 6) == 0))
         accums.back().vorbis = false;
+      else if (first_vorbis < 0)
+        first_vorbis = (int)(accums.size() - 1);
+      else if (only_first_vorbis)
+        accums.back().vorbis = false;  // streaming mode: first stream only
     }
     auto it = active.find(serial);
     POV_CHECK(it != active.end(), "page for unknown stream serial");
@@ -951,7 +971,7 @@ static void parse_file_multi(std::vector<ParsedFile>& out, const uint8_t* data,
     if (!sa.vorbis) {
       if (flags & 0x04) active.erase(serial);
       off += 27 + nseg + data_len;
-      continue;
+      return true;
     }
 
     // Packet runs: completion at lacing < 255; a trailing 255-run spans
@@ -1016,7 +1036,17 @@ static void parse_file_multi(std::vector<ParsedFile>& out, const uint8_t* data,
     }
     off += 27 + nseg + data_len;
   }
-  for (auto& sa : accums) {
+  return true;
+}
+
+static void parse_file_multi(std::vector<ParsedFile>& out, const uint8_t* data,
+                             size_t len) {
+  MultiParser mp;
+  mp.data = data;
+  mp.len = len;
+  while (mp.step()) {
+  }
+  for (auto& sa : mp.accums) {
     if (!sa.vorbis) continue;
     POV_CHECK(sa.packet_count >= 3, "no setup packet found");
     out.emplace_back(std::move(sa.pf));

@@ -40,6 +40,102 @@ PovHandle* pov_parse(const uint8_t* data, size_t len, char* err_out,
 
 void pov_free(PovHandle* h) { delete h; }
 
+// ------------------------------------------------- incremental front-end --
+//
+// Bounded-memory parse of long streams: pov_inc_open parses up to the
+// first Vorbis stream's setup, then pov_inc_next fills a window of up to
+// max_frames frames (plus one carried context frame after the first
+// window — its windowed samples seed the next chunk's overlap-add) into a
+// view PovHandle that all the bulk exporters accept unchanged.  Host
+// memory is O(window), matching the reference's O(blocksize) streaming
+// posture (ParseOggVorbis.hpp:995-1006) at batch-tensor granularity.
+// The caller must keep `data` alive for the handle's lifetime.
+
+struct PovIncHandle {
+  pov::MultiParser mp;
+  PovHandle view;        // exporters read the current window through this
+  bool carry_valid = false;
+  pov::Frame carry;      // last frame of the previous window (context)
+  bool opened = false;
+};
+
+static pov::StreamAccum* inc_target(PovIncHandle* h) {
+  if (h->mp.first_vorbis < 0) return nullptr;
+  return &h->mp.accums[h->mp.first_vorbis];
+}
+
+PovIncHandle* pov_inc_open(const uint8_t* data, size_t len, char* err_out,
+                           size_t err_cap) {
+  auto* h = new PovIncHandle();
+  h->mp.data = data;
+  h->mp.len = len;
+  h->mp.only_first_vorbis = true;
+  try {
+    // parse until the first Vorbis stream's setup is complete
+    while (true) {
+      pov::StreamAccum* sa = inc_target(h);
+      if (sa && sa->packet_count >= 3) break;
+      if (!h->mp.step()) break;
+    }
+    pov::StreamAccum* sa = inc_target(h);
+    POV_CHECK(sa != nullptr, "no vorbis stream found");
+    POV_CHECK(sa->packet_count >= 3, "no setup packet found");
+    // one-time copy of the stream metadata + setup into the view
+    h->view.pf.sample_rate = sa->pf.sample_rate;
+    h->view.pf.channels = sa->pf.channels;
+    h->view.pf.blocksize0 = sa->pf.blocksize0;
+    h->view.pf.blocksize1 = sa->pf.blocksize1;
+    h->view.pf.setup = sa->pf.setup;
+    h->opened = true;
+    return h;
+  } catch (const std::exception& e) {
+    if (err_out && err_cap) {
+      strncpy(err_out, e.what(), err_cap - 1);
+      err_out[err_cap - 1] = 0;
+    }
+    delete h;
+    return nullptr;
+  }
+}
+
+// Fill the next window.  Returns the number of frames in the view
+// (including the leading context frame after the first window), 0 at end
+// of stream, or -1 on parse error.
+int64_t pov_inc_next(PovIncHandle* h, int64_t max_frames, char* err_out,
+                     size_t err_cap) {
+  try {
+    pov::StreamAccum* sa = inc_target(h);
+    while ((int64_t)sa->pf.frames.size() < max_frames && h->mp.step()) {
+    }
+    std::vector<pov::Frame>& fresh = sa->pf.frames;
+    if (fresh.empty()) {
+      h->view.pf.frames.clear();
+      return 0;
+    }
+    std::vector<pov::Frame> window;
+    window.reserve(fresh.size() + 1);
+    if (h->carry_valid) window.emplace_back(std::move(h->carry));
+    for (auto& f : fresh) window.emplace_back(std::move(f));
+    fresh.clear();
+    h->carry = window.back();  // copy: next window's context
+    h->carry_valid = true;
+    h->view.pf.frames = std::move(window);
+    return (int64_t)h->view.pf.frames.size();
+  } catch (const std::exception& e) {
+    if (err_out && err_cap) {
+      strncpy(err_out, e.what(), err_cap - 1);
+      err_out[err_cap - 1] = 0;
+    }
+    return -1;
+  }
+}
+
+// The window view for the bulk exporters (owned by the inc handle; do NOT
+// pov_free it).
+PovHandle* pov_inc_view(PovIncHandle* h) { return &h->view; }
+
+void pov_inc_free(PovIncHandle* h) { delete h; }
+
 // Full demux: one handle per logical stream (chained/multiplexed files),
 // in BOS order.  Returns the stream count (fills up to max_out handles),
 // or -1 on parse error (message in err_out).

@@ -113,6 +113,17 @@ def _load():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_int32, ctypes.c_char_p, ctypes.c_size_t,
         ]
+        lib.pov_inc_open.restype = ctypes.c_void_p
+        lib.pov_inc_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.pov_inc_next.restype = ctypes.c_int64
+        lib.pov_inc_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.pov_inc_view.restype = ctypes.c_void_p
+        lib.pov_inc_view.argtypes = [ctypes.c_void_p]
+        lib.pov_inc_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -136,6 +147,8 @@ class NativeParsed:
     mode_block_flag: List[bool]
     mode_couplings: List[tuple]
     _handle: int = 0
+    # False: the handle is a borrowed view (incremental window) — never free
+    _owned: bool = True
 
     def export_frames(self, frame_ids: np.ndarray, n: int):
         """Bulk-export tensors for frames (all sharing blocksize n).
@@ -233,9 +246,9 @@ class NativeParsed:
         return floors
 
     def close(self) -> None:
-        if self._handle:
+        if self._handle and self._owned:
             _load().pov_free(self._handle)
-            self._handle = 0
+        self._handle = 0
 
     def __del__(self):
         try:
@@ -275,6 +288,63 @@ def parse_streams_native(data: bytes) -> List[NativeParsed]:
 def parse_stream_native(data: bytes) -> NativeParsed:
     """Parse an in-memory Ogg Vorbis file natively (first logical stream)."""
     return parse_streams_native(data)[0]
+
+
+class NativeIncremental:
+    """Bounded-memory incremental parse of the first Vorbis stream.
+
+    ``next_window(max_frames)`` parses up to ``max_frames`` fresh frames
+    and returns a NativeParsed *view* over them (prefixed with one context
+    frame after the first window, whose emission belongs to the previous
+    window), or None at end of stream.  Host memory stays O(window)
+    regardless of stream length; the view is invalidated by the next call.
+    """
+
+    def __init__(self, data: bytes) -> None:
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native front-end not built")
+        self._data = data  # keep alive: the parser reads it zero-copy
+        err = ctypes.create_string_buffer(512)
+        self._handle = lib.pov_inc_open(data, len(data), err, len(err))
+        if not self._handle:
+            from ..utils.errors import ParseError
+
+            raise ParseError(err.value.decode("utf8", errors="replace"))
+        self._first = True
+
+    def next_window(self, max_frames: int):
+        lib = _load()
+        err = ctypes.create_string_buffer(512)
+        count = lib.pov_inc_next(self._handle, max_frames, err, len(err))
+        if count < 0:
+            from ..utils.errors import ParseError
+
+            raise ParseError(err.value.decode("utf8", errors="replace"))
+        if count == 0:
+            return None, False
+        view = _from_handle(lib, lib.pov_inc_view(self._handle))
+        view._owned = False
+        has_context = not self._first
+        self._first = False
+        return view, has_context
+
+    def close(self) -> None:
+        if self._handle:
+            _load().pov_inc_free(self._handle)
+            self._handle = 0
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def _from_handle(lib, handle) -> NativeParsed:

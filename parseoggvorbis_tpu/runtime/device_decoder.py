@@ -651,7 +651,7 @@ def _encode_residue(residue: np.ndarray):
 _OUT_BUCKET = 4096
 
 
-def _compute_emission_nums(sf) -> np.ndarray:
+def _compute_emission_nums(sf, abs_base: int = 0) -> np.ndarray:
     """Host-side per-frame PCM emission counts, granule-validated.
 
     Mirrors the reference's forwardReadyPcm accounting
@@ -659,6 +659,13 @@ def _compute_emission_nums(sf) -> np.ndarray:
     the centers of frames t-1 and t; only a page-final granule position may
     truncate (mid-stream short frames are an error); the host computes this
     before dispatch so the device can assemble a dense PCM buffer.
+
+    ``abs_base`` offsets the accounting for a mid-stream window (the
+    incremental front-end: samples already emitted before frame 0, whose
+    row must then be a context frame with granule masked).  A truncating
+    granule on the window's last frame behaves identically whether or not
+    more windows follow — the sequential reference semantics continue from
+    abs_total == granule either way.
     """
     t_real = sf.num_frames
     quarters = (sf.frame_n.astype(np.int64) // 4)
@@ -667,7 +674,7 @@ def _compute_emission_nums(sf) -> np.ndarray:
         lengths[1:] = quarters[:-1] + quarters[1:]
     granules = sf.granules
     nums = lengths.copy()
-    cum = np.cumsum(lengths)
+    cum = np.cumsum(lengths) + abs_base
     gmask = granules[:t_real] >= 0
     if np.any(gmask):
         g_idx = np.nonzero(gmask)[0]
@@ -681,7 +688,8 @@ def _compute_emission_nums(sf) -> np.ndarray:
         if np.any(mismatched[:-1]):
             # mid-stream truncation (tolerated by the reference): replay the
             # exact sequential semantics
-            nums = _assemble_nums_sequential(lengths, granules, t_real)
+            nums = _assemble_nums_sequential(lengths, granules, t_real,
+                                             abs_base)
         elif len(mismatched) and mismatched[-1]:
             last = g_idx[-1]
             nums[last] = g_val[-1] - (cum[last] - lengths[last])
@@ -1041,10 +1049,10 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
     return pendings
 
 
-def _assemble_nums_sequential(lengths, granules, t_real):
+def _assemble_nums_sequential(lengths, granules, t_real, abs_base=0):
     """Reference-exact per-frame granule accounting (rare fallback path)."""
     nums = np.zeros(t_real, dtype=np.int64)
-    abs_total = 0
+    abs_total = abs_base
     for t in range(t_real):
         num = int(lengths[t])
         g = int(granules[t])

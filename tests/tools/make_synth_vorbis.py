@@ -1,0 +1,308 @@
+"""Synthesize legal Vorbis streams at ANY blocksize — including 8192.
+
+libvorbis's encoder never emits blocks above 2048 (its mode templates),
+so the 64..8192 decode range the spec allows (and the reference accepts,
+/root/reference/src/ParseOggVorbis.hpp:1294-1298) cannot be covered by
+encoder-generated corpora.  This tool writes a minimal-but-legal stream
+from scratch — real floor-1 curves, type-1 residues with classbook +
+VQ value book, mixed short/long modes with honest window flags — which
+the SYSTEM libvorbis decoder accepts, giving an independent oracle for
+our 8192 end-to-end path (round-2 VERDICT item 5).
+
+Test-asset tool only; not part of the decode library.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir, os.pardir))
+
+from parseoggvorbis_tpu.vorbis.codebook import assign_codewords  # noqa: E402
+from repaginate import _emit_page, _lacings  # noqa: E402
+
+
+class BitWriter:
+    """Vorbis bitpack convention: LSb of each value first, bytes LSb-up."""
+
+    def __init__(self):
+        self.bytes = bytearray()
+        self.bitpos = 0  # bits used in the last byte
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits):
+            if self.bitpos == 0:
+                self.bytes.append(0)
+            if (value >> i) & 1:
+                self.bytes[-1] |= 1 << self.bitpos
+            self.bitpos = (self.bitpos + 1) % 8
+
+    def write_codeword(self, codeword: int, length: int) -> None:
+        """Huffman codewords enter the stream MSb of the codeword first."""
+        for i in range(length - 1, -1, -1):
+            self.write((codeword >> i) & 1, 1)
+
+    def getvalue(self) -> bytes:
+        return bytes(self.bytes)
+
+
+def float32_pack(x: float) -> int:
+    """Inverse of spec 9.2.2 float32_unpack, for exactly-representable x."""
+    sign = 0
+    if x < 0:
+        sign = 0x80000000
+        x = -x
+    if x == 0:
+        return 0
+    m, e = np.frexp(x)  # x = m * 2^e, m in [0.5, 1)
+    mant = int(m * (1 << 21))
+    e -= 21
+    exp_field = int(e) + 788
+    assert 0 <= exp_field < 1024 and 0 < mant < (1 << 21)
+    v = sign | (exp_field << 21) | mant
+    return v
+
+
+class _Flat:
+    """A flat codebook: `entries` codewords, all the same length."""
+
+    def __init__(self, entries: int, length: int):
+        self.entries = entries
+        self.length = length
+        assigned = assign_codewords([(i, length) for i in range(entries)])
+        self.codewords = {e: (l, cw) for e, l, cw in assigned}
+
+    def write_scalar_header(self, w: BitWriter, dims: int):
+        w.write(0x564342, 24)          # sync
+        w.write(dims, 16)
+        w.write(self.entries, 24)
+        w.write(0, 1)                  # not ordered
+        w.write(0, 1)                  # not sparse
+        for _ in range(self.entries):
+            w.write(self.length - 1, 5)
+
+    def write_entry(self, w: BitWriter, entry: int):
+        l, cw = self.codewords[entry]
+        w.write_codeword(cw, l)
+
+
+class SynthStream:
+    """One synthetic mono Vorbis stream with blocksizes (bs0, bs1)."""
+
+    FLOOR_ENTRIES = 64     # y values 0..63 (multiplier 4 -> range 64)
+    CLASSES = 2            # residue classifications (0 = silent partition)
+    VQ_ENTRIES = 16
+    VQ_DIMS = 4
+    PART_SIZE = 32
+    RES_END = 2048
+
+    def __init__(self, bs0: int = 4096, bs1: int = 8192, rate: int = 48000,
+                 seed: int = 0):
+        assert bs0 <= bs1 <= 8192
+        self.bs0, self.bs1, self.rate = bs0, bs1, rate
+        self.rng = np.random.RandomState(seed)
+        self.floor_book = _Flat(self.FLOOR_ENTRIES, 6)
+        self.class_book = _Flat(self.CLASSES ** 2, 2)  # dims 2
+        self.value_book = _Flat(self.VQ_ENTRIES, 4)
+        self.two_modes = bs0 != bs1
+
+    # ------------------------------------------------------------ headers --
+
+    def id_header(self) -> bytes:
+        out = bytearray(b"\x01vorbis")
+        out += (0).to_bytes(4, "little")         # version
+        out += bytes([1])                        # channels (mono)
+        out += int(self.rate).to_bytes(4, "little")
+        out += (0).to_bytes(4, "little") * 3     # bitrates
+        out += bytes([(self.bs0.bit_length() - 1)
+                      | ((self.bs1.bit_length() - 1) << 4)])
+        out += bytes([1])                        # framing
+        return bytes(out)
+
+    def comment_header(self) -> bytes:
+        vendor = b"parseoggvorbis_tpu synthetic"
+        out = bytearray(b"\x03vorbis")
+        out += len(vendor).to_bytes(4, "little") + vendor
+        out += (0).to_bytes(4, "little")         # no comments
+        out += bytes([1])
+        return bytes(out)
+
+    def setup_header(self) -> bytes:
+        w = BitWriter()
+        for b in b"\x05vorbis":
+            w.write(b, 8)
+        # --- codebooks: floor(0), classbook(1), VQ values(2)
+        w.write(3 - 1, 8)
+        self.floor_book.write_scalar_header(w, dims=1)
+        w.write(0, 4)                            # lookup type 0
+        self.class_book.write_scalar_header(w, dims=2)
+        w.write(0, 4)
+        self.value_book.write_scalar_header(w, dims=self.VQ_DIMS)
+        w.write(2, 4)                            # lookup type 2 (explicit)
+        # keep decoded amplitudes in the ~[-1, 1] range of real audio so
+        # the differential eps (1e-5 abs) stays meaningful at n=8192
+        w.write(float32_pack(-0.25), 32)         # minimum
+        w.write(float32_pack(0.03125), 32)       # delta
+        w.write(4 - 1, 4)                        # value bits
+        w.write(0, 1)                            # sequence_p
+        self.vq_mults = self.rng.randint(
+            0, 16, self.VQ_ENTRIES * self.VQ_DIMS)
+        for m in self.vq_mults:
+            w.write(int(m), 4)
+        # --- time transforms (placeholder zeros)
+        w.write(0, 6)
+        w.write(0, 16)
+        # --- floors: one floor1
+        w.write(0, 6)                            # floor_count - 1
+        w.write(1, 16)                           # floor type 1
+        w.write(1, 5)                            # partitions
+        w.write(0, 4)                            # partition class list: [0]
+        w.write(2 - 1, 3)                        # class 0 dims = 2
+        w.write(0, 2)                            # subclasses = 0
+        w.write(0 + 1, 8)                        # subclass book 0 = floor book
+        w.write(4 - 1, 2)                        # multiplier 4 (range 64)
+        # rangebits 11: the second floor point x1 = 2^rangebits must stay
+        # below the SHORT mode's full-window curve length (the host
+        # extractors index the rendered curve at xs — x1 == n would be an
+        # IndexError in ours and the reference alike)
+        w.write(11, 4)                           # rangebits
+        w.write(128, 11)                         # partition X values
+        w.write(1024, 11)
+        # --- residues: one type-1 residue
+        w.write(0, 6)                            # residue_count - 1
+        w.write(1, 16)                           # type 1
+        w.write(0, 24)                           # begin
+        w.write(self.RES_END, 24)                # end
+        w.write(self.PART_SIZE - 1, 24)
+        w.write(self.CLASSES - 1, 6)
+        w.write(1, 8)                            # classbook = book 1
+        w.write(0, 3)                            # class 0 cascade low = 0
+        w.write(0, 1)
+        w.write(1, 3)                            # class 1 cascade low = 1
+        w.write(0, 1)
+        w.write(2, 8)                            # class 1 stage-0 book = 2
+        # --- mappings: one type-0 mapping
+        w.write(0, 6)
+        w.write(0, 16)                           # mapping type 0
+        w.write(0, 1)                            # one submap
+        w.write(0, 1)                            # no coupling
+        w.write(0, 2)                            # reserved
+        w.write(0, 8)                            # time config (ignored)
+        w.write(0, 8)                            # floor 0
+        w.write(0, 8)                            # residue 0
+        # --- modes
+        if self.two_modes:
+            w.write(2 - 1, 6)
+            for flag in (0, 1):
+                w.write(flag, 1)                 # block flag
+                w.write(0, 16)                   # window type
+                w.write(0, 16)                   # transform type
+                w.write(0, 8)                    # mapping
+        else:
+            w.write(0, 6)
+            w.write(0, 1)
+            w.write(0, 16)
+            w.write(0, 16)
+            w.write(0, 8)
+        w.write(1, 1)                            # framing
+        return w.getvalue()
+
+    # ------------------------------------------------------------- frames --
+
+    def audio_packet(self, block_flag: int, prev_flag: int,
+                     next_flag: int) -> bytes:
+        w = BitWriter()
+        w.write(0, 1)                            # audio packet
+        if self.two_modes:
+            w.write(block_flag, 1)               # mode number (1 bit)
+        if block_flag:
+            w.write(prev_flag, 1)
+            w.write(next_flag, 1)
+        n = self.bs1 if block_flag else self.bs0
+        half = n // 2
+        # floor 1 (spec 7.2.3): nonzero, y0/y1 raw (ilog(range-1) = 6 bits),
+        # then one partition of class 0 -> 2 Y entries via the floor book
+        w.write(1, 1)
+        w.write(int(self.rng.randint(0, 41)), 6)
+        w.write(int(self.rng.randint(0, 41)), 6)
+        for _ in range(2):
+            self.floor_book.write_entry(w, int(self.rng.randint(0, 41)))
+        # residue type 1, one pass: classwords of 2 partitions via the
+        # classbook, class-1 partitions carry PART_SIZE/VQ_DIMS VQ entries
+        limit = min(self.RES_END, half)
+        parts = limit // self.PART_SIZE
+        classes = self.rng.randint(0, self.CLASSES, parts)
+        j = 0
+        while j < parts:
+            cword = int(classes[j]) * self.CLASSES + int(classes[min(j + 1,
+                                                                     parts - 1)])
+            if j + 1 >= parts:
+                cword = int(classes[j]) * self.CLASSES  # pad digit 0
+            self.class_book.write_entry(w, cword)
+            for k in range(2):
+                if j + k >= parts:
+                    break
+                if classes[j + k] == 1:
+                    for _ in range(self.PART_SIZE // self.VQ_DIMS):
+                        self.value_book.write_entry(
+                            w, int(self.rng.randint(0, self.VQ_ENTRIES)))
+            j += 2
+        return w.getvalue()
+
+    def make(self, num_frames: int = 24, truncate_final: int = 0) -> bytes:
+        """A complete single-stream Ogg file with num_frames audio frames."""
+        if self.two_modes:
+            flags = list(self.rng.randint(0, 2, num_frames))
+        else:
+            flags = [0] * num_frames
+        packets = [self.id_header(), self.comment_header(),
+                   self.setup_header()]
+        granules = [0, 0, 0]
+        total = 0
+        prev_n = None
+        for t, bf in enumerate(flags):
+            n = self.bs1 if bf else self.bs0
+            prev_flag = int(prev_n == self.bs1) if prev_n else 0
+            next_n = (self.bs1 if (t + 1 < num_frames and flags[t + 1])
+                      else self.bs0)
+            next_flag = int(next_n == self.bs1) if t + 1 < num_frames else 0
+            packets.append(self.audio_packet(bf, prev_flag, next_flag))
+            if prev_n is not None:
+                total += prev_n // 4 + n // 4
+            granules.append(total)
+            prev_n = n
+        if truncate_final:
+            granules[-1] = max(0, total - truncate_final)
+
+        serial = 0x53594E54  # 'SYNT'
+        out = bytearray()
+        # page 0: id (BOS); page 1: comment+setup; then one page per packet
+        _emit_page(out, serial, 0, 0, 0x02,
+                   _lacings(len(packets[0]), True), packets[0])
+        _emit_page(out, serial, 1, 0, 0,
+                   _lacings(len(packets[1]), True)
+                   + _lacings(len(packets[2]), True),
+                   packets[1] + packets[2])
+        seq = 2
+        for i in range(3, len(packets)):
+            eos = 0x04 if i == len(packets) - 1 else 0
+            _emit_page(out, serial, seq, granules[i], eos,
+                       _lacings(len(packets[i]), True), packets[i])
+            seq += 1
+        return bytes(out)
+
+
+def make_8192_stream(seed: int = 0, num_frames: int = 24,
+                     mixed: bool = True, truncate_final: int = 0) -> bytes:
+    """The test entry point: a legal stream whose long blocks are 8192."""
+    s = SynthStream(bs0=4096 if mixed else 8192, bs1=8192, seed=seed)
+    return s.make(num_frames=num_frames, truncate_final=truncate_final)
+
+
+if __name__ == "__main__":
+    blob = make_8192_stream()
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth8192.ogg"
+    open(path, "wb").write(blob)
+    print("wrote %s (%d bytes)" % (path, len(blob)))
