@@ -458,10 +458,18 @@ class PendingDecode:
 _DICT_SLAB = 64
 
 # Blocksize at and above which the O(n log n) FFT IMDCT replaces the
-# cosine-matrix MXU matmul (jax_backend.imdct_via_rfft).  At 8192 the
-# matrix alone is 128MB of HBM and 33M MACs/frame/channel; the measured
-# crossover on the v5e sits between 2048 and 8192 depending on batch.
-_FFT_IMDCT_MIN_N = int(os.environ.get("POV_FFT_IMDCT_MIN_N", "8192"))
+# cosine-matrix MXU matmul (jax_backend.imdct_via_rfft).  Measured on the
+# v5e (chained steps, ms/call — tools/bench_kernels.py):
+#   n=2048: matmul 1.56-1.90, fft 1.69-2.52   (b = 64..1024)
+#   n=4096: matmul 1.47-1.90, fft 1.66-5.12
+#   n=8192: matmul 1.85,      fft 3.96        (b = 64)
+# The MXU wins at every legal blocksize — the length-4n irfft is
+# VPU-bound and scales worse with batch — and the largest cosine matrix
+# (8192 -> 134MB) is comfortable in 16GB HBM, so the default is matmul
+# everywhere.  The FFT path stays selectable (POV_FFT_IMDCT_MIN_N=8192)
+# for HBM-constrained deployments and is exercised end-to-end by
+# tests/test_blocksize8192.py.
+_FFT_IMDCT_MIN_N = int(os.environ.get("POV_FFT_IMDCT_MIN_N", "16384"))
 
 
 def _pack4(codes: np.ndarray) -> np.ndarray:

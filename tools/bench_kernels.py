@@ -74,11 +74,15 @@ def main():
 def bench_imdct_crossover():
     """Cosine-matrix matmul vs O(n log n) FFT IMDCT, chained timing.
 
-    Caveat: on tunneled hosts every chained step pays an RPC dispatch
-    (~5-9ms measured), which swamps sub-ms kernels — readings below ~5ms
-    per call are dispatch-bound, not compute.  The n>=8192 FFT default
-    (device_decoder._FFT_IMDCT_MIN_N) rests on arithmetic (13x fewer FLOPs
-    at n=8192) and on not holding the 128MB cosine matrix in HBM.
+    Measured on the v5e (2026-08, chained steps; ~1.5ms/call of chained
+    dispatch overhead is common to both variants):
+      n=2048: matmul 1.56-1.90ms, fft 1.69-2.52ms   (b = 64..1024)
+      n=4096: matmul 1.47-1.90ms, fft 1.66-5.12ms
+      n=8192: matmul 1.85ms,      fft 3.96ms        (b = 64)
+    The MXU matmul wins at every legal blocksize (the length-4n irfft is
+    VPU-bound and scales worse with batch), so _FFT_IMDCT_MIN_N defaults
+    to 16384 = matmul everywhere; the FFT path remains env-selectable for
+    HBM-constrained deployments (the 8192 matrix is 134MB).
     """
     from parseoggvorbis_tpu.runtime.device_decoder import _CONSTS
     from parseoggvorbis_tpu.runtime.jax_backend import imdct_via_rfft
