@@ -248,58 +248,8 @@ const char* generic_itoa(uint32_t val, int base, int len) {
 
 namespace povsc {
 
-// floor1_inverse_dB_table, Vorbis I spec section 10.1 (exact float32 bit
-// patterns; no closed form reproduces every published entry to the ulp).
-static const uint32_t kInverseDbBits[256] = {
-    0x33e4b43eu, 0x33f39109u, 0x3401b28bu, 0x340a203cu, 0x34131a23u, 0x341ca960u,
-    0x3426d7a7u, 0x3431af4bu, 0x343d3b50u, 0x34498770u, 0x3456a023u, 0x346492b8u,
-    0x34736d55u, 0x34819f88u, 0x348a0bfcu, 0x34930493u, 0x349c9269u, 0x34a6bf32u,
-    0x34b1953fu, 0x34bd1f93u, 0x34c969e4u, 0x34d680adu, 0x34e47136u, 0x34f349a6u,
-    0x35018c88u, 0x3509f7c0u, 0x3512ef06u, 0x351c7b76u, 0x3526a6c0u, 0x35317b37u,
-    0x353d03dau, 0x35494c5eu, 0x3556613bu, 0x35644fb9u, 0x357325fcu, 0x3581798au,
-    0x3589e386u, 0x3592d97cu, 0x359c6485u, 0x35a68e52u, 0x35b16133u, 0x35bce825u,
-    0x35c92edcu, 0x35d641ceu, 0x35e42e41u, 0x35f30257u, 0x3601668fu, 0x3609cf4fu,
-    0x3612c3f5u, 0x361c4d98u, 0x362675e8u, 0x36314732u, 0x363ccc74u, 0x3649115eu,
-    0x36562265u, 0x36640cceu, 0x3672deb8u, 0x36815397u, 0x3689bb1cu, 0x3692ae72u,
-    0x369c36afu, 0x36a65d81u, 0x36b12d35u, 0x36bcb0c7u, 0x36c8f3e4u, 0x36d60301u,
-    0x36e3eb60u, 0x36f2bb1eu, 0x370140a2u, 0x3709a6ebu, 0x371298f1u, 0x371c1fc9u,
-    0x3726451eu, 0x3731133du, 0x373c951eu, 0x3748d66fu, 0x3755e3a2u, 0x3763c9f7u,
-    0x37729789u, 0x37812dafu, 0x378992beu, 0x37928374u, 0x379c08e6u, 0x37a62cbeu,
-    0x37b0f947u, 0x37bc7979u, 0x37c8b8feu, 0x37d5c447u, 0x37e3a892u, 0x37f273f8u,
-    0x38011ac0u, 0x38097e93u, 0x38126df9u, 0x381bf206u, 0x38261462u, 0x3830df56u,
-    0x383c5dd8u, 0x38489b92u, 0x3855a4f2u, 0x38638733u, 0x3872506eu, 0x388107d3u,
-    0x38896a6bu, 0x38925882u, 0x389bdb2au, 0x38a5fc09u, 0x38b0c568u, 0x38bc423bu,
-    0x38c87e29u, 0x38d585a0u, 0x38e365d9u, 0x38f22ce8u, 0x3900f4e9u, 0x39095646u,
-    0x3912430eu, 0x391bc451u, 0x3925e3b5u, 0x3930ab7fu, 0x393c26a2u, 0x394860c5u,
-    0x39556653u, 0x39634483u, 0x39720968u, 0x3980e201u, 0x39894224u, 0x39922d9du,
-    0x399bad7bu, 0x39a5cb63u, 0x39b09199u, 0x39bc0b0du, 0x39c84366u, 0x39d5470bu,
-    0x39e32332u, 0x39f1e5edu, 0x3a00cf1du, 0x3a092e05u, 0x3a121830u, 0x3a1b96a9u,
-    0x3a25b315u, 0x3a3077b7u, 0x3a3bef7cu, 0x3a48260au, 0x3a5527c7u, 0x3a6301e6u,
-    0x3a71c278u, 0x3a80bc3bu, 0x3a8919e9u, 0x3a9202c6u, 0x3a9b7fdbu, 0x3aa59acbu,
-    0x3ab05dd8u, 0x3abbd3efu, 0x3ac808b3u, 0x3ad50888u, 0x3ae2e09fu, 0x3af19f07u,
-    0x3b00a95cu, 0x3b0905d0u, 0x3b11ed5eu, 0x3b1b690fu, 0x3b258284u, 0x3b3043fdu,
-    0x3b3bb867u, 0x3b47eb61u, 0x3b54e94du, 0x3b62bf5du, 0x3b717b9cu, 0x3b80967fu,
-    0x3b88f1bau, 0x3b91d7f9u, 0x3b9b5247u, 0x3ba56a41u, 0x3bb02a27u, 0x3bbb9ce2u,
-    0x3bc7ce12u, 0x3bd4ca17u, 0x3be29e20u, 0x3bf15835u, 0x3c0083a6u, 0x3c08dda7u,
-    0x3c11c298u, 0x3c1b3b82u, 0x3c255201u, 0x3c301054u, 0x3c3b8161u, 0x3c47b0c8u,
-    0x3c54aae5u, 0x3c627ce8u, 0x3c7134d4u, 0x3c8070cfu, 0x3c88c996u, 0x3c91ad3au,
-    0x3c9b24c0u, 0x3ca539c5u, 0x3caff685u, 0x3cbb65e5u, 0x3cc79382u, 0x3cd48bb9u,
-    0x3ce25bb4u, 0x3cf11179u, 0x3d005dfbu, 0x3d08b589u, 0x3d1197dfu, 0x3d1b0e02u,
-    0x3d25218du, 0x3d2fdcb9u, 0x3d3b4a6du, 0x3d477640u, 0x3d546c91u, 0x3d623a85u,
-    0x3d70ee22u, 0x3d804b2au, 0x3d88a17fu, 0x3d918288u, 0x3d9af748u, 0x3da50958u,
-    0x3dafc2f2u, 0x3dbb2ef8u, 0x3dc75903u, 0x3dd44d6du, 0x3de2195cu, 0x3df0cad1u,
-    0x3e00385bu, 0x3e088d77u, 0x3e116d33u, 0x3e1ae090u, 0x3e24f127u, 0x3e2fa92eu,
-    0x3e3b1387u, 0x3e473bcau, 0x3e542e4du, 0x3e61f837u, 0x3e70a784u, 0x3e80258fu,
-    0x3e887973u, 0x3e9157e2u, 0x3e9ac9dcu, 0x3ea4d8f9u, 0x3eaf8f6du, 0x3ebaf81bu,
-    0x3ec71e95u, 0x3ed40f33u, 0x3ee1d717u, 0x3ef0843du, 0x3f0012c6u, 0x3f086572u,
-    0x3f114293u, 0x3f1ab32bu, 0x3f24c0ceu, 0x3f2f75b1u, 0x3f3adcb2u, 0x3f470165u,
-    0x3f53f01du, 0x3f61b5fbu, 0x3f7060fbu, 0x3f800000u,
-};
-
 static float inverse_db(int i) {
-  float f;
-  memcpy(&f, &kInverseDbBits[i], 4);
-  return f;
+  return pov::inverse_db(i);
 }
 
 // Direct IMDCT with exact-phase double trig table.

@@ -321,7 +321,176 @@ struct Codebook {
   }
 };
 
+// floor1 inverse-dB table (spec 10.1) — shared by the scalar C path and
+// the floor0 env export (pov_frontend.cpp).
+// floor1_inverse_dB_table, Vorbis I spec section 10.1 (exact float32 bit
+// patterns; no closed form reproduces every published entry to the ulp).
+inline const uint32_t kInverseDbBits[256] = {
+    0x33e4b43eu, 0x33f39109u, 0x3401b28bu, 0x340a203cu, 0x34131a23u, 0x341ca960u,
+    0x3426d7a7u, 0x3431af4bu, 0x343d3b50u, 0x34498770u, 0x3456a023u, 0x346492b8u,
+    0x34736d55u, 0x34819f88u, 0x348a0bfcu, 0x34930493u, 0x349c9269u, 0x34a6bf32u,
+    0x34b1953fu, 0x34bd1f93u, 0x34c969e4u, 0x34d680adu, 0x34e47136u, 0x34f349a6u,
+    0x35018c88u, 0x3509f7c0u, 0x3512ef06u, 0x351c7b76u, 0x3526a6c0u, 0x35317b37u,
+    0x353d03dau, 0x35494c5eu, 0x3556613bu, 0x35644fb9u, 0x357325fcu, 0x3581798au,
+    0x3589e386u, 0x3592d97cu, 0x359c6485u, 0x35a68e52u, 0x35b16133u, 0x35bce825u,
+    0x35c92edcu, 0x35d641ceu, 0x35e42e41u, 0x35f30257u, 0x3601668fu, 0x3609cf4fu,
+    0x3612c3f5u, 0x361c4d98u, 0x362675e8u, 0x36314732u, 0x363ccc74u, 0x3649115eu,
+    0x36562265u, 0x36640cceu, 0x3672deb8u, 0x36815397u, 0x3689bb1cu, 0x3692ae72u,
+    0x369c36afu, 0x36a65d81u, 0x36b12d35u, 0x36bcb0c7u, 0x36c8f3e4u, 0x36d60301u,
+    0x36e3eb60u, 0x36f2bb1eu, 0x370140a2u, 0x3709a6ebu, 0x371298f1u, 0x371c1fc9u,
+    0x3726451eu, 0x3731133du, 0x373c951eu, 0x3748d66fu, 0x3755e3a2u, 0x3763c9f7u,
+    0x37729789u, 0x37812dafu, 0x378992beu, 0x37928374u, 0x379c08e6u, 0x37a62cbeu,
+    0x37b0f947u, 0x37bc7979u, 0x37c8b8feu, 0x37d5c447u, 0x37e3a892u, 0x37f273f8u,
+    0x38011ac0u, 0x38097e93u, 0x38126df9u, 0x381bf206u, 0x38261462u, 0x3830df56u,
+    0x383c5dd8u, 0x38489b92u, 0x3855a4f2u, 0x38638733u, 0x3872506eu, 0x388107d3u,
+    0x38896a6bu, 0x38925882u, 0x389bdb2au, 0x38a5fc09u, 0x38b0c568u, 0x38bc423bu,
+    0x38c87e29u, 0x38d585a0u, 0x38e365d9u, 0x38f22ce8u, 0x3900f4e9u, 0x39095646u,
+    0x3912430eu, 0x391bc451u, 0x3925e3b5u, 0x3930ab7fu, 0x393c26a2u, 0x394860c5u,
+    0x39556653u, 0x39634483u, 0x39720968u, 0x3980e201u, 0x39894224u, 0x39922d9du,
+    0x399bad7bu, 0x39a5cb63u, 0x39b09199u, 0x39bc0b0du, 0x39c84366u, 0x39d5470bu,
+    0x39e32332u, 0x39f1e5edu, 0x3a00cf1du, 0x3a092e05u, 0x3a121830u, 0x3a1b96a9u,
+    0x3a25b315u, 0x3a3077b7u, 0x3a3bef7cu, 0x3a48260au, 0x3a5527c7u, 0x3a6301e6u,
+    0x3a71c278u, 0x3a80bc3bu, 0x3a8919e9u, 0x3a9202c6u, 0x3a9b7fdbu, 0x3aa59acbu,
+    0x3ab05dd8u, 0x3abbd3efu, 0x3ac808b3u, 0x3ad50888u, 0x3ae2e09fu, 0x3af19f07u,
+    0x3b00a95cu, 0x3b0905d0u, 0x3b11ed5eu, 0x3b1b690fu, 0x3b258284u, 0x3b3043fdu,
+    0x3b3bb867u, 0x3b47eb61u, 0x3b54e94du, 0x3b62bf5du, 0x3b717b9cu, 0x3b80967fu,
+    0x3b88f1bau, 0x3b91d7f9u, 0x3b9b5247u, 0x3ba56a41u, 0x3bb02a27u, 0x3bbb9ce2u,
+    0x3bc7ce12u, 0x3bd4ca17u, 0x3be29e20u, 0x3bf15835u, 0x3c0083a6u, 0x3c08dda7u,
+    0x3c11c298u, 0x3c1b3b82u, 0x3c255201u, 0x3c301054u, 0x3c3b8161u, 0x3c47b0c8u,
+    0x3c54aae5u, 0x3c627ce8u, 0x3c7134d4u, 0x3c8070cfu, 0x3c88c996u, 0x3c91ad3au,
+    0x3c9b24c0u, 0x3ca539c5u, 0x3caff685u, 0x3cbb65e5u, 0x3cc79382u, 0x3cd48bb9u,
+    0x3ce25bb4u, 0x3cf11179u, 0x3d005dfbu, 0x3d08b589u, 0x3d1197dfu, 0x3d1b0e02u,
+    0x3d25218du, 0x3d2fdcb9u, 0x3d3b4a6du, 0x3d477640u, 0x3d546c91u, 0x3d623a85u,
+    0x3d70ee22u, 0x3d804b2au, 0x3d88a17fu, 0x3d918288u, 0x3d9af748u, 0x3da50958u,
+    0x3dafc2f2u, 0x3dbb2ef8u, 0x3dc75903u, 0x3dd44d6du, 0x3de2195cu, 0x3df0cad1u,
+    0x3e00385bu, 0x3e088d77u, 0x3e116d33u, 0x3e1ae090u, 0x3e24f127u, 0x3e2fa92eu,
+    0x3e3b1387u, 0x3e473bcau, 0x3e542e4du, 0x3e61f837u, 0x3e70a784u, 0x3e80258fu,
+    0x3e887973u, 0x3e9157e2u, 0x3e9ac9dcu, 0x3ea4d8f9u, 0x3eaf8f6du, 0x3ebaf81bu,
+    0x3ec71e95u, 0x3ed40f33u, 0x3ee1d717u, 0x3ef0843du, 0x3f0012c6u, 0x3f086572u,
+    0x3f114293u, 0x3f1ab32bu, 0x3f24c0ceu, 0x3f2f75b1u, 0x3f3adcb2u, 0x3f470165u,
+    0x3f53f01du, 0x3f61b5fbu, 0x3f7060fbu, 0x3f800000u,
+};
+
+
+inline float inverse_db(int i) {
+  float f;
+  memcpy(&f, &kInverseDbBits[i], 4);
+  return f;
+}
+
 // ----------------------------------------------------------------- floor --
+
+// Floor type 0 (LSP, spec 6.2) — decoded HERE, beyond the reference's
+// parse-and-reject posture (ParseOggVorbis.hpp:400-405).  Numerics mirror
+// the libvorbis float implementation (the oracle: vorbis_floor0.c
+// floor0_inverse1/2 + vorbis_lsp.c vorbis_lsp_to_curve, plain-C variant),
+// validated end-to-end against the system libvorbis on synthetic floor0
+// streams (tests/test_floor0.py).
+struct Floor0 {
+  int order = 0, rate = 0, barkmap = 0, ampbits = 0, ampdB = 0;
+  std::vector<int> books;
+  std::map<int, std::vector<int>> maps;  // per n/2: linear bin -> bark bin
+
+  void parse(BitReader& br, int num_books_total) {
+    order = (int)br.read(8);
+    rate = (int)br.read(16);
+    barkmap = (int)br.read(16);
+    ampbits = (int)br.read(6);
+    ampdB = (int)br.read(8);
+    POV_CHECK(order >= 1 && rate >= 1 && barkmap >= 1,
+              "floor0 header field out of range");
+    int nb = (int)br.read(4) + 1;
+    for (int b = 0; b < nb; ++b) {
+      int bk = (int)br.read(8);
+      POV_CHECK(bk < num_books_total, "floor0 book index");
+      books.push_back(bk);
+    }
+  }
+
+  // toBARK with the oracle's float32 inner products (f-suffixed literals)
+  static double to_bark(float f) {
+    double a = atan((double)(0.00074f * f));
+    double b = atan((double)(f * f * 1.85e-8f));
+    double tail = (double)(1e-4f * f);
+    return (double)13.1f * a + (double)2.24f * b + tail;
+  }
+
+  const std::vector<int>& map_for(int half) {
+    auto it = maps.find(half);
+    if (it != maps.end()) return it->second;
+    std::vector<int> m((size_t)half);
+    float scale = (float)(barkmap / to_bark(rate / 2.0f));
+    for (int j = 0; j < half; ++j) {
+      float f = (rate / 2.0f) / (float)half * (float)j;
+      int val = (int)floor(to_bark(f) * (double)scale);
+      if (val >= barkmap) val = barkmap - 1;
+      m[(size_t)j] = val;
+    }
+    return maps.emplace(half, std::move(m)).first->second;
+  }
+
+  // spec 6.2.2: amplitude + book number + ceil(order/dim) VQ vectors with
+  // the cumulative per-block offset.  Returns false for an unused channel.
+  bool decode_coeffs(BitReader& br, const std::vector<Codebook>& cbs,
+                     int* amp_out, std::vector<float>& coeffs) {
+    int amp = (int)br.read(ampbits);
+    if (amp <= 0) return false;
+    int booknum = (int)br.read(ilog((uint32_t)books.size()));
+    if (booknum >= (int)books.size()) return false;  // oracle: 'be paranoid'
+    const Codebook& book = cbs[(size_t)books[(size_t)booknum]];
+    POV_CHECK(book.lookup_type != 0 && book.dims >= 1,
+              "floor0 book has no VQ lookup");
+    int dim = book.dims;
+    coeffs.assign((size_t)order, 0.f);
+    int i = 0;
+    while (i < order) {
+      uint32_t entry = book.decode_scalar(br);
+      POV_CHECK(entry < book.entries, "floor0 coefficient entry");
+      for (int d = 0; d < dim && i < order; ++d)
+        coeffs[(size_t)i++] = book.vq[(size_t)entry * dim + d];
+    }
+    float last = 0.f;
+    for (int j = 0; j < order;) {
+      for (int k = 0; k < dim && j < order; ++k, ++j) coeffs[(size_t)j] += last;
+      last = coeffs[(size_t)j - 1];
+    }
+    *amp_out = amp;
+    return true;
+  }
+
+  // spec 6.2.3 / oracle vorbis_lsp_to_curve: float32 envelope of n/2 bins
+  void curve(int amp_raw, const std::vector<float>& coeffs, int half,
+             float* env) {
+    int m = order;
+    long maxval = (1L << ampbits) - 1;
+    float amp = (float)amp_raw / maxval * ampdB;
+    std::vector<float> lsp((size_t)m);
+    for (int i = 0; i < m; ++i) lsp[(size_t)i] = 2.f * cos(coeffs[(size_t)i]);
+    float wdel = (float)(M_PI / barkmap);
+    std::vector<float> env_k((size_t)barkmap);
+    for (int k = 0; k < barkmap; ++k) {
+      float p = .5f, q = .5f;
+      float w = 2.f * cos(wdel * k);
+      int j;
+      for (j = 1; j < m; j += 2) {
+        q *= w - lsp[(size_t)j - 1];
+        p *= w - lsp[(size_t)j];
+      }
+      if (j == m) {  // odd order
+        q *= w - lsp[(size_t)j - 1];
+        p *= p * (4.f - w * w);
+        q *= q;
+      } else {  // even order
+        p *= p * (2.f - w);
+        q *= q * (2.f + w);
+      }
+      env_k[(size_t)k] = (float)exp((amp / sqrt((double)(p + q)) - ampdB)
+                                    * (double)0.11512925f);
+    }
+    const std::vector<int>& mp = map_for(half);
+    for (int i = 0; i < half; ++i) env[i] = env_k[(size_t)mp[(size_t)i]];
+  }
+};
 
 struct FloorClass {
   uint8_t dimensions = 0;
@@ -666,7 +835,8 @@ struct Mode {
 struct Setup {
   std::vector<Codebook> codebooks;
   std::vector<int> floor_types;
-  std::vector<Floor1> floors;  // indexed same as floor_types (floor0 slots empty)
+  std::vector<Floor1> floors;   // indexed same as floor_types (floor0 slots empty)
+  std::vector<Floor0> floor0s;  // indexed same (floor1 slots empty)
   std::vector<Residue> residues;
   std::vector<Mapping> mappings;
   std::vector<Mode> modes;
@@ -684,19 +854,13 @@ struct Setup {
     count = (int)br.read(6) + 1;
     floor_types.resize(count);
     floors.resize(count);
+    floor0s.resize(count);
     for (int i = 0; i < count; ++i) {
       floor_types[i] = (int)br.read(16);
       if (floor_types[i] == 1) {
         floors[i].parse(br);
       } else if (floor_types[i] == 0) {
-        // floor0 header (decode unsupported, parse-and-reject like reference)
-        br.read(8);   // order
-        br.read(16);  // rate
-        br.read(16);  // bark_map_size
-        br.read(6);   // amplitude bits
-        br.read(8);   // amplitude offset
-        int nb = (int)br.read(4) + 1;
-        for (int b = 0; b < nb; ++b) br.read(8);
+        floor0s[i].parse(br, (int)codebooks.size());
       } else {
         POV_CHECK(false, "invalid floor type");
       }
@@ -759,6 +923,7 @@ struct Frame {
   std::vector<float> residue;    // [C * n/2]
   std::vector<uint8_t> final_ys; // concat per channel of its floor's points
   std::vector<uint8_t> ys_flags; // step2 flags, same layout as final_ys
+  std::vector<float> fenv;       // [C * n/2] f32 envelopes, floor0 modes only
 };
 
 struct ParsedFile {
@@ -811,10 +976,26 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
     fr.ys_flags.assign(total_pts, 0);
   }
   size_t ys_off = 0;
+  bool any_floor0 = false;
+  for (int ch = 0; ch < C; ++ch)
+    if (su.floor_types[mapping.submaps[mapping.muxs[ch]].floor] == 0)
+      any_floor0 = true;
+  if (any_floor0) fr.fenv.assign((size_t)C * half, 0.f);
   for (int ch = 0; ch < C; ++ch) {
     uint8_t submap = mapping.muxs[ch];
     uint8_t fl = mapping.submaps[submap].floor;
-    POV_CHECK(su.floor_types[fl] == 1, "floor0 decode unsupported");
+    if (su.floor_types[fl] == 0) {
+      // LSP floor decode (spec 6.2) — beyond the reference, which rejects
+      int amp = 0;
+      std::vector<float> coeffs;
+      if (su.floor0s[fl].decode_coeffs(br, su.codebooks, &amp, coeffs)) {
+        fr.decoded[ch] = 1;
+        fr.used[ch] = 1;
+        su.floor0s[fl].curve(amp, coeffs, half,
+                             fr.fenv.data() + (size_t)ch * half);
+      }
+      continue;
+    }
     if (su.floors[fl].decode_curve(br, su.codebooks, n,
                                    fr.curve.data() + (size_t)ch * n,
                                    fr.final_ys.data() + ys_off,

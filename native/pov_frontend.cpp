@@ -249,6 +249,29 @@ void pov_export_residues(PovHandle* h, const int64_t* frame_ids, int64_t count,
   }
 }
 
+// Float32 envelopes for floor0 (LSP) modes: [B, C, n/2].  For floor1
+// channels inside a floor0-bearing mode the envelope is the inverse-dB of
+// the integer curve, computed here so the device gets one uniform tensor.
+void pov_export_env(PovHandle* h, const int64_t* frame_ids, int64_t count,
+                    float* env) {
+  int C = h->pf.channels;
+  for (int64_t i = 0; i < count; ++i) {
+    const pov::Frame& f = h->pf.frames[frame_ids[i]];
+    size_t half = (size_t)f.n / 2;
+    if (!f.fenv.empty()) {
+      memcpy(env + (size_t)i * C * half, f.fenv.data(),
+             sizeof(float) * C * half);
+    } else {
+      for (int ch = 0; ch < C; ++ch)
+        for (size_t k = 0; k < half; ++k)
+          env[((size_t)i * C + ch) * half + k] =
+              f.decoded[(size_t)ch]
+                  ? pov::inverse_db(f.curve[(size_t)ch * f.n + k])
+                  : 0.f;
+    }
+  }
+}
+
 // Full-window curves for the feature-extraction path: [B, C, n] u8.
 void pov_export_curves_full(PovHandle* h, const int64_t* frame_ids,
                             int64_t count, uint8_t* curve) {

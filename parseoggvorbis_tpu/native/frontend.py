@@ -87,6 +87,9 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
         ]
+        lib.pov_export_env.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.pov_export_curves_full.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
@@ -194,6 +197,16 @@ class NativeParsed:
         lib.pov_export_residues(self._handle, ids.ctypes.data, len(ids),
                                 ch0, ch1, out.ctypes.data)
         return out
+
+    def export_env(self, frame_ids: np.ndarray, n: int) -> np.ndarray:
+        """Float32 envelopes [B, C, n/2] (floor0/LSP modes; floor1
+        channels get their inverse-dB envelope)."""
+        lib = _load()
+        ids = np.ascontiguousarray(frame_ids, dtype=np.int64)
+        env = np.empty((len(ids), self.channels, n // 2), dtype=np.float32)
+        lib.pov_export_env(self._handle, ids.ctypes.data, len(ids),
+                           env.ctypes.data)
+        return env
 
     def export_curves_full(self, frame_ids: np.ndarray, n: int) -> np.ndarray:
         """Full-window integer floor curves [B, C, n] u8 (feature path)."""

@@ -65,6 +65,10 @@ class StreamFrames:
     mode_floor_numbers: Optional[List[np.ndarray]] = None
     # exporter_ys(frame_ids, total_pts) -> (final_ys, flags) [B, total_pts] u8
     exporter_ys: Optional[Callable] = None
+    # exporter_env(frame_ids, n) -> f32 envelope [B, C, n/2]; present when
+    # the stream uses floor0 (LSP) floors, whose envelopes are float-valued
+    # (no integer curve / inverse-dB table)
+    exporter_env: Optional[Callable] = None
     # granule-validated per-frame emission counts (set by the chunked decode
     # driver on frame-range views; computed on demand otherwise)
     emission_nums: Optional[np.ndarray] = None
@@ -199,6 +203,26 @@ def _build_stream_frames(stream: VorbisStream, frames: List[FrameSymbols],
         if fl.floor_type == 1 else None
         for fl in setup.floors
     ]
+    has_floor0 = any(fl.floor_type == 0 for fl in setup.floors)
+
+    def exporter_env(frame_ids, n):
+        """f32 envelopes [B, C, n/2] for floor0-bearing modes (floor1
+        channels get their inverse-dB envelope host-side)."""
+        from ..dsp.tables import INVERSE_DB_TABLE
+
+        half = n // 2
+        b = len(frame_ids)
+        c = header.audio_channels
+        env = np.zeros((b, c, half), dtype=np.float32)
+        for i, t in enumerate(frame_ids):
+            sym = frames[t]
+            for ch in range(c):
+                if (sym.floor0_env is not None
+                        and sym.floor0_env[ch] is not None):
+                    env[i, ch] = sym.floor0_env[ch]
+                elif sym.floor_decoded[ch]:
+                    env[i, ch] = INVERSE_DB_TABLE[sym.floor_curves[ch][:half]]
+        return env
     mode_floor_numbers = []
     for m in setup.modes:
         mapping = setup.mappings[m.mapping]
@@ -236,6 +260,7 @@ def _build_stream_frames(stream: VorbisStream, frames: List[FrameSymbols],
         floors=floors,
         mode_floor_numbers=mode_floor_numbers,
         exporter_ys=exporter_ys,
+        exporter_env=exporter_env if has_floor0 else None,
     )
 
 
@@ -265,6 +290,8 @@ def _native_to_stream_frames(p) -> StreamFrames:
             p.mode_floor_numbers(m) for m in range(len(modes))
         ],
         exporter_ys=p.export_floor_ys_flags,
+        exporter_env=(p.export_env
+                      if any(f is None for f in p.floor1_info()) else None),
     )
 
 

@@ -76,6 +76,8 @@ class FrameSymbols:
     # per channel: final_ys / step2 flags in entry order (None if not decoded)
     floor_ys: Optional[List[Optional[np.ndarray]]] = None
     floor_flags: Optional[List[Optional[np.ndarray]]] = None
+    # per channel: float32 LSP envelope [n/2] for floor0 channels, else None
+    floor0_env: Optional[List[Optional[np.ndarray]]] = None
 
     @property
     def win_sel(self) -> int:
@@ -170,12 +172,23 @@ class VorbisStream:
         floor_used = [False] * num_channels  # post nonzero-vector propagate
         floor_ys: List = [None] * num_channels
         floor_flags: List = [None] * num_channels
+        floor0_env: List = [None] * num_channels
         for ch in range(num_channels):
             submap_number = mapping.muxs[ch]
             floor_number = mapping.submaps[submap_number].floor
             self._push("floor_number", ch, np.array([floor_number], dtype=np.uint8))
             floor = setup.floors[floor_number]
-            check(floor.floor_type == 1, "floor0 decode unsupported")
+            if floor.floor_type == 0:
+                # LSP floor decode (spec 6.2) — beyond the reference, which
+                # rejects here (ParseOggVorbis.hpp:400-405)
+                got = floor.floor0.decode_coeffs(br, setup.codebooks)
+                if got is None:
+                    continue
+                amp_raw, coeffs = got
+                floor_decoded[ch] = True
+                floor_used[ch] = True
+                floor0_env[ch] = floor.floor0.curve(amp_raw, coeffs, half)
+                continue
             f1 = floor.floor1
             ys = f1.decode_ys(br, setup.codebooks)
             if ys is None:
@@ -221,6 +234,7 @@ class VorbisStream:
             residues=residue_outputs,
             floor_ys=floor_ys,
             floor_flags=floor_flags,
+            floor0_env=floor0_env,
         )
 
     def parse_audio(self, data: bytes, callbacks: ParseCallbacks) -> None:
@@ -250,7 +264,10 @@ class VorbisStream:
         floor_outputs = np.zeros((num_channels, n), dtype=np.float32)
         for ch in range(num_channels):
             if sym.floor_decoded[ch]:
-                floor_outputs[ch] = INVERSE_DB_TABLE[sym.floor_curves[ch]]
+                if sym.floor0_env is not None and sym.floor0_env[ch] is not None:
+                    floor_outputs[ch, :half] = sym.floor0_env[ch]
+                else:
+                    floor_outputs[ch] = INVERSE_DB_TABLE[sym.floor_curves[ch]]
                 self._push("floor_outputs", ch, floor_outputs[ch])
 
         residue_outputs = sym.residues.copy()

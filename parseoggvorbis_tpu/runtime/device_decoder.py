@@ -244,6 +244,9 @@ class ModeSig:
     res_cols: int = 0
     # True: O(n log n) FFT IMDCT instead of the cosine-matrix matmul
     fft: bool = False
+    # True: the shipped floor data is a float32 envelope (floor0/LSP modes)
+    # applied directly — no integer curve, no inverse-dB gather
+    env_f32: bool = False
 
 
 @dataclass(frozen=True)
@@ -290,7 +293,9 @@ def _decode_stream_impl(
                 elif ms.res_enc == "p6":
                     codes = _unpack6(codes, w_cols)
                 residue = jnp.take(res_dict, codes.astype(jnp.int32), axis=0)
-        if ms.floor_pts:
+        if ms.env_f32:
+            curve = floor_data[:, :, :w_cols]
+        elif ms.floor_pts:
             ys, flags = floor_data
             curves = []
             off = 0
@@ -315,6 +320,7 @@ def _decode_stream_impl(
             windows=windows, inverse_db=inverse_db,
             couplings=ms.couplings,
             fft_n=ms.n if ms.fft else None,
+            env_f32=ms.env_f32,
         )
         if ms.n < bs1:
             w = jnp.pad(w, ((0, 0), (0, 0), (0, bs1 - ms.n)))
@@ -743,7 +749,13 @@ def _prepare_stream(sf, out_i16: bool):
         floor_pts: Tuple[int, ...] = ()
         floor_mults: Tuple[int, ...] = ()
         fconst_keys = []
-        if device_floors:
+        # floor0 (LSP) modes ship the float32 envelope itself — float
+        # curves have no integer/packed-Y representation
+        env_f32 = False
+        if sf.exporter_env is not None and sf.mode_floor_numbers is not None                 and sf.floors is not None:
+            fnums0 = sf.mode_floor_numbers[m]
+            env_f32 = any(sf.floors[int(f)] is None for f in fnums0)
+        if device_floors and not env_f32:
             fnums = sf.mode_floor_numbers[m]
             cfgs = [sf.floors[int(f)] for f in fnums]
             if all(cfg is not None for cfg in cfgs):
@@ -761,6 +773,12 @@ def _prepare_stream(sf, out_i16: bool):
                 res_arg, floor_arg, padded(decoded), padded(used),
                 padded(wsel), pad_ids,
             ))
+        elif env_f32:
+            env = sf.exporter_env(ids, n)
+            mode_args.append((
+                res_arg, padded(np.ascontiguousarray(env[:, :, :res_cols])),
+                padded(decoded), padded(used), padded(wsel), pad_ids,
+            ))
         else:
             mode_args.append((
                 res_arg, padded(np.ascontiguousarray(curve[:, :, :res_cols])),
@@ -773,6 +791,7 @@ def _prepare_stream(sf, out_i16: bool):
             dict_size=0 if res_dict is None else len(res_dict),
             res_cols=res_cols,
             fft=n >= _FFT_IMDCT_MIN_N,
+            env_f32=env_f32,
         ))
         consts.append((
             None if n >= _FFT_IMDCT_MIN_N else n,
@@ -913,6 +932,9 @@ def _slice_stream(sf, start: int, end: int, nums: np.ndarray):
     view.frame_n = sf.frame_n[start:end]
     view.granules = sf.granules[start:end]
     view.exporter = lambda ids, n: sf.exporter(np.asarray(ids) + start, n)
+    if sf.exporter_env is not None:
+        view.exporter_env = lambda ids, n: sf.exporter_env(
+            np.asarray(ids) + start, n)
     if sf.exporter_ys is not None:
         view.exporter_ys = lambda ids, tp: sf.exporter_ys(
             np.asarray(ids) + start, tp)

@@ -135,6 +135,7 @@ def frame_pipeline(
     inverse_db: jnp.ndarray,   # [256] f32
     couplings: Tuple[Tuple[int, int], ...],  # static: (magnitude, angle) pairs
     fft_n: Optional[int] = None,  # use the O(n log n) IMDCT at this size
+    env_f32: bool = False,  # floor_curve IS the f32 envelope (floor0 modes)
 ) -> jnp.ndarray:
     """One bucket's decode: residues + floors -> windowed time frames [B, C, n]."""
     # 4.3.5 inverse coupling, reverse declaration order (pre floor multiply
@@ -147,7 +148,10 @@ def frame_pipeline(
     # Effective multiplier per bin: used ? (decoded ? envelope : 0) : 1 —
     # a channel made 'used' only by coupling propagation multiplies by the
     # zero envelope (reference semantics, ParseOggVorbis.hpp:1245-1253).
-    envelope = jnp.take(inverse_db, floor_curve.astype(jnp.int32), axis=0)
+    if env_f32:
+        envelope = floor_curve.astype(jnp.float32)
+    else:
+        envelope = jnp.take(inverse_db, floor_curve.astype(jnp.int32), axis=0)
     envelope = jnp.where(floor_decoded[..., None], envelope, 0.0)
     spectrum = residue * jnp.where(floor_used[..., None], envelope, 1.0)
 

@@ -1,9 +1,10 @@
 """Vorbis floors: spectral envelope decode.
 
 Floor 1 (spec 7.2) is the piecewise-linear envelope used by essentially all
-real-world streams.  Floor 0 (LSP, spec 6.2) is parsed but its decode is
-unsupported, matching the reference's posture (/root/reference/src/
-ParseOggVorbis.hpp:377-406: header parsed, decode rejects).
+real-world streams.  Floor 0 (LSP, spec 6.2) is fully decoded here —
+BEYOND the reference, which parses the header and rejects decode
+(/root/reference/src/ParseOggVorbis.hpp:377-406); validated against the
+system libvorbis on synthetic floor0 streams (tests/test_floor0.py).
 
 Decode is split for the TPU pipeline:
 
@@ -44,7 +45,16 @@ class FloorClass:
 
 @dataclass
 class Floor0:
-    """LSP floor header (decode unsupported, parity with reference)."""
+    """LSP floor (spec 6.2) — fully decoded, BEYOND the reference's parity.
+
+    The reference parses the header and rejects decode
+    (/root/reference/src/ParseOggVorbis.hpp:400-405); we implement the
+    whole of spec 6.2.2/6.2.3, numerically matching the libvorbis float
+    implementation (the oracle: vorbis_floor0.c floor0_inverse1/2 +
+    vorbis_lsp.c vorbis_lsp_to_curve) — validated end-to-end against the
+    system libvorbis on synthetic floor0 streams
+    (tests/test_floor0.py; no mainstream encoder emits floor0).
+    """
 
     order: int = 0
     rate: int = 0
@@ -52,6 +62,9 @@ class Floor0:
     amplitude_bits: int = 0
     amplitude_offset: int = 0
     books: List[int] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self._maps = {}
 
     @classmethod
     def parse(cls, br: BitReader, max_books: int) -> "Floor0":
@@ -61,6 +74,8 @@ class Floor0:
         self.bark_map_size = br.read_bits(16)
         self.amplitude_bits = br.read_bits(6)
         self.amplitude_offset = br.read_bits(8)
+        check(self.order >= 1 and self.rate >= 1 and self.bark_map_size >= 1,
+              "floor0 header field out of range")
         num_books = br.read_bits(4) + 1
         for _ in range(num_books):
             book = br.read_bits(8)
@@ -68,8 +83,117 @@ class Floor0:
             self.books.append(book)
         return self
 
-    def decode(self, br, codebooks, n_half):
-        raise ParseError("floor0 decode is not supported")
+    # -- decode (spec 6.2.2) --------------------------------------------
+
+    def decode_coeffs(self, br: BitReader, codebooks):
+        """-> (amplitude_raw, lsp coefficients f32[order]) or None (unused).
+
+        Bitstream reads ceil(order/dim) VQ codewords; surplus dimensions of
+        the final vector are discarded, and each dim-block is offset by the
+        previous block's last value (oracle: floor0_inverse1).
+        """
+        amp = br.read_bits(self.amplitude_bits)
+        if amp <= 0:
+            return None
+        booknum = br.read_bits(ilog(len(self.books)))
+        if booknum >= len(self.books):
+            # oracle tolerates ('be paranoid'): treated as an unused channel
+            return None
+        book = codebooks[self.books[booknum]]
+        check(book.lookup_type != 0 and book.dimensions >= 1,
+              "floor0 book has no VQ lookup")
+        m = self.order
+        dim = book.dimensions
+        coeffs = np.zeros(m, dtype=np.float32)
+        i = 0
+        while i < m:
+            vec = book.decode_vector(br)
+            check(vec is not None, "floor0 coefficient vector")
+            take = min(dim, m - i)
+            coeffs[i : i + take] = vec[:take]
+            i += take
+        last = np.float32(0.0)
+        j = 0
+        while j < m:
+            for _ in range(dim):
+                if j >= m:
+                    break
+                coeffs[j] = np.float32(coeffs[j] + last)
+                j += 1
+            last = coeffs[j - 1]
+        return amp, coeffs
+
+    # -- curve synthesis (spec 6.2.3) ------------------------------------
+
+    def bark_map(self, n_half: int) -> np.ndarray:
+        """Linear-bin -> bark-bin map, float32-faithful to the oracle.
+
+        The oracle evaluates toBARK with float32 inner products (the macro's
+        f-suffixed literals) before the double atan, and scales by a float32
+        constant; mirroring the rounding keeps our floor() on the same side
+        at band edges (vorbis_floor0.c floor0_map_lazy_init).
+        """
+        key = n_half
+        got = self._maps.get(key)
+        if got is not None:
+            return got
+
+        def to_bark(f32):  # f32: float32 array/scalar argument
+            a = np.arctan((np.float32(0.00074) * f32).astype(np.float64))
+            b = np.arctan((f32 * f32 * np.float32(1.85e-8)).astype(np.float64))
+            tail = (np.float32(1e-4) * f32).astype(np.float64)
+            # 13.1f/2.24f are float literals promoted to double in the oracle
+            return (np.float64(np.float32(13.1)) * a
+                    + np.float64(np.float32(2.24)) * b + tail)
+
+        half_rate = np.float32(self.rate / 2.0)
+        scale = np.float32(self.bark_map_size
+                           / to_bark(np.float32(half_rate)))
+        j = np.arange(n_half, dtype=np.float32)
+        f = (half_rate / np.float32(n_half)) * j  # float32 ops
+        val = np.floor(to_bark(f) * np.float64(scale)).astype(np.int64)
+        val = np.minimum(val, self.bark_map_size - 1)
+        self._maps[key] = val
+        return val
+
+    def curve(self, amp_raw: int, coeffs: np.ndarray,
+              n_half: int) -> np.ndarray:
+        """float32 envelope [n_half] (oracle: vorbis_lsp_to_curve, plain-C
+        variant): per bark bin k, p/q products over the LSP cosines, then
+        fromdB(amp / sqrt(p + q) - amplitude_offset)."""
+        m = self.order
+        ln = self.bark_map_size
+        maxval = (1 << self.amplitude_bits) - 1
+        amp = np.float32(np.float32(amp_raw) / np.float32(maxval)
+                         * np.float32(self.amplitude_offset))
+        # 2*cos in double, stored float32 (oracle: lsp[i] = 2.f*cos(lsp[i]))
+        lsp = (2.0 * np.cos(coeffs.astype(np.float64))).astype(np.float32)
+        kmap = self.bark_map(n_half)
+        wdel = np.float32(np.pi / ln)
+        ks = np.arange(ln, dtype=np.int64)
+        w = (2.0 * np.cos((wdel * ks.astype(np.float32)).astype(np.float64))
+             ).astype(np.float32)  # [ln] per bark bin
+        p = np.full(ln, np.float32(0.5), dtype=np.float32)
+        q = np.full(ln, np.float32(0.5), dtype=np.float32)
+        j = 1
+        while j < m:
+            q = np.float32(q * (w - lsp[j - 1]))
+            p = np.float32(p * (w - lsp[j]))
+            j += 2
+        if j == m:  # odd order
+            q = np.float32(q * (w - lsp[j - 1]))
+            p = np.float32(p * p * (np.float32(4.0) - w * w))
+            q = np.float32(q * q)
+        else:  # even order
+            p = np.float32(p * p * (np.float32(2.0) - w))
+            q = np.float32(q * q * (np.float32(2.0) + w))
+        # fromdB(x) = exp(x * .11512925f); the argument is computed in
+        # double (C promotion through sqrt), result stored float32
+        expo = (np.float64(amp) / np.sqrt((p + q).astype(np.float64))
+                - np.float64(self.amplitude_offset))
+        env_by_k = np.exp(expo * np.float64(np.float32(0.11512925))
+                          ).astype(np.float32)
+        return env_by_k[kmap]
 
 
 class Floor1:

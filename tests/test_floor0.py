@@ -1,0 +1,147 @@
+"""Floor0 (LSP) decode — BEYOND the reference's parity.
+
+The reference parses floor0 headers and rejects decode
+(/root/reference/src/ParseOggVorbis.hpp:400-405); we implement spec 6.2
+fully, in all three host paths (Python, native C++, streaming) and in the
+device pipeline (float envelopes ship as f32, bypassing the inverse-dB
+table).  The oracle is the system libvorbis decoding synthetic floor0
+streams (tests/tools/make_synth_vorbis.py) — no mainstream encoder emits
+floor type 0, so this surface exists in no encoder-generated corpus.
+
+Tolerances: the envelope is exp(dB)-scaled, so comparisons are relative.
+Our float ops mirror the libvorbis float implementation; the residual
+(~5e-7 rel) is transcendental-libm-level.  Python vs native differ at the
+same level (numpy vs libm cos/exp), asserted <=1e-6 rel.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import REPO_ROOT
+
+sys.path.insert(0, os.path.join(REPO_ROOT, "tests", "tools"))
+
+from make_synth_vorbis import make_floor0_stream  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    import vorbis_oracle
+
+    if not vorbis_oracle.available():
+        pytest.skip("system libvorbis not available")
+    return vorbis_oracle
+
+
+def _rel_err(a, b):
+    scale = max(float(np.abs(b).max()), 1e-20)
+    return float(np.abs(a - b).max()) / scale
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_floor0_vs_libvorbis(oracle, seed):
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    blob = make_floor0_stream(seed=seed, num_frames=14)
+    ref, rate = oracle.decode_ogg(blob)
+    ours = decode_bytes(blob, prefer_native=False)
+    assert ours.sample_rate == rate
+    assert ours.pcm.shape == ref.shape
+    assert _rel_err(ours.pcm, ref) <= 1e-5
+
+
+def test_floor0_native_frontend(oracle):
+    from parseoggvorbis_tpu.native.frontend import available
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    if not available():
+        pytest.skip("native front-end not built")
+    blob = make_floor0_stream(seed=3, num_frames=14)
+    py = decode_bytes(blob, prefer_native=False)
+    nat = decode_bytes(blob, prefer_native=True)
+    assert py.pcm.shape == nat.pcm.shape
+    # numpy and libm transcendentals differ at the ulp level; everything
+    # else in the two front-ends is identical
+    assert _rel_err(nat.pcm, py.pcm) <= 1e-6
+    ref, _ = oracle.decode_ogg(blob)
+    assert _rel_err(nat.pcm, ref) <= 1e-5
+
+
+def test_floor0_scalar_streaming_decoder(oracle):
+    """The reference-shaped scalar path (OggReader + ParseCallbacks +
+    debug taps) decodes floor0 too."""
+    from parseoggvorbis_tpu.runtime.decoder import OggReader, ParseCallbacks
+
+    blob = make_floor0_stream(seed=4, num_frames=10)
+
+    class Collect(ParseCallbacks):
+        def __init__(self):
+            self.chunks = []
+
+        def got_pcm_data(self, pcm):
+            self.chunks.append(np.array(pcm))
+            return True
+
+    cb = Collect()
+    OggReader(cb).full_read_from_memory(blob)
+    pcm = np.concatenate(cb.chunks, axis=1)
+    ref, _ = oracle.decode_ogg(blob)
+    assert pcm.shape == ref.shape
+    assert _rel_err(pcm, ref) <= 1e-5
+
+
+def test_floor0_streaming_windows(oracle):
+    from parseoggvorbis_tpu.native.frontend import available
+    from parseoggvorbis_tpu.runtime.batch import (decode_bytes,
+                                                  decode_bytes_streaming)
+
+    if not available():
+        pytest.skip("native front-end not built")
+    blob = make_floor0_stream(seed=5, num_frames=20)
+    whole = decode_bytes(blob)
+    got = decode_bytes_streaming(blob, chunk_frames=6).read_all()
+    assert got.pcm.shape == whole.pcm.shape
+    assert _rel_err(got.pcm, whole.pcm) <= 1e-6
+
+
+def test_floor0_unused_channel_frames(oracle):
+    """amplitude == 0 marks the channel unused (no coefficients, no
+    residue reads); seeds are chosen so such frames occur."""
+    from parseoggvorbis_tpu.runtime.batch import parse_stream
+
+    def has_unused(sf):
+        for m in sorted(set(sf.mode_idx.tolist())):
+            ids = np.nonzero(sf.mode_idx == m)[0]
+            _, decoded, _, _ = sf.exporter(ids, int(sf.frame_n[ids[0]]))
+            if not decoded.all():
+                return True
+        return False
+
+    for seed in range(8):
+        blob = make_floor0_stream(seed=seed, num_frames=16)
+        if has_unused(parse_stream(blob, prefer_native=False)):
+            break
+    else:
+        pytest.skip("no unused-channel frame in sampled seeds")
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    ref, _ = oracle.decode_ogg(blob)
+    ours = decode_bytes(blob, prefer_native=False)
+    assert ours.pcm.shape == ref.shape
+    assert _rel_err(ours.pcm, ref) <= 1e-5
+
+
+def test_floor0_feature_path_matches_reference_posture():
+    """Feature extraction on a floor0-only stream fails identically to the
+    reference Python stack (no floor1 setup taps -> assertion)."""
+    from parseoggvorbis_tpu.features import batched
+    from parseoggvorbis_tpu.native.frontend import available
+
+    if not available():
+        pytest.skip("native front-end not built")
+    blob = make_floor0_stream(seed=0, num_frames=6)
+    with pytest.raises(AssertionError):
+        batched.get_features(blob, 64, "floor_final_ys")

@@ -98,14 +98,19 @@ class SynthStream:
     PART_SIZE = 32
     RES_END = 2048
 
+    LSP_ORDER = 4
+    LSP_LN = 16  # floor0 bark_map_size
+
     def __init__(self, bs0: int = 4096, bs1: int = 8192, rate: int = 48000,
-                 seed: int = 0):
+                 seed: int = 0, floor_kind: str = "floor1"):
         assert bs0 <= bs1 <= 8192
         self.bs0, self.bs1, self.rate = bs0, bs1, rate
         self.rng = np.random.RandomState(seed)
+        self.floor_kind = floor_kind
         self.floor_book = _Flat(self.FLOOR_ENTRIES, 6)
         self.class_book = _Flat(self.CLASSES ** 2, 2)  # dims 2
         self.value_book = _Flat(self.VQ_ENTRIES, 4)
+        self.lsp_book = _Flat(16, 4)  # floor0 coefficient VQ book
         self.two_modes = bs0 != bs1
 
     # ------------------------------------------------------------ headers --
@@ -133,8 +138,8 @@ class SynthStream:
         w = BitWriter()
         for b in b"\x05vorbis":
             w.write(b, 8)
-        # --- codebooks: floor(0), classbook(1), VQ values(2)
-        w.write(3 - 1, 8)
+        # --- codebooks: floor(0), classbook(1), VQ values(2), lsp(3)
+        w.write(4 - 1, 8)
         self.floor_book.write_scalar_header(w, dims=1)
         w.write(0, 4)                            # lookup type 0
         self.class_book.write_scalar_header(w, dims=2)
@@ -151,25 +156,53 @@ class SynthStream:
             0, 16, self.VQ_ENTRIES * self.VQ_DIMS)
         for m in self.vq_mults:
             w.write(int(m), 4)
+        # lsp book: each entry's values are strictly ascending (cumsum of
+        # positive steps) and land MIDWAY between the bark grid's cosine
+        # sample points (minimum/delta are halves/units of pi/LSP_LN), so
+        # the decoded LSP roots stay interlaced and bounded away from every
+        # evaluation point — 1/sqrt(p+q) is a dB scale, and roots near a
+        # grid point overflow the envelope in ANY decoder (incl. libvorbis)
+        self.lsp_book.write_scalar_header(w, dims=self.LSP_ORDER)
+        w.write(2, 4)                            # lookup type 2
+        w.write(float32_pack(2.5 * np.pi / self.LSP_LN), 32)  # minimum
+        w.write(float32_pack(np.pi / self.LSP_LN), 32)        # delta
+        w.write(4 - 1, 4)
+        w.write(0, 1)
+        steps = self.rng.randint(1, 3, (16, self.LSP_ORDER))
+        self.lsp_mults = np.cumsum(steps, axis=1).reshape(-1)
+        for m in self.lsp_mults:
+            w.write(int(m), 4)
         # --- time transforms (placeholder zeros)
         w.write(0, 6)
         w.write(0, 16)
-        # --- floors: one floor1
+        # --- floors
         w.write(0, 6)                            # floor_count - 1
-        w.write(1, 16)                           # floor type 1
-        w.write(1, 5)                            # partitions
-        w.write(0, 4)                            # partition class list: [0]
-        w.write(2 - 1, 3)                        # class 0 dims = 2
-        w.write(0, 2)                            # subclasses = 0
-        w.write(0 + 1, 8)                        # subclass book 0 = floor book
-        w.write(4 - 1, 2)                        # multiplier 4 (range 64)
-        # rangebits 11: the second floor point x1 = 2^rangebits must stay
-        # below the SHORT mode's full-window curve length (the host
-        # extractors index the rendered curve at xs — x1 == n would be an
-        # IndexError in ours and the reference alike)
-        w.write(11, 4)                           # rangebits
-        w.write(128, 11)                         # partition X values
-        w.write(1024, 11)
+        if self.floor_kind == "floor0":
+            # LSP floor (spec 6.2): the surface NO mainstream encoder emits
+            w.write(0, 16)                       # floor type 0
+            w.write(self.LSP_ORDER, 8)           # order
+            w.write(self.rate, 16)               # rate
+            w.write(self.LSP_LN, 16)             # bark_map_size
+            w.write(6, 6)                        # amplitude bits
+            w.write(8, 8)                        # amplitude offset (dB)
+            w.write(1 - 1, 4)                    # one book
+            w.write(3, 8)                        # the lsp book
+            self._write_floor1_tail = False
+        else:
+            w.write(1, 16)                           # floor type 1
+            w.write(1, 5)                            # partitions
+            w.write(0, 4)                            # partition class list: [0]
+            w.write(2 - 1, 3)                        # class 0 dims = 2
+            w.write(0, 2)                            # subclasses = 0
+            w.write(0 + 1, 8)                        # subclass book 0 = floor book
+            w.write(4 - 1, 2)                        # multiplier 4 (range 64)
+            # rangebits 11: the second floor point x1 = 2^rangebits must stay
+            # below the SHORT mode's full-window curve length (the host
+            # extractors index the rendered curve at xs — x1 == n would be an
+            # IndexError in ours and the reference alike)
+            w.write(11, 4)                           # rangebits
+            w.write(128, 11)                         # partition X values
+            w.write(1024, 11)
         # --- residues: one type-1 residue
         w.write(0, 6)                            # residue_count - 1
         w.write(1, 16)                           # type 1
@@ -222,13 +255,24 @@ class SynthStream:
             w.write(next_flag, 1)
         n = self.bs1 if block_flag else self.bs0
         half = n // 2
-        # floor 1 (spec 7.2.3): nonzero, y0/y1 raw (ilog(range-1) = 6 bits),
-        # then one partition of class 0 -> 2 Y entries via the floor book
-        w.write(1, 1)
-        w.write(int(self.rng.randint(0, 41)), 6)
-        w.write(int(self.rng.randint(0, 41)), 6)
-        for _ in range(2):
-            self.floor_book.write_entry(w, int(self.rng.randint(0, 41)))
+        if self.floor_kind == "floor0":
+            # spec 6.2.2: amplitude, book number (ilog(1) = 1 bit), one
+            # LSP vector.  amplitude == 0 (1 in 8 frames) marks the channel
+            # unused: no book/coefficients AND no residue reads follow.
+            amp = 0 if self.rng.randint(0, 8) == 0 else int(self.rng.randint(1, 64))
+            w.write(amp, 6)
+            if amp == 0:
+                return w.getvalue()
+            w.write(0, 1)
+            self.lsp_book.write_entry(w, int(self.rng.randint(0, 16)))
+        else:
+            # floor 1 (spec 7.2.3): nonzero, y0/y1 raw (ilog(range-1) = 6
+            # bits), then one partition of class 0 -> 2 Y entries
+            w.write(1, 1)
+            w.write(int(self.rng.randint(0, 41)), 6)
+            w.write(int(self.rng.randint(0, 41)), 6)
+            for _ in range(2):
+                self.floor_book.write_entry(w, int(self.rng.randint(0, 41)))
         # residue type 1, one pass: classwords of 2 partitions via the
         # classbook, class-1 partitions carry PART_SIZE/VQ_DIMS VQ entries
         limit = min(self.RES_END, half)
@@ -299,6 +343,15 @@ def make_8192_stream(seed: int = 0, num_frames: int = 24,
     """The test entry point: a legal stream whose long blocks are 8192."""
     s = SynthStream(bs0=4096 if mixed else 8192, bs1=8192, seed=seed)
     return s.make(num_frames=num_frames, truncate_final=truncate_final)
+
+
+def make_floor0_stream(seed: int = 0, num_frames: int = 24,
+                       bs0: int = 512, bs1: int = 2048) -> bytes:
+    """A legal stream using the LSP floor (floor type 0) — the spec
+    surface no mainstream encoder emits and the reference refuses to
+    decode.  The system libvorbis decodes it, providing the oracle."""
+    s = SynthStream(bs0=bs0, bs1=bs1, seed=seed, floor_kind="floor0")
+    return s.make(num_frames=num_frames)
 
 
 if __name__ == "__main__":
