@@ -460,7 +460,18 @@ struct ScalarStream {
     for (int ch = 0; ch < C; ++ch) {
       uint8_t fl = mapping.submaps[mapping.muxs[ch]].floor;
       push_data_u8(this, "floor_number", ch, &fl, 1);
-      POV_CHECK(setup.floor_types[fl] == 1, "floor0 decode unsupported");
+      if (setup.floor_types[fl] == 0) {
+        // LSP floor (spec 6.2) — beyond the reference, which rejects here
+        int amp = 0;
+        std::vector<float> coeffs;
+        if (setup.floor0s[fl].decode_coeffs(br, setup.codebooks, &amp,
+                                            coeffs)) {
+          floor_decoded[ch] = floor_used[ch] = 1;
+          setup.floor0s[fl].curve(amp, coeffs, half, floor_out[ch].data());
+          push_data_float(this, "floor_outputs", ch, floor_out[ch].data(), n);
+        }
+        continue;
+      }
       const pov::Floor1& f1 = setup.floors[fl];
       std::vector<int64_t> ys;
       if (!f1.decode_ys(br, setup.codebooks, ys)) continue;

@@ -34,6 +34,7 @@
 #include <deque>
 #include <map>
 #include <memory>
+#include <exception>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -42,8 +43,13 @@ namespace pov {
 
 // ---------------------------------------------------------------- errors --
 
-struct ParseError {
+// Derives from std::exception so a generic catch at any C ABI boundary
+// can never let it escape into std::terminate (a truncated-input abort
+// found by fuzzing the incremental front-end).
+struct ParseError : std::exception {
   std::string msg;
+  ParseError(std::string m) : msg(std::move(m)) {}
+  const char* what() const noexcept override { return msg.c_str(); }
 };
 
 #define POV_CHECK(cond, message)                         \

@@ -88,6 +88,13 @@ PovIncHandle* pov_inc_open(const uint8_t* data, size_t len, char* err_out,
     h->view.pf.setup = sa->pf.setup;
     h->opened = true;
     return h;
+  } catch (const pov::ParseError& e) {
+    if (err_out && err_cap) {
+      strncpy(err_out, e.msg.c_str(), err_cap - 1);
+      err_out[err_cap - 1] = 0;
+    }
+    delete h;
+    return nullptr;
   } catch (const std::exception& e) {
     if (err_out && err_cap) {
       strncpy(err_out, e.what(), err_cap - 1);
@@ -121,6 +128,12 @@ int64_t pov_inc_next(PovIncHandle* h, int64_t max_frames, char* err_out,
     h->carry_valid = true;
     h->view.pf.frames = std::move(window);
     return (int64_t)h->view.pf.frames.size();
+  } catch (const pov::ParseError& e) {
+    if (err_out && err_cap) {
+      strncpy(err_out, e.msg.c_str(), err_cap - 1);
+      err_out[err_cap - 1] = 0;
+    }
+    return -1;
   } catch (const std::exception& e) {
     if (err_out && err_cap) {
       strncpy(err_out, e.what(), err_cap - 1);

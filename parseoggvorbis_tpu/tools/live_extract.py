@@ -3,12 +3,14 @@
     python -m parseoggvorbis_tpu.tools.live_extract FILE_OR_ZIP
         [--filter NAME ...] [--mode dump|floor_ys|residue_ys]
         [--output_dim N] [--scale S] [--clip_abs_max M] [--multi_threaded]
+        [--device]
 
 Same CLI contract as the reference's demo_live_extract.py:555-599; ZIP
 archives are swept for .ogg members.  ``--multi_threaded`` parallelizes
-decode across files (the reference's ThreadPoolExecutor path); for
-corpus-scale feature extraction at full TPU throughput use
-``features.batched`` / ``runtime.batch.decode_corpus`` instead.
+decode across files (the reference's ThreadPoolExecutor path).
+``--device`` (floor_ys/residue_ys modes) computes the feature matrices on
+the TPU (features/device.py, >=500x realtime corpus-wide) — same values,
+none of the per-entry host state machine.
 """
 
 from __future__ import annotations
@@ -29,6 +31,20 @@ DEFAULT_FILTER = [
 def _do_file(lib, args, fn=None, reader=None, raw_bytes=None):
     if fn:
         print(fn)
+    if getattr(args, "device", False) and raw_bytes is not None:
+        from ..features.device import get_features_device
+
+        if args.mode == "floor_ys":
+            res = get_features_device(raw_bytes, args.output_dim,
+                                      "floor_final_ys")
+        else:
+            res = get_features_device(
+                raw_bytes, args.output_dim, "residue_ys", scale=args.scale,
+                clip_abs_max=args.clip_abs_max)
+        print("res shape:", res.shape)
+        print("res:")
+        print(res)
+        return
     if not reader:
         assert raw_bytes is not None
         reader = lib.decode_ogg_vorbis(raw_bytes, data_filter=args.filter)
@@ -72,7 +88,11 @@ def main(argv=None) -> int:
     ap.add_argument("--clip_abs_max", type=float)
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--multi_threaded", action="store_true")
+    ap.add_argument("--device", action="store_true",
+                    help="compute feature matrices on the TPU")
     args = ap.parse_args(argv)
+    if args.device and args.mode == "dump":
+        ap.error("--device applies to the floor_ys/residue_ys modes")
 
     lib = ParseOggVorbisLib()
 

@@ -134,6 +134,38 @@ def test_floor0_unused_channel_frames(oracle):
     assert _rel_err(ours.pcm, ref) <= 1e-5
 
 
+def test_floor0_scalar_c_path_dump_parity(tmp_path):
+    """The native scalar C path (pov_decode, the reference-CLI twin)
+    decodes floor0 and its tap dump diffs clean against the Python scalar
+    decoder's dump."""
+    import subprocess
+
+    from parseoggvorbis_tpu.native.frontend import available
+    from parseoggvorbis_tpu.tools.compare import compare_dumps
+
+    if not available():
+        pytest.skip("native front-end not built")
+    binary = os.path.join(REPO_ROOT, "parseoggvorbis_tpu", "native",
+                          "pov_decode")
+    if not os.path.exists(binary):
+        pytest.skip("pov_decode binary not built")
+    blob = make_floor0_stream(seed=6, num_frames=10)
+    ogg = tmp_path / "f0.ogg"
+    ogg.write_bytes(blob)
+    nat_dump = tmp_path / "nat.dump"
+    subprocess.run([binary, "--in", str(ogg), "--debug_out", str(nat_dump)],
+                   check=True, capture_output=True)
+    py_dump = tmp_path / "py.dump"
+    subprocess.run(
+        [sys.executable, "-m", "parseoggvorbis_tpu.cli", "--in", str(ogg),
+         "--debug_out", str(py_dump)],
+        check=True, capture_output=True, cwd=REPO_ROOT)
+    # float taps within eps (ulp-level libm vs numpy transcendentals;
+    # floor0 PCM can reach ~1e3, so the eps here is scaled up)
+    packets = compare_dumps(str(py_dump), str(nat_dump), eps=0.02)
+    assert packets == 10
+
+
 def test_floor0_feature_path_matches_reference_posture():
     """Feature extraction on a floor0-only stream fails identically to the
     reference Python stack (no floor1 setup taps -> assertion)."""

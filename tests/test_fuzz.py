@@ -191,3 +191,87 @@ def test_roundtrip_differential_vs_system_libvorbis():
         assert ours.pcm.shape == ref.shape
         worst = max(worst, float(np.abs(ours.pcm - ref).max()))
     assert worst <= 1e-6, worst
+
+
+def test_mutated_floor0_stream(tmp_path):
+    """Bit flips on a synthetic floor0 stream: clean rejection or decode,
+    and python/native front-ends agree on accept/reject."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    from make_synth_vorbis import make_floor0_stream
+    from parseoggvorbis_tpu.native.frontend import available, parse_stream_native
+
+    data = bytearray(make_floor0_stream(seed=0, num_frames=8))
+    rng = np.random.RandomState(3)
+    native = available()
+    for _ in range(40):
+        mutated = bytearray(data)
+        pos = rng.randint(0, len(data))
+        mutated[pos] ^= 1 << rng.randint(0, 8)
+        blob = bytes(mutated)
+        py_ok = True
+        try:
+            with _ParseBudget(10.0):
+                parse_stream_python(blob)
+        except (ParseError, ValueError, AssertionError):
+            py_ok = False
+        except _ParseBudget.Timeout:
+            continue
+        if native:
+            nat_ok = True
+            try:
+                parse_stream_native(blob)
+            except (ParseError, ValueError, RuntimeError):
+                nat_ok = False
+            assert nat_ok == py_ok, "front-end accept/reject disagreement"
+
+
+def test_incremental_truncation_agreement(stereo_ogg):
+    """Truncating at page boundaries: the incremental parser must agree
+    with the whole-file native parse — same total frames when accepted,
+    an error somewhere when rejected, never a crash or silent divergence."""
+    from parseoggvorbis_tpu.native.frontend import (NativeIncremental,
+                                                    available,
+                                                    parse_stream_native)
+    from parseoggvorbis_tpu.ogg.page import read_page
+
+    if not available():
+        pytest.skip("native front-end not built")
+    data = open(stereo_ogg, "rb").read()
+    bounds = []
+    off = 0
+    while True:
+        page, off2 = read_page(data, off)
+        if page is None:
+            break
+        bounds.append(off2)
+        off = off2
+    for cut in bounds[1:] + [b - 1 for b in bounds[2:]]:
+        blob = data[:cut]
+        whole_frames = None
+        try:
+            p = parse_stream_native(blob)
+            whole_frames = len(p.mode_idx)
+        except (ParseError, RuntimeError):
+            pass
+        inc_frames = 0
+        inc_err = False
+        try:
+            inc = NativeIncremental(blob)
+            first = True
+            while True:
+                view, has_ctx = inc.next_window(16)
+                if view is None:
+                    break
+                inc_frames += len(view.mode_idx) - (0 if first else 1)
+                first = False
+            inc.close()
+        except (ParseError, RuntimeError):
+            inc_err = True
+        if whole_frames is None:
+            assert inc_err, "incremental accepted what whole-parse rejects"
+        else:
+            assert not inc_err and inc_frames == whole_frames, cut

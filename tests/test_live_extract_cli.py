@@ -67,6 +67,22 @@ def test_mode_residue_ys(capsys):
     assert out.rstrip().endswith("Finished")
 
 
+def test_mode_floor_ys_device(capsys):
+    """--device computes the matrices on the TPU path, same values."""
+    from parseoggvorbis_tpu.native.frontend import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native front-end not built")
+    assert main([MONO_OGG, "--mode", "floor_ys", "--output_dim", "32",
+                 "--device"]) == 0
+    dev_out = capsys.readouterr().out
+    assert main([MONO_OGG, "--mode", "floor_ys", "--output_dim", "32"]) == 0
+    host_out = capsys.readouterr().out
+    assert dev_out.splitlines()[0] == host_out.splitlines()[0]  # res shape
+
+
 def test_invalid_mode_raises():
     with pytest.raises(Exception, match="invalid mode"):
         main([MONO_OGG, "--mode", "bogus"])

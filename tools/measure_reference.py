@@ -27,17 +27,22 @@ def audio_seconds(path):
     return min(int(sf.granules[-1]), int(sum(sf.frame_n)) // 2) / sf.sample_rate
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--reference", default="/root/reference")
-    ap.add_argument("--repeats", type=int, default=20)
-    args = ap.parse_args()
+def measure(reference="/root/reference", repeats=20, quiet=False):
+    """Build the reference decoder and measure its corpus RTF.
 
+    Returns (rtf, num_files, total_audio_seconds).  Measuring in the same
+    session as the bench matters: this host's single CPU core throttles by
+    >2x between sessions (measured 307x in one, 120x in another), so a
+    cached baseline can misstate vs_baseline badly in either direction.
+    """
     binary = os.path.join(tempfile.gettempdir(), "ref_ours.bin")
-    srcs = glob.glob(os.path.join(args.reference, "src", "*.cpp"))
-    subprocess.run(["g++", "-O2", "-std=c++11", *srcs,
-                    "-I", os.path.join(args.reference, "src"),
-                    "-o", binary], check=True)
+    srcs = glob.glob(os.path.join(reference, "src", "*.cpp"))
+    if not srcs:
+        raise RuntimeError("reference sources not found at %s" % reference)
+    if not os.path.exists(binary):
+        subprocess.run(["g++", "-O2", "-std=c++11", *srcs,
+                        "-I", os.path.join(reference, "src"),
+                        "-o", binary], check=True)
 
     corpus = sorted(glob.glob(os.path.join(REPO, "tests", "data", "bench", "*.ogg")))
     corpus += [os.path.join(REPO, "tests", "data", f)
@@ -51,29 +56,38 @@ def main():
     for p in corpus:
         rc = subprocess.run([binary, "--in", p], stdout=subprocess.DEVNULL,
                             stderr=subprocess.DEVNULL).returncode
-        (decodable.append(p) if rc == 0 else
-         print("SKIP (reference cannot decode):", os.path.basename(p)))
+        if rc == 0:
+            decodable.append(p)
+        elif not quiet:
+            print("SKIP (reference cannot decode):", os.path.basename(p))
     corpus = decodable
     total_audio = sum(audio_seconds(p) for p in corpus)
 
     best = None
-    for _ in range(args.repeats):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         for p in corpus:
             subprocess.run([binary, "--in", p], check=True,
                            stdout=subprocess.DEVNULL)
         wall = time.perf_counter() - t0
         best = wall if best is None else min(best, wall)
-    rtf = total_audio / best
-    print("corpus: %d files, %.2f audio-seconds" % (len(corpus), total_audio))
-    print("reference best wall: %.3fs -> RTF %.1fx (single thread, -O2)"
-          % (best, rtf))
-    # cache for bench.py: vs_baseline uses this host's own measurement when
-    # present instead of the baked round-2 number
+    return total_audio / best, len(corpus), total_audio
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--repeats", type=int, default=20)
+    args = ap.parse_args()
+    rtf, nfiles, total_audio = measure(args.reference, args.repeats)
+    print("corpus: %d files, %.2f audio-seconds" % (nfiles, total_audio))
+    print("reference RTF %.1fx (single thread, -O2, best of %d)"
+          % (rtf, args.repeats))
+    # cache for bench.py fallback (bench prefers a same-run measurement)
     import json
     cache = os.path.join(REPO, ".reference_rtf.json")
     with open(cache, "w") as f:
-        json.dump({"rtf": round(rtf, 2), "files": len(corpus),
+        json.dump({"rtf": round(rtf, 2), "files": nfiles,
                    "audio_seconds": round(total_audio, 2),
                    "measured_unix_time": time.time()}, f)
     print("cached ->", cache)
