@@ -1,0 +1,289 @@
+"""Batching decode/feature server — the serving face of the framework.
+
+The reference's only scale story is a thread pool over files inside one
+process (demo_live_extract.py:576-586).  This module serves the TPU batch
+pipeline over HTTP with admission batching: concurrent requests are
+collected for up to ``max_wait_ms`` (or until ``max_batch`` blobs) and
+decoded as ONE corpus batch — exactly the regime the device pipeline is
+built for (same-signature streams share executables; per-stream error
+isolation keeps a poison request from failing its batchmates).
+
+Endpoints (stdlib http.server; no external dependencies):
+
+  POST /decode?fmt=i16|f32     body: ogg bytes
+      -> 200, X-Sample-Rate/X-Channels/X-Samples headers, raw PCM
+         ([C, N] row-major, int16 LE or float32 LE)
+  POST /features?dim=64&kind=floor_final_ys[&device=1]   body: ogg bytes
+      -> 200, X-Rows/X-Dim headers, raw float32 [rows, dim]
+  GET  /stats
+      -> JSON: request/batch counters (batched > requests/batches proves
+         admission batching engaged)
+
+Usage:
+    server = DecodeServer(max_batch=64, max_wait_ms=20)
+    server.start()          # returns the bound port
+    ...
+    server.stop()
+
+or ``python -m parseoggvorbis_tpu.serving --port 8080``.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+class _Pending:
+    """One enqueued request, fulfilled by the batcher thread."""
+
+    def __init__(self, blob: bytes, kind: str, opts: dict):
+        self.blob = blob
+        self.kind = kind  # "decode" | "features"
+        self.opts = opts
+        self.done = threading.Event()
+        self.result = None
+        self.error: Optional[str] = None
+
+    def fail(self, msg: str) -> None:
+        self.error = msg
+        self.done.set()
+
+
+class _Batcher(threading.Thread):
+    """Admission batching: drain the queue into one decode_corpus call.
+
+    Waits up to ``max_wait_ms`` for the batch to fill once the first
+    request arrives — latency is bounded while throughput requests
+    coalesce into large device batches.
+    """
+
+    def __init__(self, max_batch: int, max_wait_ms: float):
+        super().__init__(daemon=True, name="pov-serving-batcher")
+        self.q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.stats = {"requests": 0, "batches": 0, "batched": 0,
+                      "errors": 0}
+        self._stop = False
+
+    def submit(self, p: _Pending) -> None:
+        self.stats["requests"] += 1
+        self.q.put(p)
+
+    def stop(self) -> None:
+        self._stop = True
+        self.q.put(None)
+
+    def run(self) -> None:
+        import time
+
+        while not self._stop:
+            first = self.q.get()
+            if first is None:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                batch.append(nxt)
+            self.stats["batches"] += 1
+            self.stats["batched"] += len(batch)
+            try:
+                self._run_batch(batch)
+            except Exception as exc:  # defensive: never kill the thread
+                self.stats["errors"] += len(batch)
+                for p in batch:
+                    p.fail("batch failed: %s" % exc)
+
+    def _run_batch(self, batch: List[_Pending]) -> None:
+        from .runtime.batch import decode_corpus
+
+        decodes = [p for p in batch if p.kind == "decode"]
+        feats = [p for p in batch if p.kind == "features"]
+
+        if decodes:
+            outs = decode_corpus(
+                [p.blob for p in decodes], strict=False,
+                out_i16=all(p.opts.get("fmt", "i16") == "i16"
+                            for p in decodes),
+            )
+            # chained files expand to multiple streams; serve the first
+            # stream of each blob (blob_index maps outputs back)
+            by_blob = {}
+            for o in outs:
+                by_blob.setdefault(o.blob_index, o)
+            for i, p in enumerate(decodes):
+                o = by_blob.get(i)
+                if o is None or not o.ok:
+                    self.stats["errors"] += 1
+                    p.fail(o.error if o is not None else "no output")
+                else:
+                    pcm = o.pcm
+                    if p.opts.get("fmt", "i16") == "i16" \
+                            and pcm.dtype != np.int16:
+                        pcm = np.clip(np.round(pcm * 32767.0),
+                                      -32768, 32767).astype(np.int16)
+                    p.result = (pcm, o.sample_rate)
+                    p.done.set()
+
+        if feats:
+            from .features.batched import get_features_batched
+
+            device = any(p.opts.get("device") for p in feats)
+            # group by (dim, kind): get_features_batched is homogeneous
+            groups = {}
+            for p in feats:
+                groups.setdefault((int(p.opts.get("dim", 64)),
+                                   p.opts.get("kind", "floor_final_ys")),
+                                  []).append(p)
+            for (dim, kind), ps in groups.items():
+                try:
+                    mats = get_features_batched(
+                        [p.blob for p in ps], dim, kind=kind, device=device)
+                except Exception as exc:
+                    self.stats["errors"] += len(ps)
+                    for p in ps:
+                        p.fail(str(exc))
+                    continue
+                for p, m in zip(ps, mats):
+                    p.result = m
+                    p.done.set()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "parseoggvorbis_tpu/serving"
+
+    def log_message(self, *args):  # quiet by default
+        pass
+
+    @property
+    def batcher(self) -> _Batcher:
+        return self.server.batcher  # type: ignore[attr-defined]
+
+    def do_GET(self):
+        if urlparse(self.path).path != "/stats":
+            self.send_error(404)
+            return
+        body = json.dumps(self.batcher.stats).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        qs = {k: v[0] for k, v in parse_qs(url.query).items()}
+        length = int(self.headers.get("Content-Length", "0"))
+        blob = self.rfile.read(length)
+        if url.path == "/decode":
+            p = _Pending(blob, "decode", {"fmt": qs.get("fmt", "i16")})
+        elif url.path == "/features":
+            p = _Pending(blob, "features", {
+                "dim": qs.get("dim", "64"),
+                "kind": qs.get("kind", "floor_final_ys"),
+                "device": qs.get("device") == "1",
+            })
+        else:
+            self.send_error(404)
+            return
+        self.batcher.submit(p)
+        if not p.done.wait(timeout=float(qs.get("timeout", "300"))):
+            self.send_error(504, "decode timed out")
+            return
+        if p.error is not None:
+            body = p.error.encode()
+            self.send_response(422)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        if p.kind == "decode":
+            pcm, rate = p.result
+            body = np.ascontiguousarray(pcm).tobytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("X-Sample-Rate", str(rate))
+            self.send_header("X-Channels", str(pcm.shape[0]))
+            self.send_header("X-Samples", str(pcm.shape[1]))
+            self.send_header("X-Dtype", str(pcm.dtype))
+        else:
+            mat = p.result
+            body = np.ascontiguousarray(mat, dtype=np.float32).tobytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("X-Rows", str(mat.shape[0]))
+            self.send_header("X-Dim", str(mat.shape[1]))
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+class DecodeServer:
+    """Threaded HTTP server + admission batcher around the TPU pipeline."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 max_batch: int = 64, max_wait_ms: float = 20.0):
+        self.httpd = ThreadingHTTPServer((host, port), _Handler)
+        self.batcher = _Batcher(max_batch, max_wait_ms)
+        self.httpd.batcher = self.batcher  # type: ignore[attr-defined]
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> int:
+        self.batcher.start()
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True, name="pov-serving-http")
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.batcher.stop()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--max_batch", type=int, default=64)
+    ap.add_argument("--max_wait_ms", type=float, default=20.0)
+    args = ap.parse_args(argv)
+    server = DecodeServer(args.host, args.port, args.max_batch,
+                          args.max_wait_ms)
+    port = server.start()
+    print("serving on %s:%d (POST /decode, POST /features, GET /stats)"
+          % (args.host, port))
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

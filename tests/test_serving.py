@@ -1,0 +1,116 @@
+"""Serving layer: HTTP decode/feature endpoints with admission batching.
+
+Concurrent requests must coalesce into shared device batches (the stats
+prove it), outputs must equal the direct-API results bit-for-bit, and a
+poison request must fail alone (per-stream isolation through the server).
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from conftest import MONO_OGG, STEREO_OGG
+
+
+@pytest.fixture(scope="module")
+def server():
+    from parseoggvorbis_tpu.serving import DecodeServer
+
+    s = DecodeServer(max_batch=16, max_wait_ms=150.0)
+    s.start()
+    yield s
+    s.stop()
+
+
+def _post(port, path, blob):
+    req = urllib.request.Request("http://127.0.0.1:%d%s" % (port, path),
+                                 data=blob, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, dict(resp.headers), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+def test_decode_endpoint_matches_direct_api(server):
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    blob = open(STEREO_OGG, "rb").read()
+    status, headers, body = _post(server.port, "/decode?fmt=i16", blob)
+    assert status == 200
+    c, n = int(headers["X-Channels"]), int(headers["X-Samples"])
+    assert int(headers["X-Sample-Rate"]) == 44100
+    pcm = np.frombuffer(body, dtype=np.int16).reshape(c, n)
+    direct = decode_bytes(blob, out_i16=True)
+    np.testing.assert_array_equal(pcm, direct.pcm)
+
+
+def test_concurrent_requests_batch_together(server):
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    blobs = [open(MONO_OGG, "rb").read(), open(STEREO_OGG, "rb").read()] * 3
+    want = {44100: None}
+    results = [None] * len(blobs)
+
+    def hit(i):
+        results[i] = _post(server.port, "/decode?fmt=i16", blobs[i])
+
+    before = json.loads(urllib.request.urlopen(
+        "http://127.0.0.1:%d/stats" % server.port).read())
+    threads = [threading.Thread(target=hit, args=(i,))
+               for i in range(len(blobs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    after = json.loads(urllib.request.urlopen(
+        "http://127.0.0.1:%d/stats" % server.port).read())
+    for i, (status, headers, body) in enumerate(results):
+        assert status == 200
+        direct = decode_bytes(blobs[i], out_i16=True)
+        pcm = np.frombuffer(body, np.int16).reshape(
+            int(headers["X-Channels"]), int(headers["X-Samples"]))
+        np.testing.assert_array_equal(pcm, direct.pcm)
+    # admission batching engaged: more requests than batches
+    d_req = after["requests"] - before["requests"]
+    d_batches = after["batches"] - before["batches"]
+    assert d_req == len(blobs)
+    assert d_batches < d_req, (before, after)
+
+
+def test_poison_request_fails_alone(server):
+    blob = open(MONO_OGG, "rb").read()
+    results = {}
+
+    def hit(name, payload):
+        results[name] = _post(server.port, "/decode", payload)
+
+    threads = [
+        threading.Thread(target=hit, args=("good", blob)),
+        threading.Thread(target=hit, args=("bad", b"not an ogg at all")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results["good"][0] == 200
+    assert results["bad"][0] == 422
+
+
+def test_features_endpoint(server):
+    from parseoggvorbis_tpu.features.batched import get_features_batched
+    from parseoggvorbis_tpu.native.frontend import available
+
+    if not available():
+        pytest.skip("native front-end not built")
+    blob = open(STEREO_OGG, "rb").read()
+    status, headers, body = _post(
+        server.port, "/features?dim=48&kind=floor_final_ys&device=1", blob)
+    assert status == 200
+    mat = np.frombuffer(body, np.float32).reshape(
+        int(headers["X-Rows"]), int(headers["X-Dim"]))
+    want = get_features_batched([blob], 48, device=True)[0]
+    np.testing.assert_array_equal(mat, want)
