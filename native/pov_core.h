@@ -1011,6 +1011,17 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
     }
     ys_off += su.floors[fl].xs.size();
   }
+  // mixed floor0/floor1 mappings: the env export ships ONE uniform f32
+  // tensor, so floor1 channels contribute their inverse-dB envelope here
+  if (any_floor0) {
+    for (int ch = 0; ch < C; ++ch) {
+      uint8_t fl = mapping.submaps[mapping.muxs[ch]].floor;
+      if (su.floor_types[fl] == 1 && fr.decoded[ch])
+        for (int i = 0; i < half; ++i)
+          fr.fenv[(size_t)ch * half + i] =
+              inverse_db(fr.curve[(size_t)ch * n + i]);
+    }
+  }
   // nonzero vector propagate
   for (auto& cp : mapping.couplings) {
     if (fr.used[cp.first] || fr.used[cp.second])

@@ -262,9 +262,10 @@ void pov_export_residues(PovHandle* h, const int64_t* frame_ids, int64_t count,
   }
 }
 
-// Float32 envelopes for floor0 (LSP) modes: [B, C, n/2].  For floor1
-// channels inside a floor0-bearing mode the envelope is the inverse-dB of
-// the integer curve, computed here so the device gets one uniform tensor.
+// Float32 envelopes for floor0 (LSP) modes: [B, C, n/2].  Frames with a
+// floor0-bearing mapping carry a complete fenv (floor1 channels' inverse-dB
+// envelopes are filled at parse time, pov_core.h parse_audio_packet); the
+// else branch serves floor1-only frames of mixed-mode streams.
 void pov_export_env(PovHandle* h, const int64_t* frame_ids, int64_t count,
                     float* env) {
   int C = h->pf.channels;

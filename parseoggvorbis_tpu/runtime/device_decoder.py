@@ -88,15 +88,26 @@ def _build_imdct_on_device(n: int, sharding=None) -> jax.Array:
 
 class _DeviceConstants:
     """Per-process device-resident constant buffers (thread-safe: corpus
-    decode launches streams from a thread pool)."""
+    decode launches streams from a thread pool).
+
+    The generic cache is an LRU bounded at _CACHE_CAP entries: feature/
+    floor constants are keyed by per-stream setup data (floor xs tuples,
+    selection vectors), so a long-running server decoding a varied corpus
+    would otherwise accumulate device buffers without bound.  Eviction
+    only drops our reference — in-flight computations hold their own.
+    IMDCT matrices live in their own small map (<= one per blocksize).
+    """
+
+    _CACHE_CAP = int(os.environ.get("POV_CONST_CACHE_CAP", "1024"))
 
     def __init__(self) -> None:
         import threading
+        from collections import OrderedDict
 
         self._lock = threading.Lock()
         self._imdct: Dict[int, jax.Array] = {}
         self._inverse_db: Optional[jax.Array] = None
-        self._windows: Dict[tuple, jax.Array] = {}
+        self._windows: "OrderedDict[tuple, jax.Array]" = OrderedDict()
 
     def imdct(self, n: int) -> jax.Array:
         with self._lock:
@@ -114,20 +125,24 @@ class _DeviceConstants:
             return self._inverse_db
 
     def windows(self, key: tuple, builder) -> jax.Array:
-        with self._lock:
-            w = self._windows.get(key)
-            if w is None:
-                w = jax.device_put(builder())
-                self._windows[key] = w
-            return w
+        return self.cached(key, lambda: jax.device_put(builder()))
 
     def cached(self, key: tuple, builder):
-        """Generic device-resident cache (builder returns device value(s))."""
+        """Generic device-resident LRU cache (builder returns device
+        value(s))."""
         with self._lock:
             w = self._windows.get(key)
-            if w is None:
-                w = builder()
-                self._windows[key] = w
+            if w is not None:
+                self._windows.move_to_end(key)
+                return w
+        # build outside the lock (device builds can take ~1s); duplicate
+        # concurrent builds are benign (last one wins)
+        w = builder()
+        with self._lock:
+            self._windows[key] = w
+            self._windows.move_to_end(key)
+            while len(self._windows) > self._CACHE_CAP:
+                self._windows.popitem(last=False)
             return w
 
 
@@ -150,12 +165,13 @@ class _TransferStats:
 
     def __init__(self) -> None:
         import threading
+        from collections import deque
 
         self._lock = threading.Lock()
         self.bytes_in = 0
         self.bytes_out = 0
         self.dispatches = 0
-        self.events: List[tuple] = []
+        self.events = deque(maxlen=self._MAX_EVENTS)
 
     def add(self, bytes_in: int, bytes_out: int) -> None:
         with self._lock:
@@ -165,18 +181,21 @@ class _TransferStats:
 
     def event(self, kind: str, t0: float, t1: float, nbytes: int) -> None:
         with self._lock:
-            if len(self.events) < self._MAX_EVENTS:
-                self.events.append((kind, t0, t1, nbytes))
+            self.events.append((kind, t0, t1, nbytes))  # deque drops oldest
 
     def snapshot(self) -> dict:
         with self._lock:
             return {"bytes_in": self.bytes_in, "bytes_out": self.bytes_out,
                     "dispatches": self.dispatches}
 
+    def clear_events(self) -> None:
+        with self._lock:
+            self.events.clear()
+
     def reset(self) -> None:
         with self._lock:
             self.bytes_in = self.bytes_out = self.dispatches = 0
-            self.events = []
+            self.events.clear()
 
     def phase_summary(self) -> dict:
         """Reduce the event timeline to per-phase wall occupancy.

@@ -69,17 +69,39 @@ class _Batcher(threading.Thread):
         self.q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
-        self.stats = {"requests": 0, "batches": 0, "batched": 0,
-                      "errors": 0}
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests": 0, "batches": 0, "batched": 0,
+                       "errors": 0}
         self._stop = False
 
+    def _count(self, key: str, delta: int = 1) -> None:
+        with self._stats_lock:
+            self._stats[key] += delta
+
+    @property
+    def stats(self) -> dict:
+        with self._stats_lock:
+            return dict(self._stats)
+
     def submit(self, p: _Pending) -> None:
-        self.stats["requests"] += 1
+        if self._stop:
+            p.fail("server shutting down")
+            return
+        self._count("requests")
         self.q.put(p)
 
     def stop(self) -> None:
         self._stop = True
         self.q.put(None)
+        # fail anything still queued so handlers return promptly instead
+        # of blocking out their full wait timeout
+        while True:
+            try:
+                p = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if p is not None:
+                p.fail("server shutting down")
 
     def run(self) -> None:
         import time
@@ -101,14 +123,22 @@ class _Batcher(threading.Thread):
                 if nxt is None:
                     break
                 batch.append(nxt)
-            self.stats["batches"] += 1
-            self.stats["batched"] += len(batch)
+            self._count("batches")
+            self._count("batched", len(batch))
             try:
                 self._run_batch(batch)
             except Exception as exc:  # defensive: never kill the thread
-                self.stats["errors"] += len(batch)
+                self._count("errors", len(batch))
                 for p in batch:
                     p.fail("batch failed: %s" % exc)
+        # drain on exit: fail anything that raced past stop()
+        while True:
+            try:
+                p = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if p is not None:
+                p.fail("server shutting down")
 
     def _run_batch(self, batch: List[_Pending]) -> None:
         from .runtime.batch import decode_corpus
@@ -130,7 +160,7 @@ class _Batcher(threading.Thread):
             for i, p in enumerate(decodes):
                 o = by_blob.get(i)
                 if o is None or not o.ok:
-                    self.stats["errors"] += 1
+                    self._count("errors")
                     p.fail(o.error if o is not None else "no output")
                 else:
                     pcm = o.pcm
@@ -144,19 +174,21 @@ class _Batcher(threading.Thread):
         if feats:
             from .features.batched import get_features_batched
 
-            device = any(p.opts.get("device") for p in feats)
-            # group by (dim, kind): get_features_batched is homogeneous
+            # group by (dim, kind, device): the device flag is part of the
+            # numeric contract (residue kinds differ ~1e-6 between paths),
+            # so one request's option must not leak onto its batchmates
             groups = {}
             for p in feats:
                 groups.setdefault((int(p.opts.get("dim", 64)),
-                                   p.opts.get("kind", "floor_final_ys")),
+                                   p.opts.get("kind", "floor_final_ys"),
+                                   bool(p.opts.get("device"))),
                                   []).append(p)
-            for (dim, kind), ps in groups.items():
+            for (dim, kind, device), ps in groups.items():
                 try:
                     mats = get_features_batched(
                         [p.blob for p in ps], dim, kind=kind, device=device)
                 except Exception as exc:
-                    self.stats["errors"] += len(ps)
+                    self._count("errors", len(ps))
                     for p in ps:
                         p.fail(str(exc))
                     continue

@@ -166,6 +166,31 @@ def test_floor0_scalar_c_path_dump_parity(tmp_path):
     assert packets == 10
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_mixed_floor0_floor1_mapping(oracle, seed):
+    """A mapping with ch0 on a floor0 submap and ch1 on a floor1 submap:
+    the env export must carry BOTH channels' envelopes (a native bug this
+    test was written against: floor1 channels shipped zero envelopes when
+    any floor0 channel was present)."""
+    from make_synth_vorbis import SynthStream
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    blob = SynthStream(bs0=512, bs1=2048, seed=seed,
+                       floor_kind="mixed").make(num_frames=14)
+    ref, _ = oracle.decode_ogg(blob)
+    assert ref.shape[0] == 2
+    py = decode_bytes(blob, prefer_native=False)
+    assert py.pcm.shape == ref.shape
+    assert _rel_err(py.pcm, ref) <= 1e-5
+    from parseoggvorbis_tpu.native.frontend import available
+
+    if available():
+        nat = decode_bytes(blob, prefer_native=True)
+        assert _rel_err(nat.pcm, ref) <= 1e-5
+        # the floor1 channel must NOT be silent (the regression's symptom)
+        assert float(np.abs(nat.pcm[1]).max()) > 0
+
+
 def test_floor0_feature_path_matches_reference_posture():
     """Feature extraction on a floor0-only stream fails identically to the
     reference Python stack (no floor1 setup taps -> assertion)."""

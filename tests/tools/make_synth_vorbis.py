@@ -104,9 +104,12 @@ class SynthStream:
     def __init__(self, bs0: int = 4096, bs1: int = 8192, rate: int = 48000,
                  seed: int = 0, floor_kind: str = "floor1"):
         assert bs0 <= bs1 <= 8192
+        assert floor_kind in ("floor1", "floor0", "mixed")
         self.bs0, self.bs1, self.rate = bs0, bs1, rate
         self.rng = np.random.RandomState(seed)
         self.floor_kind = floor_kind
+        # mixed: stereo with ch0 -> floor0 submap, ch1 -> floor1 submap
+        self.channels = 2 if floor_kind == "mixed" else 1
         self.floor_book = _Flat(self.FLOOR_ENTRIES, 6)
         self.class_book = _Flat(self.CLASSES ** 2, 2)  # dims 2
         self.value_book = _Flat(self.VQ_ENTRIES, 4)
@@ -118,7 +121,7 @@ class SynthStream:
     def id_header(self) -> bytes:
         out = bytearray(b"\x01vorbis")
         out += (0).to_bytes(4, "little")         # version
-        out += bytes([1])                        # channels (mono)
+        out += bytes([self.channels])
         out += int(self.rate).to_bytes(4, "little")
         out += (0).to_bytes(4, "little") * 3     # bitrates
         out += bytes([(self.bs0.bit_length() - 1)
@@ -176,8 +179,7 @@ class SynthStream:
         w.write(0, 6)
         w.write(0, 16)
         # --- floors
-        w.write(0, 6)                            # floor_count - 1
-        if self.floor_kind == "floor0":
+        def write_floor0():
             # LSP floor (spec 6.2): the surface NO mainstream encoder emits
             w.write(0, 16)                       # floor type 0
             w.write(self.LSP_ORDER, 8)           # order
@@ -187,8 +189,12 @@ class SynthStream:
             w.write(8, 8)                        # amplitude offset (dB)
             w.write(1 - 1, 4)                    # one book
             w.write(3, 8)                        # the lsp book
-            self._write_floor1_tail = False
-        else:
+
+        num_floors = 2 if self.floor_kind == "mixed" else 1
+        w.write(num_floors - 1, 6)               # floor_count - 1
+        if self.floor_kind in ("floor0", "mixed"):
+            write_floor0()
+        if self.floor_kind in ("floor1", "mixed"):
             w.write(1, 16)                           # floor type 1
             w.write(1, 5)                            # partitions
             w.write(0, 4)                            # partition class list: [0]
@@ -219,12 +225,27 @@ class SynthStream:
         # --- mappings: one type-0 mapping
         w.write(0, 6)
         w.write(0, 16)                           # mapping type 0
-        w.write(0, 1)                            # one submap
-        w.write(0, 1)                            # no coupling
-        w.write(0, 2)                            # reserved
-        w.write(0, 8)                            # time config (ignored)
-        w.write(0, 8)                            # floor 0
-        w.write(0, 8)                            # residue 0
+        if self.floor_kind == "mixed":
+            # two submaps: ch0 -> submap0 (floor0), ch1 -> submap1 (floor1)
+            w.write(1, 1)                        # submaps follow
+            w.write(2 - 1, 4)
+            w.write(0, 1)                        # no coupling
+            w.write(0, 2)                        # reserved
+            w.write(0, 4)                        # mux ch0 -> submap 0
+            w.write(1, 4)                        # mux ch1 -> submap 1
+            w.write(0, 8)                        # submap0: time (ignored)
+            w.write(0, 8)                        #          floor 0 (LSP)
+            w.write(0, 8)                        #          residue 0
+            w.write(0, 8)                        # submap1: time
+            w.write(1, 8)                        #          floor 1
+            w.write(0, 8)                        #          residue 0
+        else:
+            w.write(0, 1)                            # one submap
+            w.write(0, 1)                            # no coupling
+            w.write(0, 2)                            # reserved
+            w.write(0, 8)                            # time config (ignored)
+            w.write(0, 8)                            # floor 0
+            w.write(0, 8)                            # residue 0
         # --- modes
         if self.two_modes:
             w.write(2 - 1, 6)
@@ -255,17 +276,22 @@ class SynthStream:
             w.write(next_flag, 1)
         n = self.bs1 if block_flag else self.bs0
         half = n // 2
-        if self.floor_kind == "floor0":
+
+        def write_floor0_channel():
             # spec 6.2.2: amplitude, book number (ilog(1) = 1 bit), one
             # LSP vector.  amplitude == 0 (1 in 8 frames) marks the channel
-            # unused: no book/coefficients AND no residue reads follow.
-            amp = 0 if self.rng.randint(0, 8) == 0 else int(self.rng.randint(1, 64))
+            # unused: no book/coefficients follow (and no residue reads for
+            # a fully-unused submap).
+            amp = (0 if self.rng.randint(0, 8) == 0
+                   else int(self.rng.randint(1, 64)))
             w.write(amp, 6)
             if amp == 0:
-                return w.getvalue()
+                return False
             w.write(0, 1)
             self.lsp_book.write_entry(w, int(self.rng.randint(0, 16)))
-        else:
+            return True
+
+        def write_floor1_channel():
             # floor 1 (spec 7.2.3): nonzero, y0/y1 raw (ilog(range-1) = 6
             # bits), then one partition of class 0 -> 2 Y entries
             w.write(1, 1)
@@ -273,26 +299,42 @@ class SynthStream:
             w.write(int(self.rng.randint(0, 41)), 6)
             for _ in range(2):
                 self.floor_book.write_entry(w, int(self.rng.randint(0, 41)))
-        # residue type 1, one pass: classwords of 2 partitions via the
-        # classbook, class-1 partitions carry PART_SIZE/VQ_DIMS VQ entries
-        limit = min(self.RES_END, half)
-        parts = limit // self.PART_SIZE
-        classes = self.rng.randint(0, self.CLASSES, parts)
-        j = 0
-        while j < parts:
-            cword = int(classes[j]) * self.CLASSES + int(classes[min(j + 1,
-                                                                     parts - 1)])
-            if j + 1 >= parts:
-                cword = int(classes[j]) * self.CLASSES  # pad digit 0
-            self.class_book.write_entry(w, cword)
-            for k in range(2):
-                if j + k >= parts:
-                    break
-                if classes[j + k] == 1:
-                    for _ in range(self.PART_SIZE // self.VQ_DIMS):
-                        self.value_book.write_entry(
-                            w, int(self.rng.randint(0, self.VQ_ENTRIES)))
-            j += 2
+            return True
+
+        used = []
+        for ch in range(self.channels):
+            ch_kind = (self.floor_kind if self.floor_kind != "mixed"
+                       else ("floor0" if ch == 0 else "floor1"))
+            used.append(write_floor0_channel() if ch_kind == "floor0"
+                        else write_floor1_channel())
+
+        def write_residue_one_channel():
+            # residue type 1, one pass: classwords of 2 partitions via the
+            # classbook, class-1 partitions carry PART_SIZE/VQ_DIMS entries
+            limit = min(self.RES_END, half)
+            parts = limit // self.PART_SIZE
+            classes = self.rng.randint(0, self.CLASSES, parts)
+            j = 0
+            while j < parts:
+                cword = int(classes[j]) * self.CLASSES \
+                    + int(classes[min(j + 1, parts - 1)])
+                if j + 1 >= parts:
+                    cword = int(classes[j]) * self.CLASSES  # pad digit 0
+                self.class_book.write_entry(w, cword)
+                for k in range(2):
+                    if j + k >= parts:
+                        break
+                    if classes[j + k] == 1:
+                        for _ in range(self.PART_SIZE // self.VQ_DIMS):
+                            self.value_book.write_entry(
+                                w, int(self.rng.randint(0, self.VQ_ENTRIES)))
+                j += 2
+
+        # per submap (mixed: submap0 = ch0, submap1 = ch1), channels with
+        # do-not-decode floors contribute no residue reads
+        for ch in range(self.channels):
+            if used[ch]:
+                write_residue_one_channel()
         return w.getvalue()
 
     def make(self, num_frames: int = 24, truncate_final: int = 0) -> bytes:

@@ -35,14 +35,17 @@ def measure(reference="/root/reference", repeats=20, quiet=False):
     >2x between sessions (measured 307x in one, 120x in another), so a
     cached baseline can misstate vs_baseline badly in either direction.
     """
-    binary = os.path.join(tempfile.gettempdir(), "ref_ours.bin")
     srcs = glob.glob(os.path.join(reference, "src", "*.cpp"))
     if not srcs:
         raise RuntimeError("reference sources not found at %s" % reference)
-    if not os.path.exists(binary):
-        subprocess.run(["g++", "-O2", "-std=c++11", *srcs,
-                        "-I", os.path.join(reference, "src"),
-                        "-o", binary], check=True)
+    # always rebuild, into a private directory: a cached binary at a
+    # predictable shared-/tmp path could be stale (reference changed) or
+    # not even ours
+    build_dir = tempfile.mkdtemp(prefix="pov_ref_")
+    binary = os.path.join(build_dir, "ref_ours.bin")
+    subprocess.run(["g++", "-O2", "-std=c++11", *srcs,
+                    "-I", os.path.join(reference, "src"),
+                    "-o", binary], check=True)
 
     corpus = sorted(glob.glob(os.path.join(REPO, "tests", "data", "bench", "*.ogg")))
     corpus += [os.path.join(REPO, "tests", "data", f)

@@ -16,21 +16,18 @@ import time
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=float, default=8.0)
-    ap.add_argument("--repeats", type=int, default=8)
-    args = ap.parse_args()
-
+def measure_link(mb=8.0, repeats=8):
+    """-> (h2d, d2h) MB/s samples.  One implementation, shared with
+    bench.py's in-run probe."""
     import jax
 
-    n = int(args.mb * 1e6 / 4)
+    n = int(mb * 1e6 / 4)
     host = np.random.RandomState(0).rand(n).astype(np.float32)
     dev = jax.device_put(host)  # warm
     jax.block_until_ready(dev)
 
     h2d, d2h = [], []
-    for _ in range(args.repeats):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         dev = jax.device_put(host)
         jax.block_until_ready(dev)
@@ -38,6 +35,15 @@ def main():
         t0 = time.perf_counter()
         back = np.asarray(dev)
         d2h.append(back.nbytes / (time.perf_counter() - t0) / 1e6)
+    return h2d, d2h
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=float, default=8.0)
+    ap.add_argument("--repeats", type=int, default=8)
+    args = ap.parse_args()
+    h2d, d2h = measure_link(args.mb, args.repeats)
     h2d.sort(), d2h.sort()
     print(json.dumps({
         "buffer_mb": args.mb, "repeats": args.repeats,
