@@ -64,11 +64,12 @@ class _Batcher(threading.Thread):
     coalesce into large device batches.
     """
 
-    def __init__(self, max_batch: int, max_wait_ms: float):
+    def __init__(self, max_batch: int, max_wait_ms: float, mesh=None):
         super().__init__(daemon=True, name="pov-serving-batcher")
         self.q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        self.mesh = mesh  # jax.sharding.Mesh: shard decode batches over it
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "batched": 0,
                        "errors": 0}
@@ -151,6 +152,7 @@ class _Batcher(threading.Thread):
                 [p.blob for p in decodes], strict=False,
                 out_i16=all(p.opts.get("fmt", "i16") == "i16"
                             for p in decodes),
+                mesh=self.mesh,
             )
             # chained files expand to multiple streams; serve the first
             # stream of each blob (blob_index maps outputs back)
@@ -267,12 +269,17 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class DecodeServer:
-    """Threaded HTTP server + admission batcher around the TPU pipeline."""
+    """Threaded HTTP server + admission batcher around the TPU pipeline.
+
+    ``mesh`` (a jax.sharding.Mesh with a 'data' axis) shards each decode
+    batch over the mesh — admission batching feeding multi-chip
+    data-parallel decode (decode_corpus(mesh=...)).
+    """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 max_batch: int = 64, max_wait_ms: float = 20.0):
+                 max_batch: int = 64, max_wait_ms: float = 20.0, mesh=None):
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
-        self.batcher = _Batcher(max_batch, max_wait_ms)
+        self.batcher = _Batcher(max_batch, max_wait_ms, mesh=mesh)
         self.httpd.batcher = self.batcher  # type: ignore[attr-defined]
         self._thread: Optional[threading.Thread] = None
 
@@ -302,9 +309,16 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max_batch", type=int, default=64)
     ap.add_argument("--max_wait_ms", type=float, default=20.0)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard decode batches over an N-device mesh")
     args = ap.parse_args(argv)
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh)
     server = DecodeServer(args.host, args.port, args.max_batch,
-                          args.max_wait_ms)
+                          args.max_wait_ms, mesh=mesh)
     port = server.start()
     print("serving on %s:%d (POST /decode, POST /features, GET /stats)"
           % (args.host, port))

@@ -94,3 +94,17 @@ def test_8192_streaming_and_features():
         want = batched.get_features(blob, 64, "floor_final_ys_rendered")
         dev = get_features_device(blob, 64, "floor_final_ys_rendered")
         np.testing.assert_array_equal(dev, want)
+
+
+def test_8192_floor0_intersection(oracle):
+    """LSP floors at the spec's largest blocksize — two beyond-parity
+    surfaces composed (neither exists in any encoder-generated corpus)."""
+    from make_synth_vorbis import make_floor0_stream
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    blob = make_floor0_stream(seed=7, num_frames=10, bs0=4096, bs1=8192)
+    ref, _ = oracle.decode_ogg(blob)
+    ours = decode_bytes(blob)
+    assert ours.pcm.shape == ref.shape
+    scale = max(float(np.abs(ref).max()), 1e-20)
+    assert float(np.abs(ours.pcm - ref).max()) / scale <= 1e-5

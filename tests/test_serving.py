@@ -114,3 +114,36 @@ def test_features_endpoint(server):
         int(headers["X-Rows"]), int(headers["X-Dim"]))
     want = get_features_batched([blob], 48, device=True)[0]
     np.testing.assert_array_equal(mat, want)
+
+
+def test_mesh_server_batches_over_devices():
+    """Admission batching feeding multi-chip decode: a server constructed
+    with an 8-device mesh serves bit-identical PCM."""
+    from parseoggvorbis_tpu.parallel.mesh import make_mesh
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+    from parseoggvorbis_tpu.serving import DecodeServer
+
+    s = DecodeServer(max_batch=16, max_wait_ms=150.0, mesh=make_mesh(8))
+    s.start()
+    try:
+        blobs = [open(MONO_OGG, "rb").read(),
+                 open(STEREO_OGG, "rb").read()] * 2
+        results = [None] * len(blobs)
+
+        def hit(i):
+            results[i] = _post(s.port, "/decode?fmt=i16", blobs[i])
+
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(len(blobs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, (status, headers, body) in enumerate(results):
+            assert status == 200
+            direct = decode_bytes(blobs[i], out_i16=True)
+            pcm = np.frombuffer(body, np.int16).reshape(
+                int(headers["X-Channels"]), int(headers["X-Samples"]))
+            np.testing.assert_array_equal(pcm, direct.pcm)
+    finally:
+        s.stop()
