@@ -215,6 +215,9 @@ class _FeatSig:
     base_factor: float = 0.0  # 0 = no floor_base weighting
     base_l: int = 0
     codes: bool = False  # u16 value-table codes instead of f32 rows
+    # streaming (windowed) extraction: basearr carries a cross-window
+    # floor_base row and the jit returns (rows, end_base)
+    carry: bool = False
 
 
 def _floor_setup(p, sorted_xs: bool, upscale: int):
@@ -413,7 +416,13 @@ def _feat_impl(sig: _FeatSig, bucket_args, bucket_consts, row_src, table,
     # residue family
     base = None
     if sig.base_factor != 0.0 and sig.base_l:
-        basearr = jnp.zeros((sig.t_pad + 1, sig.base_l), jnp.float32)
+        # rows: per-frame sources, then [t_pad] = trash (no base, masked),
+        # then optionally [t_pad+1] = the carried base (streaming windows)
+        rows_n = sig.t_pad + (2 if sig.carry else 1)
+        basearr = jnp.zeros((rows_n, sig.base_l), jnp.float32)
+        if sig.carry:
+            carry_vec, _end_src = extra[-1]
+            basearr = basearr.at[sig.t_pad + 1].set(carry_vec)
         for bsig, args, consts, ex in zip(sig.buckets, bucket_args,
                                           bucket_consts, extra):
             cand = bsig.base_cand
@@ -454,7 +463,7 @@ def _feat_impl(sig: _FeatSig, bucket_args, bucket_consts, row_src, table,
             selected = accurate_log1p(jnp.abs(selected))
         if base is not None:
             fb = base[ex["src_frame"]]  # [B, L]
-            has = (ex["src_frame"] < sig.t_pad)[:, None, None]
+            has = (ex["src_frame"] != sig.t_pad)[:, None, None]
             if sig.log1p:
                 weighted = selected + (fb * np.float32(sig.base_factor))[:, None, :]
             else:
@@ -471,6 +480,11 @@ def _feat_impl(sig: _FeatSig, bucket_args, bucket_consts, row_src, table,
             selected = jnp.pad(selected, ((0, 0), (0, 0), (0, pad)))
         out_rows.append(selected.reshape(b * c, out))
     rows = jnp.concatenate(out_rows, axis=0)[row_src]
+    if sig.carry:
+        _carry_vec, end_src = extra[-1]
+        end_base = (base[end_src] if base is not None
+                    else jnp.zeros(max(sig.base_l, 1), jnp.float32))
+        return rows[: sig.r_pad], end_base
     return rows[: sig.r_pad]
 
 
@@ -494,7 +508,8 @@ _RESIDUE_KINDS = ("residue_ys", "residue_ys_with_floor")
 
 def _plan_floor(p, output_dim: int, kind: str, include_floor_number,
                 only_biggest_floor, sorted_xs, upscale_xs_factor,
-                xs_from_biggest_floor, floor_always_positive, verbose=0):
+                xs_from_biggest_floor, floor_always_positive, verbose=0,
+                skip_first_frame=False, concat_carry=None):
     """Build the device plan for the read_floor_ys kinds.
 
     Mirrors extract.py:64-169 exactly; every branch cites the matching host
@@ -620,6 +635,10 @@ def _plan_floor(p, output_dim: int, kind: str, include_floor_number,
     emit = decoded_global.copy()
     if only_biggest_floor:
         emit &= fnum_arr == biggest
+    if skip_first_frame and t_total:
+        # windowed extraction: frame 0 is the previous window's context
+        # frame — its rows were already emitted there
+        emit[0, :] = False
     flat_emit = emit.reshape(-1)
     emit_tc = np.nonzero(flat_emit)[0]
     r = len(emit_tc)
@@ -649,10 +668,12 @@ def _plan_floor(p, output_dim: int, kind: str, include_floor_number,
         row_off = np.zeros(r_pad + 1, dtype=np.int64)
         row_zl = np.zeros(r_pad + 1, dtype=np.int64)
         last_row = -1
-        off = 0
+        off = concat_carry["off"] if concat_carry else 0
+        back_appends = []  # appends targeting the PREVIOUS window's rows
         l_by_mode = {m: np.array([cs.l for cs in buckets[m].sig.chans])
                      for m in mode_ids}
-        for t in range(t_total):
+        t_start = 1 if skip_first_frame else 0
+        for t in range(t_start, t_total):
             m = int(p.mode_idx[t])
             em = emit[t]
             if em.any():
@@ -662,12 +683,22 @@ def _plan_floor(p, output_dim: int, kind: str, include_floor_number,
             gate = ((not only_biggest_floor)
                     or buckets[m].recent_after == biggest)
             if gate and off != 0:
-                assert last_row >= 0
                 assert output_dim >= off  # extract.py:156 parity
-                row_vsrc[last_row] = voff[m] + int(pos_global[t])
-                row_off[last_row] = off
-                row_zl[last_row] = buckets[m].sig.zoom_l
+                if last_row < 0:
+                    # the pending offset came in from the previous window
+                    # and no row has been emitted yet here: the append
+                    # lands in the PREVIOUS window's final row.  Defensive:
+                    # reaching this needs a mode whose emission and gate
+                    # conditions disagree across a window boundary (multi-
+                    # submap floor layouts); handled host-side in f64 by
+                    # the streaming driver
+                    back_appends.append((int(t), int(m), int(off)))
+                else:
+                    row_vsrc[last_row] = voff[m] + int(pos_global[t])
+                    row_off[last_row] = off
+                    row_zl[last_row] = buckets[m].sig.zoom_l
                 off = 0
+        carry_out = {"off": off, "back_appends": back_appends}
         extra = [(buckets[m].zoom_t,) for m in mode_ids]
         extra.append((row_vsrc.astype(np.int32), row_off.astype(np.int32),
                       row_zl.astype(np.int32)))
@@ -686,13 +717,16 @@ def _plan_floor(p, output_dim: int, kind: str, include_floor_number,
         ext = np.concatenate([np.zeros(1, np.float32),
                               _norm_table(bool(floor_always_positive)),
                               col0s])
+    if not concat:
+        carry_out = None
     return (sig, tuple(buckets[m].args for m in mode_ids),
             tuple(buckets[m].consts for m in mode_ids),
-            row_src.astype(np.int32), tuple(extra), r, ext)
+            row_src.astype(np.int32), tuple(extra), r, ext, carry_out)
 
 
 def _plan_residue(p, output_dim: int, kind: str, scale, clip_abs_max,
-                  log1p_abs_space, sorted_xs, ignore_xs, floor_base_factor):
+                  log1p_abs_space, sorted_xs, ignore_xs, floor_base_factor,
+                  skip_first_frame=False, base_carry=None, streaming=False):
     """Device plan for read_residue_ys (extract.py:171-230)."""
     multipliers, floor_xs, _, floor_xs_raw = _floor_setup(p, sorted_xs, 1)
     floor_xs = [xs.astype(np.int64) for xs in floor_xs]
@@ -803,6 +837,9 @@ def _plan_residue(p, output_dim: int, kind: str, scale, clip_abs_max,
             off_acc += b_pad * c
         buckets[m] = bp
 
+    # the no-source sentinel: t_pad = zeros+unweighted; t_pad+1 = the
+    # carried base from the previous window (streaming)
+    none_idx = (t_pad + 1) if (base_carry is not None) else t_pad
     if with_floor and base_l is not None:
         # floor_base carries across frames (extract.py:183-219): weight each
         # frame with the most recent frame that produced a base
@@ -813,7 +850,7 @@ def _plan_residue(p, output_dim: int, kind: str, scale, clip_abs_max,
             ids = buckets[m].ids
             s = src[ids]
             s_p = np.full(buckets[m].sig.b_pad, t_pad, dtype=np.int64)
-            s_p[: len(ids)] = np.where(s >= 0, s, t_pad)
+            s_p[: len(ids)] = np.where(s >= 0, s, none_idx)
             buckets[m].extra["src_frame"] = s_p.astype(np.int32)
     else:
         base_l = 0
@@ -822,6 +859,8 @@ def _plan_residue(p, output_dim: int, kind: str, scale, clip_abs_max,
     # row order: gated frames emit one row per channel, (t asc, ch asc)
     gate_t = np.array([gate_by_mode[int(p.mode_idx[t])]
                        for t in range(t_total)], dtype=bool)
+    if skip_first_frame and t_total:
+        gate_t[0] = False  # context frame: rows emitted last window
     ts = np.nonzero(gate_t)[0]
     r = len(ts) * c
     r_pad = max(_ROW_BUCKET, -(-r // _ROW_BUCKET) * _ROW_BUCKET)
@@ -834,6 +873,7 @@ def _plan_residue(p, output_dim: int, kind: str, scale, clip_abs_max,
         base_idx = (src + pos_global[ts] * c)[:, None] + np.arange(c)[None, :]
         row_src[:r] = base_idx.reshape(-1)
 
+    carry_enabled = streaming and with_floor
     sig = _FeatSig(
         family="residue", out=output_dim, r_pad=r_pad, t_pad=t_pad,
         include=False, positive=False,
@@ -842,11 +882,24 @@ def _plan_residue(p, output_dim: int, kind: str, scale, clip_abs_max,
         clip=float(clip_abs_max or 0.0),
         base_factor=float(floor_base_factor) if with_floor else 0.0,
         base_l=int(base_l),
+        carry=carry_enabled,
     )
+    extra = [buckets[m].extra for m in mode_ids]
+    carry_out = None
+    if carry_enabled:
+        carry_vec = (base_carry if base_carry is not None
+                     else np.zeros(base_l, np.float32))
+        # where does the NEXT window's carry come from?  the last in-window
+        # base source, else the current carry (or none -> trash zeros)
+        last_src = int(winner_global.max()) if t_total else -1
+        end_src = (last_src if last_src >= 0
+                   else (t_pad + 1 if base_carry is not None else t_pad))
+        extra.append((np.asarray(carry_vec, np.float32),
+                      np.int32(end_src)))
+        carry_out = {"had_base": last_src >= 0 or base_carry is not None}
     return (sig, tuple(buckets[m].args for m in mode_ids),
             tuple(buckets[m].consts for m in mode_ids),
-            row_src.astype(np.int32),
-            tuple(buckets[m].extra for m in mode_ids), r)
+            row_src.astype(np.int32), tuple(extra), r, carry_out)
 
 
 # ------------------------------------------------------------- public API --
@@ -885,13 +938,18 @@ class PendingFeatures:
     """In-flight async device feature extraction for one stream.
 
     ``ext`` decodes u16 value-table rows (pure floor kinds) back to the
-    bit-exact float32 matrix with one host np.take.
+    bit-exact float32 matrix with one host np.take.  Streaming windows
+    carry extras: ``end_base`` (the floor_base vector at window end) and
+    ``carry_out`` (host-side planner state for the next window).
     """
 
-    def __init__(self, rows, r: int, ext: Optional[np.ndarray] = None):
+    def __init__(self, rows, r: int, ext: Optional[np.ndarray] = None,
+                 end_base=None, carry_out=None):
         self.rows = rows
         self.r = r
         self.ext = ext
+        self._end_base = end_base
+        self.carry_out = carry_out
 
     def prefetch(self):
         try:
@@ -905,6 +963,9 @@ class PendingFeatures:
             rows = np.take(self.ext, rows)
         return rows
 
+    def end_base(self) -> Optional[np.ndarray]:
+        return None if self._end_base is None else np.asarray(self._end_base)
+
 
 _FLOOR_DEFAULTS = dict(include_floor_number=None, only_biggest_floor=False,
                        sorted_xs=False, upscale_xs_factor=1,
@@ -917,25 +978,30 @@ _RESIDUE_DEFAULTS = dict(scale=1.0, clip_abs_max=None, log1p_abs_space=False,
 
 def launch_features_device(parsed, output_dim: int,
                            kind: str = "floor_final_ys",
-                           **kwargs) -> PendingFeatures:
+                           _window=None, **kwargs) -> PendingFeatures:
     """Launch the device feature computation for one parsed stream (async).
 
     ``parsed`` is a NativeParsed (native front-end) or StreamFrames (the
     pure-Python front-end, adapted).  Unknown kwargs raise TypeError like
-    the host extractor's signature would.
+    the host extractor's signature would.  ``_window`` is the streaming
+    driver's cross-window state (skip_first/concat/base carries).
     """
     from ..runtime.batch import StreamFrames
 
     if isinstance(parsed, StreamFrames):
         parsed = _PyAdapter(parsed)
+    win = _window or {}
+    end_base = None
     if kind in _FLOOR_KINDS:
         opts = dict(_FLOOR_DEFAULTS)
         bad = set(kwargs) - set(opts)
         if bad:
             raise TypeError("unexpected kwargs %s" % sorted(bad))
         opts.update(kwargs)
-        sig, bargs, bconsts, row_src, extra, r, ext = _plan_floor(
-            parsed, output_dim, kind, **opts)
+        sig, bargs, bconsts, row_src, extra, r, ext, carry_out = _plan_floor(
+            parsed, output_dim, kind,
+            skip_first_frame=win.get("skip_first", False),
+            concat_carry=win.get("concat_carry"), **opts)
         table = _cached_table(bool(opts["floor_always_positive"]))
     elif kind in _RESIDUE_KINDS:
         opts = dict(_RESIDUE_DEFAULTS)
@@ -943,19 +1009,27 @@ def launch_features_device(parsed, output_dim: int,
         if bad:
             raise TypeError("unexpected kwargs %s" % sorted(bad))
         opts.update(kwargs)
-        sig, bargs, bconsts, row_src, extra, r = _plan_residue(
-            parsed, output_dim, kind, **opts)
+        sig, bargs, bconsts, row_src, extra, r, carry_out = _plan_residue(
+            parsed, output_dim, kind,
+            skip_first_frame=win.get("skip_first", False),
+            base_carry=win.get("base_carry"),
+            streaming=win.get("streaming", False), **opts)
         ext = None
         table = _cached_table(True)  # curve / 255.0 for floor_base
     else:
         raise ValueError("invalid kind %r" % (kind,))
 
     fn = _get_feat_fn(sig)
-    rows = fn(bargs, bconsts, row_src, table, extra)
+    out = fn(bargs, bconsts, row_src, table, extra)
+    if sig.family == "residue" and sig.carry:
+        rows, end_base = out
+    else:
+        rows = out
     in_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(
         (bargs, row_src)) if hasattr(x, "nbytes"))
     TRANSFER_STATS.add(in_bytes, rows.nbytes)
-    pending = PendingFeatures(rows, r, ext)
+    pending = PendingFeatures(rows, r, ext, end_base=end_base,
+                              carry_out=carry_out)
     pending.prefetch()
     return pending
 
@@ -972,3 +1046,107 @@ def get_features_device(raw_bytes: bytes, output_dim: int,
     else:
         parsed = parse_stream_python(raw_bytes)
     return launch_features_device(parsed, output_dim, kind, **kwargs).fetch()
+
+
+# ---------------------------------------------------------- streaming mode --
+
+class StreamingFeatures:
+    """Bounded-memory (windowed) device feature extraction for long streams.
+
+    Iterating yields (rows, output_dim) float32 matrices in order; host
+    memory stays O(window) — the incremental native front-end parses fixed
+    windows (one carried context frame each) and every window's symbols
+    ship to the device as soon as they are parsed.  Cross-window extractor
+    state is carried exactly: the concat kind's pending offset (with rare
+    back-appends into the previous window resolved host-side in float64,
+    i.e. *more* precisely than in-window device appends) and the residue
+    kinds' floor_base vector (fetched from the device at each window end).
+
+    Matches launch_features_device window-by-window; the concatenation of
+    all yielded matrices equals the whole-stream extraction (bit-exact for
+    the pure floor kinds; <=1e-5 as usual elsewhere).
+    """
+
+    def __init__(self, data: bytes, output_dim: int,
+                 kind: str = "floor_final_ys", window_frames: int = 4096,
+                 **kwargs):
+        from ..native import frontend as native
+
+        self._inc = native.NativeIncremental(data)
+        self.output_dim = output_dim
+        self.kind = kind
+        self.window = max(2, window_frames)
+        self.kwargs = kwargs
+
+    def __iter__(self):
+        held = None         # previous window's fetched matrix (back-appends)
+        win_state = {"streaming": True}
+        first = True
+        try:
+            while True:
+                view, has_ctx = self._inc.next_window(self.window)
+                if view is None:
+                    break
+                win_state["skip_first"] = has_ctx
+                pending = launch_features_device(
+                    view, self.output_dim, self.kind, _window=win_state,
+                    **self.kwargs)
+                carry = pending.carry_out or {}
+                if self.kind == "floor_final_ys_rendered_concat_residue":
+                    for (t, m, off) in carry.get("back_appends", ()):
+                        if held is not None and len(held):
+                            self._back_append(held, view, t, off)
+                    win_state["concat_carry"] = {"off": carry.get("off", 0)}
+                rows = pending.fetch()
+                if self.kind in _RESIDUE_KINDS:
+                    eb = pending.end_base()
+                    if eb is not None and carry.get("had_base"):
+                        win_state["base_carry"] = eb
+                if not first and held is not None:
+                    yield held
+                held = rows
+                first = False
+        finally:
+            self._inc.close()
+        if held is not None:
+            yield held
+
+    def _back_append(self, held: np.ndarray, view, t: int, off: int) -> None:
+        """Host-side concat append into the previous window's final row
+        (float64 numpy, mirroring extract.py:151-168 exactly)."""
+        import scipy.ndimage
+
+        n = int(view.frame_n[t])
+        res0 = view.export_residues(np.array([t]), n, 0, 1)[0, 0]
+        opts = dict(_FLOOR_DEFAULTS)
+        opts.update(self.kwargs)
+        idxs = np.arange(len(res0))
+        if opts.get("xs_from_biggest_floor"):
+            mults, fxs, _, _ = _floor_setup(
+                _PyAdapter(view) if not hasattr(view, "floor1_info")
+                else view, opts["sorted_xs"], opts["upscale_xs_factor"])
+            biggest = max(range(len(fxs)), key=lambda i: len(fxs[i]))
+            recent = int(view.mode_floor_numbers(int(view.mode_idx[t]))[-1])
+            if biggest != recent:
+                factor = int(round(float(max(fxs[biggest]))
+                                   / float(max(fxs[recent]))))
+                idxs = idxs // factor
+        vals = np.log1p(np.abs(res0.astype(np.float64)[idxs])) * 0.1
+        vals = scipy.ndimage.zoom(vals, zoom=0.5)
+        vals = vals[: self.output_dim - off]
+        held[-1, off : off + vals.shape[0]] = vals
+
+    def read_all(self) -> np.ndarray:
+        mats = list(self)
+        if not mats:
+            return np.zeros((0, self.output_dim), np.float32)
+        return np.concatenate(mats, axis=0)
+
+
+def stream_features_device(data: bytes, output_dim: int,
+                           kind: str = "floor_final_ys",
+                           window_frames: int = 4096,
+                           **kwargs) -> StreamingFeatures:
+    """Windowed device feature extraction (see StreamingFeatures)."""
+    return StreamingFeatures(data, output_dim, kind,
+                             window_frames=window_frames, **kwargs)

@@ -92,6 +92,16 @@ def hwm_mb():
             return int(line.split()[1]) / 1024.0
     return 0.0
 
+def reset_hwm():
+    # writing "5" to clear_refs resets VmHWM, so the measured peak excludes
+    # warmup/compile spikes (falls back silently on kernels without it)
+    try:
+        with open("/proc/self/clear_refs", "w") as f:
+            f.write("5")
+        return True
+    except OSError:
+        return False
+
 data = open(%(path)r, "rb").read()
 mode = %(mode)r
 
@@ -102,10 +112,11 @@ warm = open(%(warm)r, "rb").read()
 if mode == "stream":
     decode_bytes_streaming(warm).read_all()
     # compile the long file's window signature too: XLA's compile-arena
-    # peak must land in `base`, not in the measured decode
+    # peak must land before the measured region
     next(iter(decode_bytes_streaming(data, chunk_frames=2048)))
 else:
     decode_bytes(warm)
+hwm_reset = reset_hwm()
 base = hwm_mb()
 n = 0
 s1 = 0.0
@@ -122,7 +133,7 @@ else:
     s1 = float(np.abs(out.pcm, dtype=np.float64).sum())
     s2 = float((out.pcm.astype(np.float64) ** 2).sum())
 print(json.dumps({"n": n, "s1": s1, "s2": s2, "base_mb": base,
-                  "peak_mb": hwm_mb()}))
+                  "peak_mb": hwm_mb(), "hwm_reset": hwm_reset}))
 """
 
 
@@ -177,9 +188,12 @@ def test_streaming_rss_bounded_10min(long_ogg):
     assert abs(stream["s2"] - whole["s2"]) / max(whole["s2"], 1) < 1e-6
     # the memory claim: O(window), far below the whole-stream product.
     # (CPU-as-device counts the jit's device buffers against host RSS too,
-    # so these bounds are conservative for a real TPU host.)
-    assert stream["peak_mb"] < 500, stream
+    # so these bounds are conservative for a real TPU host.)  When VmHWM
+    # was resettable the peak excludes warmup/compile spikes exactly;
+    # otherwise fall back to the delta-over-warm-baseline bound.
     stream_delta = stream["peak_mb"] - stream["base_mb"]
     whole_delta = whole["peak_mb"] - whole["base_mb"]
+    if stream.get("hwm_reset"):
+        assert stream["peak_mb"] < 500, stream
     assert stream_delta < 300, (stream_delta, stream)
     assert whole_delta > 2 * max(stream_delta, 40), (stream_delta, whole_delta)
