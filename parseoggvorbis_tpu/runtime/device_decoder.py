@@ -279,6 +279,12 @@ class StreamSig:
     # overlap-add emissions into an exactly-positioned [C, out_n] PCM
     # buffer so no padding rows ever cross the host link
     out_n: int = 0
+    # identity of the device constants this executable is paired with —
+    # per-mode (imdct n, window key, floor xs keys).  Two streams may share
+    # a stacked/mesh dispatch ONLY when these match: the group uses one
+    # member's constants, and equal shapes do NOT imply equal floor xs or
+    # window tables (different bs0, different encoder floor templates).
+    const_key: tuple = ()
 
 
 def _decode_stream_impl(
@@ -830,9 +836,10 @@ def _prepare_stream(sf, out_i16: bool):
     n_total = int(nums_real.sum())
     out_n = max(_OUT_BUCKET, -(-n_total // _OUT_BUCKET) * _OUT_BUCKET)
 
+    const_key = tuple((ck[0], ck[1], tuple(ck[3])) for ck in consts)
     sig = StreamSig(
         channels=c, bs1=sf.blocksize1, t_pad=t_pad, out_i16=out_i16,
-        modes=tuple(mode_sigs), out_n=out_n,
+        modes=tuple(mode_sigs), out_n=out_n, const_key=const_key,
     )
     return sig, tuple(mode_args), n_half, nums, n_total, consts
 

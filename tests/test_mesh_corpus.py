@@ -58,3 +58,34 @@ def test_mesh_corpus_error_isolation(mesh):
     out = decode_corpus(blobs, mesh=mesh, strict=False)
     assert out[0].ok and out[0].num_samples == 63488
     assert not out[1].ok and out[1].error
+
+
+def test_grouping_respects_device_constant_identity(mesh, monkeypatch):
+    """Two streams with IDENTICAL shapes but different floor X values (and
+    hence different device render constants) must not share a stacked or
+    mesh dispatch group — a latent round-2 bug: StreamSig carried only
+    shapes, so the group decoded every member with the first member's
+    floor constants (measured 0.036 max PCM error)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from make_synth_vorbis import SynthStream
+    from parseoggvorbis_tpu.runtime import device_decoder as dd
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes, decode_corpus
+
+    a = SynthStream(bs0=512, bs1=2048, seed=5, floor_kind="floor1",
+                    floor_xs=(128, 1024)).make(num_frames=14)
+    b = SynthStream(bs0=512, bs1=2048, seed=5, floor_kind="floor1",
+                    floor_xs=(64, 700)).make(num_frames=14)
+    ref = [decode_bytes(a), decode_bytes(b)]
+
+    monkeypatch.setattr(dd, "_GROUP_S", 8)
+    outs = decode_corpus([a, b])
+    np.testing.assert_array_equal(outs[0].pcm, ref[0].pcm)
+    np.testing.assert_array_equal(outs[1].pcm, ref[1].pcm)
+
+    outs = decode_corpus([a, b] * 2, mesh=mesh)
+    for i, o in enumerate(outs):
+        np.testing.assert_array_equal(o.pcm, ref[i % 2].pcm)

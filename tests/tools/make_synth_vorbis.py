@@ -102,12 +102,14 @@ class SynthStream:
     LSP_LN = 16  # floor0 bark_map_size
 
     def __init__(self, bs0: int = 4096, bs1: int = 8192, rate: int = 48000,
-                 seed: int = 0, floor_kind: str = "floor1"):
+                 seed: int = 0, floor_kind: str = "floor1",
+                 floor_xs=(128, 1024)):
         assert bs0 <= bs1 <= 8192
         assert floor_kind in ("floor1", "floor0", "mixed")
         self.bs0, self.bs1, self.rate = bs0, bs1, rate
         self.rng = np.random.RandomState(seed)
         self.floor_kind = floor_kind
+        self.floor_xs = tuple(floor_xs)  # partition X values (same count)
         # mixed: stereo with ch0 -> floor0 submap, ch1 -> floor1 submap
         self.channels = 2 if floor_kind == "mixed" else 1
         self.floor_book = _Flat(self.FLOOR_ENTRIES, 6)
@@ -207,8 +209,8 @@ class SynthStream:
             # extractors index the rendered curve at xs — x1 == n would be an
             # IndexError in ours and the reference alike)
             w.write(11, 4)                           # rangebits
-            w.write(128, 11)                         # partition X values
-            w.write(1024, 11)
+            for x in self.floor_xs:                  # partition X values
+                w.write(int(x), 11)
         # --- residues: one type-1 residue
         w.write(0, 6)                            # residue_count - 1
         w.write(1, 16)                           # type 1
