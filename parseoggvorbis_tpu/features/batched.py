@@ -130,18 +130,28 @@ def get_features(raw_bytes: bytes, output_dim: int,
 
 def get_features_batched(blobs: Sequence[bytes], output_dim: int,
                          kind: str = "floor_final_ys", host_threads: int = 8,
-                         device: bool = False, **kwargs) -> List[np.ndarray]:
+                         device: bool = False, mesh=None,
+                         **kwargs) -> List[np.ndarray]:
     """Corpus-scale feature extraction with thread-parallel native parse.
 
     ``device=True`` computes the feature matrices on the TPU
     (features/device.py): the host ships only packed floor Y values and
     dictionary-coded residues, the device renders/normalizes/assembles, and
     only the (time, output_dim) float32 matrices return over the link.
+    ``mesh`` additionally shards same-plan stream stacks over the mesh's
+    'data' axis (multi-chip corpus extraction; launch_features_mesh).
     Launches are asynchronous across the corpus, so one file's host parse
     overlaps another's device compute and transfers.  Streams the device
     path cannot plan (floor0 slots) fall back to the host extractors
     per-file.
     """
+    if device and mesh is not None:
+        from .device import launch_features_mesh
+
+        parsed = [native.parse_stream_native(b) for b in blobs]
+        pendings = launch_features_mesh(parsed, output_dim, mesh, kind=kind,
+                                        **kwargs)
+        return [p.fetch() for p in pendings]
     if device:
         from .device import DeviceFeaturesUnsupported, launch_features_device
 

@@ -1048,6 +1048,143 @@ def get_features_device(raw_bytes: bytes, output_dim: int,
     return launch_features_device(parsed, output_dim, kind, **kwargs).fetch()
 
 
+# ---------------------------------------------------------- multi-chip dp --
+
+def _plan_for_launch(parsed, output_dim, kind, kwargs):
+    """Plan one stream; -> (sig, bargs, bconsts, row_src, extra, r, ext,
+    table)."""
+    from ..runtime.batch import StreamFrames
+
+    if isinstance(parsed, StreamFrames):
+        parsed = _PyAdapter(parsed)
+    if kind in _FLOOR_KINDS:
+        opts = dict(_FLOOR_DEFAULTS)
+        opts.update(kwargs)
+        sig, bargs, bconsts, row_src, extra, r, ext, _ = _plan_floor(
+            parsed, output_dim, kind, **opts)
+        table = _cached_table(bool(opts["floor_always_positive"]))
+    elif kind in _RESIDUE_KINDS:
+        opts = dict(_RESIDUE_DEFAULTS)
+        opts.update(kwargs)
+        sig, bargs, bconsts, row_src, extra, r, _ = _plan_residue(
+            parsed, output_dim, kind, **opts)
+        ext = None
+        table = _cached_table(True)
+    else:
+        raise ValueError("invalid kind %r" % (kind,))
+    return sig, bargs, bconsts, row_src, extra, r, ext, table
+
+
+def _is_host_leaf(x) -> bool:
+    return isinstance(x, (np.ndarray, np.generic))
+
+
+def _mesh_replicated(mesh, x):
+    """Replicate a device constant over the mesh, cached by object
+    identity (the cache value keeps the source alive, so its id cannot be
+    recycled while the entry exists)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    got = _CONSTS.cached(("mesh-feat", mesh, id(x)),
+                         lambda: (x, jax.device_put(x, rep)))
+    return got[1]
+
+
+@functools.lru_cache(maxsize=256)
+def _get_feat_mesh_fn(sig: _FeatSig, axes_flat: tuple):
+    """vmapped-over-streams feature executable: in_axes rebuilt from the
+    flattened 0/None pattern (numpy plan leaves were stacked on axis 0;
+    device constants broadcast)."""
+    setup_jax()
+
+    def vfn(st_bargs, bconsts, st_rowsrc, table, st_extra):
+        args3 = (st_bargs, st_rowsrc, st_extra)
+        _, treedef = jax.tree_util.tree_flatten(
+            args3, is_leaf=lambda v: v is None)
+        axes = jax.tree_util.tree_unflatten(treedef, list(axes_flat))
+
+        def one(bargs, row_src, extra):
+            return _feat_impl(sig, bargs, bconsts, row_src, table, extra)
+
+        return jax.vmap(lambda a: one(*a), in_axes=(axes,))(args3)
+
+    return jax.jit(vfn)
+
+
+def launch_features_mesh(parsed_list, output_dim: int, mesh,
+                         kind: str = "floor_final_ys",
+                         **kwargs) -> List[PendingFeatures]:
+    """Multi-chip feature extraction: same-plan streams stack into one
+    dispatch whose stream axis is sharded over the mesh's 'data' axis —
+    the same dp pattern as launch_corpus_decode_mesh for PCM (feature
+    extraction is embarrassingly parallel across streams).
+
+    Grouping is by (signature, device-constant OBJECT identity): the
+    constants are LRU-cached per setup key, so identical objects imply
+    identical floor xs / zoom operators — equal shapes never suffice
+    (StreamSig.const_key records the PCM-side lesson).  The host/device
+    split doubles as the vmap rule: numpy plan leaves are per-stream
+    (stacked, axis 0), jax Arrays are broadcast constants.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    plans = [_plan_for_launch(p, output_dim, kind, kwargs)
+             for p in parsed_list]
+
+    def const_ident(plan):
+        _, bargs, bconsts, _, extra, _, _, table = plan
+        dev = [x for x in jax.tree_util.tree_leaves((bconsts, extra))
+               if not _is_host_leaf(x)]
+        return tuple(id(x) for x in dev) + (id(table),)
+
+    groups: Dict[tuple, List[int]] = {}
+    for i, plan in enumerate(plans):
+        groups.setdefault((plan[0], const_ident(plan)), []).append(i)
+
+    data_size = mesh.shape.get("data", mesh.size)
+    shard_data = NamedSharding(mesh, P("data"))
+    out: List[Optional[PendingFeatures]] = [None] * len(plans)
+    with mesh:
+        for (sig, _), idxs in groups.items():
+            sample = plans[idxs[0]]
+            args3_sample = (sample[1], sample[3], sample[4])
+            axes_flat = tuple(
+                (0 if _is_host_leaf(x) else None)
+                for x in jax.tree_util.tree_leaves(
+                    args3_sample, is_leaf=lambda v: v is None))
+            s_real = len(idxs)
+            s_pad = -(-s_real // data_size) * data_size
+            take = lambda j: plans[idxs[min(j, s_real - 1)]]
+
+            def stack_leaf(*xs):
+                if xs[0] is None:
+                    return None
+                if _is_host_leaf(xs[0]):
+                    return jax.device_put(np.stack(xs), shard_data)
+                return _mesh_replicated(mesh, xs[0])
+
+            st_args3 = jax.tree_util.tree_map(
+                stack_leaf,
+                *[(take(j)[1], take(j)[3], take(j)[4]) for j in range(s_pad)],
+                is_leaf=lambda v: v is None)
+            bconsts = jax.tree_util.tree_map(
+                lambda x: None if x is None else _mesh_replicated(mesh, x),
+                sample[2], is_leaf=lambda v: v is None)
+            table = _mesh_replicated(mesh, sample[7])
+            fn = _get_feat_mesh_fn(sig, axes_flat)
+            rows = fn(st_args3[0], bconsts, st_args3[1], table, st_args3[2])
+            in_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(
+                st_args3) if hasattr(x, "nbytes"))
+            TRANSFER_STATS.add(in_bytes, rows.nbytes)
+            for gi, i in enumerate(idxs):
+                out[i] = PendingFeatures(rows[gi], plans[i][5], plans[i][6])
+    for p in out:
+        if p is not None:
+            p.prefetch()
+    return out
+
+
 # ---------------------------------------------------------- streaming mode --
 
 class StreamingFeatures:

@@ -251,3 +251,16 @@ def dryrun_multichip(n_devices: int) -> None:
         assert all(np.isfinite(a.pcm).all() for a in audios)
         print("dryrun_multichip: mesh corpus decode OK "
               "(2 streams x 63488 samples)")
+
+        # the ML headline path sharded the same way: same-plan feature
+        # stacks over 'data' (python front-end keeps this hermetic too)
+        from ..features.device import launch_features_mesh
+        from ..runtime.batch import parse_stream_python
+
+        parsed = [parse_stream_python(data) for _ in range(2)]
+        mats = [p.fetch() for p in launch_features_mesh(
+            parsed, 32, mesh, kind="floor_final_ys")]
+        assert mats[0].shape == mats[1].shape and mats[0].shape[1] == 32
+        assert np.array_equal(mats[0], mats[1])
+        print("dryrun_multichip: mesh feature extraction OK %s"
+              % (mats[0].shape,))
