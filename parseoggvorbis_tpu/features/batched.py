@@ -145,13 +145,27 @@ def get_features_batched(blobs: Sequence[bytes], output_dim: int,
     path cannot plan (floor0 slots) fall back to the host extractors
     per-file.
     """
+    if mesh is not None and not device:
+        raise ValueError("mesh= requires device=True (the mesh shards the "
+                         "device feature path)")
     if device and mesh is not None:
         from .device import launch_features_mesh
 
-        parsed = [native.parse_stream_native(b) for b in blobs]
+        if host_threads > 1 and len(blobs) > 1:
+            with ThreadPoolExecutor(max_workers=host_threads) as ex:
+                parsed = list(ex.map(native.parse_stream_native, blobs))
+        else:
+            parsed = [native.parse_stream_native(b) for b in blobs]
         pendings = launch_features_mesh(parsed, output_dim, mesh, kind=kind,
                                         **kwargs)
-        return [p.fetch() for p in pendings]
+        out = []
+        for blob, parsed_i, p in zip(blobs, parsed, pendings):
+            if p is None:  # planner rejected (e.g. floor0): host fallback
+                reader = SyntheticTapReader(parsed_i, DATA_FILTERS[kind])
+                out.append(_extract(reader, output_dim, kind, kwargs))
+            else:
+                out.append(p.fetch())
+        return out
     if device:
         from .device import DeviceFeaturesUnsupported, launch_features_device
 

@@ -1059,12 +1059,18 @@ def _plan_for_launch(parsed, output_dim, kind, kwargs):
         parsed = _PyAdapter(parsed)
     if kind in _FLOOR_KINDS:
         opts = dict(_FLOOR_DEFAULTS)
+        bad = set(kwargs) - set(opts)
+        if bad:
+            raise TypeError("unexpected kwargs %s" % sorted(bad))
         opts.update(kwargs)
         sig, bargs, bconsts, row_src, extra, r, ext, _ = _plan_floor(
             parsed, output_dim, kind, **opts)
         table = _cached_table(bool(opts["floor_always_positive"]))
     elif kind in _RESIDUE_KINDS:
         opts = dict(_RESIDUE_DEFAULTS)
+        bad = set(kwargs) - set(opts)
+        if bad:
+            raise TypeError("unexpected kwargs %s" % sorted(bad))
         opts.update(kwargs)
         sig, bargs, bconsts, row_src, extra, r, _ = _plan_residue(
             parsed, output_dim, kind, **opts)
@@ -1126,11 +1132,22 @@ def launch_features_mesh(parsed_list, output_dim: int, mesh,
     (StreamSig.const_key records the PCM-side lesson).  The host/device
     split doubles as the vmap rule: numpy plan leaves are per-stream
     (stacked, axis 0), jax Arrays are broadcast constants.
+
+    Streams the planner rejects (DeviceFeaturesUnsupported, e.g. floor0
+    slots) yield None — callers fall back to the host extractor per file.
+    Caveat: planning builds its constants on the DEFAULT backend before
+    they are re-replicated onto the mesh; for hermetic operation on a
+    virtual CPU mesh set JAX_PLATFORMS=cpu (as tests and the multichip
+    dryrun do) so the default backend is the mesh's platform.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    plans = [_plan_for_launch(p, output_dim, kind, kwargs)
-             for p in parsed_list]
+    plans = []
+    for p in parsed_list:
+        try:
+            plans.append(_plan_for_launch(p, output_dim, kind, kwargs))
+        except DeviceFeaturesUnsupported:
+            plans.append(None)  # caller falls back to the host extractor
 
     def const_ident(plan):
         _, bargs, bconsts, _, extra, _, _, table = plan
@@ -1140,7 +1157,8 @@ def launch_features_mesh(parsed_list, output_dim: int, mesh,
 
     groups: Dict[tuple, List[int]] = {}
     for i, plan in enumerate(plans):
-        groups.setdefault((plan[0], const_ident(plan)), []).append(i)
+        if plan is not None:
+            groups.setdefault((plan[0], const_ident(plan)), []).append(i)
 
     data_size = mesh.shape.get("data", mesh.size)
     shard_data = NamedSharding(mesh, P("data"))
@@ -1216,9 +1234,12 @@ class StreamingFeatures:
         self.kwargs = kwargs
 
     def __iter__(self):
-        held = None         # previous window's fetched matrix (back-appends)
+        # windows fetched but not yet yielded, in order.  A back-append
+        # targets the globally-last emitted row = the last row of the last
+        # NON-EMPTY held window, so everything before that window may be
+        # yielded; it and any (empty) windows after it stay held.
+        held: List[np.ndarray] = []
         win_state = {"streaming": True}
-        first = True
         try:
             while True:
                 view, has_ctx = self._inc.next_window(self.window)
@@ -1230,23 +1251,28 @@ class StreamingFeatures:
                     **self.kwargs)
                 carry = pending.carry_out or {}
                 if self.kind == "floor_final_ys_rendered_concat_residue":
+                    target = next((m for m in reversed(held) if len(m)),
+                                  None)
                     for (t, m, off) in carry.get("back_appends", ()):
-                        if held is not None and len(held):
-                            self._back_append(held, view, t, off)
+                        if target is not None:
+                            self._back_append(target, view, t, off)
                     win_state["concat_carry"] = {"off": carry.get("off", 0)}
                 rows = pending.fetch()
                 if self.kind in _RESIDUE_KINDS:
                     eb = pending.end_base()
                     if eb is not None and carry.get("had_base"):
                         win_state["base_carry"] = eb
-                if not first and held is not None:
-                    yield held
-                held = rows
-                first = False
+                held.append(rows)
+                last_ne = max((i for i, m in enumerate(held) if len(m)),
+                              default=None)
+                flush = len(held) - 1 if last_ne is None else last_ne
+                for m in held[:flush]:
+                    yield m
+                del held[:flush]
         finally:
             self._inc.close()
-        if held is not None:
-            yield held
+        for m in held:
+            yield m
 
     def _back_append(self, held: np.ndarray, view, t: int, off: int) -> None:
         """Host-side concat append into the previous window's final row
