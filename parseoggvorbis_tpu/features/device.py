@@ -259,10 +259,22 @@ class _BucketPlan:
         self.sig = None
 
 
+def _placement_realm():
+    """Cache-key component for the active default device.
+
+    launch_features_mesh plans under jax.default_device(mesh device) so the
+    planning constants never touch the (possibly broken) default backend —
+    the realm keeps those entries from being served to normal-path calls,
+    whose jit would reject mixed-device committed arguments."""
+    d = jax.config.jax_default_device
+    return None if d is None else str(d)
+
+
 def _render_consts(xs_key: tuple, sel: np.ndarray):
     """Device-resident (xs_sorted, sorted_idx, pmap, x_pos) for rendering a
     floor at the selected positions only."""
-    key = ("feat-render", xs_key, tuple(int(x) for x in sel))
+    key = ("feat-render", xs_key, tuple(int(x) for x in sel),
+           _placement_realm())
 
     def build():
         xs = np.array(xs_key, dtype=np.int64)
@@ -278,20 +290,20 @@ def _render_consts(xs_key: tuple, sel: np.ndarray):
 
 
 def _cached_table(positive: bool):
-    return _CONSTS.cached(("feat-normtable", positive),
+    return _CONSTS.cached(("feat-normtable", positive, _placement_realm()),
                           lambda: jax.device_put(_norm_table(positive)))
 
 
 def _cached_zoom(in_len: int, factor: int, cols: int):
     return _CONSTS.cached(
-        ("feat-zoom", in_len, factor, cols),
+        ("feat-zoom", in_len, factor, cols, _placement_realm()),
         lambda: jax.device_put(
             np.ascontiguousarray(_zoom_matrix_folded(in_len, factor)[:, :cols].T)),
     )
 
 
 def _cached_i32(tag: str, values: np.ndarray):
-    key = (tag,) + tuple(int(v) for v in values)
+    key = (tag,) + tuple(int(v) for v in values) + (_placement_realm(),)
     return _CONSTS.cached(key, lambda: jax.device_put(values.astype(np.int32)))
 
 
@@ -1135,19 +1147,22 @@ def launch_features_mesh(parsed_list, output_dim: int, mesh,
 
     Streams the planner rejects (DeviceFeaturesUnsupported, e.g. floor0
     slots) yield None — callers fall back to the host extractor per file.
-    Caveat: planning builds its constants on the DEFAULT backend before
-    they are re-replicated onto the mesh; for hermetic operation on a
-    virtual CPU mesh set JAX_PLATFORMS=cpu (as tests and the multichip
-    dryrun do) so the default backend is the mesh's platform.
+    Hermetic: planning runs under jax.default_device(mesh device), so the
+    planning constants never touch the host's default backend (realm-keyed
+    in the constant cache so normal-path calls never receive them).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     plans = []
-    for p in parsed_list:
-        try:
-            plans.append(_plan_for_launch(p, output_dim, kind, kwargs))
-        except DeviceFeaturesUnsupported:
-            plans.append(None)  # caller falls back to the host extractor
+    # plan under the mesh's device: the planning constants (render consts,
+    # tables, zoom operators) must never touch the default backend — the
+    # hermeticity rule of the multichip dryrun (MULTICHIP_r01 regression)
+    with jax.default_device(mesh.devices.flat[0]):
+        for p in parsed_list:
+            try:
+                plans.append(_plan_for_launch(p, output_dim, kind, kwargs))
+            except DeviceFeaturesUnsupported:
+                plans.append(None)  # caller falls back to the host extractor
 
     def const_ident(plan):
         _, bargs, bconsts, _, extra, _, _, table = plan
