@@ -805,16 +805,23 @@ def _plan_residue(p, output_dim: int, kind: str, scale, clip_abs_max,
             if with_floor and fnum == biggest:
                 base_cand.append(ch)
                 # "floor1 floor" entries are full-window curves (length n),
-                # so the host clips their selection against n, not n/2
+                # so the host extractor's idxs at those entries clip
+                # against n (ignore_xs: the first output_dim bins of the
+                # full-window curve, extract.py:195)
+                if ignore_xs:
+                    base_pos = np.arange(min(n, output_dim), dtype=np.int64)
+                else:
+                    base_pos = np.clip(floor_xs[biggest][:output_dim],
+                                       0, n - 1)
                 consts.append(_render_consts(
-                    tuple(int(x) for x in floor_xs_raw[fnum]),
-                    np.clip(floor_xs[biggest][:output_dim], 0, n - 1)))
+                    tuple(int(x) for x in floor_xs_raw[fnum]), base_pos))
             else:
                 consts.append(None)
             poff += pts[ch]
 
         ex = {"sel": _cached_i32("feat-sel", sel)}
         if with_floor and base_cand:
+            bl = len(base_pos)
             decoded, _ = p.export_flags(ids)
             cand_dec = decoded[:, base_cand]  # [B, K]
             has = cand_dec.any(axis=1)
@@ -828,12 +835,20 @@ def _plan_residue(p, output_dim: int, kind: str, scale, clip_abs_max,
             frames_p[:b] = np.where(winner >= 0, ids, t_pad)
             ex["base_winner"] = win_p.astype(np.int32)
             ex["base_frames"] = frames_p.astype(np.int32)
-            bl = len(np.clip(floor_xs[biggest][:output_dim], 0, half - 1))
+            # the carried base vector must have one length stream-wide;
+            # with ignore_xs it is min(n, output_dim), which can differ
+            # between modes (the host extractor broadcast-errors on such
+            # streams — the fallback reproduces that behavior)
             if base_l is None:
                 base_l = bl
             elif base_l != bl:
                 raise DeviceFeaturesUnsupported(
                     "mixed floor_base lengths across modes")
+            if gate and bl != l:
+                # host: selected (len l) + base (len bl) broadcast-errors
+                # (only gated buckets emit weighted rows)
+                raise DeviceFeaturesUnsupported(
+                    "floor_base length differs from selection length")
         bp.sig = _BucketSig(n=n, b_pad=b_pad, total_pts=total_pts,
                             chans=tuple(chans), res_enc=enc,
                             dict_size=0 if d is None else len(d),
@@ -1273,6 +1288,11 @@ class StreamingFeatures:
                             self._back_append(target, view, t, off)
                     win_state["concat_carry"] = {"off": carry.get("off", 0)}
                 rows = pending.fetch()
+                if self.kind == "floor_final_ys_rendered_concat_residue":
+                    # held matrices may receive a cross-window back-append;
+                    # fetch() returns a read-only view of the device buffer,
+                    # so keep a writable copy for this kind
+                    rows = np.array(rows)
                 if self.kind in _RESIDUE_KINDS:
                     eb = pending.end_base()
                     if eb is not None and carry.get("had_base"):

@@ -279,12 +279,6 @@ class StreamSig:
     # overlap-add emissions into an exactly-positioned [C, out_n] PCM
     # buffer so no padding rows ever cross the host link
     out_n: int = 0
-    # identity of the device constants this executable is paired with —
-    # per-mode (imdct n, window key, floor xs keys).  Two streams may share
-    # a stacked/mesh dispatch ONLY when these match: the group uses one
-    # member's constants, and equal shapes do NOT imply equal floor xs or
-    # window tables (different bs0, different encoder floor templates).
-    const_key: tuple = ()
 
 
 def _decode_stream_impl(
@@ -836,12 +830,23 @@ def _prepare_stream(sf, out_i16: bool):
     n_total = int(nums_real.sum())
     out_n = max(_OUT_BUCKET, -(-n_total // _OUT_BUCKET) * _OUT_BUCKET)
 
-    const_key = tuple((ck[0], ck[1], tuple(ck[3])) for ck in consts)
     sig = StreamSig(
         channels=c, bs1=sf.blocksize1, t_pad=t_pad, out_i16=out_i16,
-        modes=tuple(mode_sigs), out_n=out_n, const_key=const_key,
+        modes=tuple(mode_sigs), out_n=out_n,
     )
     return sig, tuple(mode_args), n_half, nums, n_total, consts
+
+
+def _const_key(consts) -> tuple:
+    """Identity of the device constants a prepared stream pairs with —
+    per-mode (imdct n, window key, floor xs keys).  Streams may share a
+    stacked/mesh dispatch ONLY when these match: the group uses one
+    member's constants, and equal shapes do NOT imply equal floor xs or
+    window tables (different bs0, different encoder floor templates).
+    Kept OUT of StreamSig so the jit cache stays keyed by shapes alone
+    (constants are traced arguments — same-shape streams share one
+    executable regardless of floor template)."""
+    return tuple((ck[0], ck[1], tuple(ck[3])) for ck in consts)
 
 
 def _floor_const_np(xs_key, half):
@@ -1040,12 +1045,14 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
             prepared_map[i] = _prepare_stream(streams[i], out_i16)
         except Exception as exc:
             pendings[i] = FailedPending(exc)
-    by_sig: Dict[StreamSig, List[int]] = {}
+    by_sig: Dict[tuple, List[int]] = {}
     for i in short_idx:
         if i in prepared_map:
-            by_sig.setdefault(prepared_map[i][0], []).append(i)
+            by_sig.setdefault(
+                (prepared_map[i][0], _const_key(prepared_map[i][5])),
+                []).append(i)
     prepared = prepared_map
-    for sig, idxs in by_sig.items():
+    for (sig, _ck), idxs in by_sig.items():
         imdct_ms, window_stacks, floor_consts = _device_consts(
             prepared[idxs[0]][5])
         for start in range(0, len(idxs), _GROUP_S):
@@ -1224,14 +1231,16 @@ def launch_corpus_decode_mesh(streams, mesh, out_i16: bool = False):
         except Exception as exc:
             failed[i] = exc  # whole stream fails; its other chunks skip
 
-    by_sig: Dict[StreamSig, List[tuple]] = {}
+    by_sig: Dict[tuple, List[tuple]] = {}
     for i, k, _ in flat:
         if i not in failed:
-            by_sig.setdefault(prepared[(i, k)][0], []).append((i, k))
+            by_sig.setdefault(
+                (prepared[(i, k)][0], _const_key(prepared[(i, k)][5])),
+                []).append((i, k))
 
     results: Dict[tuple, PendingDecode] = {}
     with mesh:
-        for sig, keys in by_sig.items():
+        for (sig, _ck), keys in by_sig.items():
             imdct_ms, window_stacks, floor_consts, inverse_db = _mesh_consts(
                 prepared[keys[0]][5], mesh)
             s_real = len(keys)

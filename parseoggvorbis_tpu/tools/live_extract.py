@@ -103,7 +103,11 @@ def main(argv=None) -> int:
         ogg_count = 0
         with zipfile.ZipFile(args.file) as zip_f:
             names = zip_f.namelist()
-            if args.multi_threaded:
+            # --device bypasses the reader pre-decode entirely (the TPU
+            # path batches internally), so the threaded reader pipeline
+            # below would both waste the host decode and silently drop
+            # the flag
+            if args.multi_threaded and not args.device:
                 futures = {}
                 with ThreadPoolExecutor(max_workers=10) as ex:
                     for fn in names:

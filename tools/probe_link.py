@@ -39,6 +39,8 @@ def measure_link(mb=8.0, repeats=8):
 
 
 def main():
+    import jax
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=float, default=8.0)
     ap.add_argument("--repeats", type=int, default=8)
