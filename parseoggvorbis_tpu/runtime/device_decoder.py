@@ -345,6 +345,9 @@ def _decode_stream_impl(
             w = jnp.pad(w, ((0, 0), (0, 0), (0, bs1 - ms.n)))
         z = z.at[ids].set(w)
     z = z[: sig.t_pad]
+    # ola_scan measured FASTER than the vectorized jax_backend.ola_emit on
+    # the v5e (0.04 vs 0.37 ms at T=2048: XLA compiles the scan to the
+    # HBM-write bound; the stencil's take_along_axis gathers cost more)
     emitted, _ = ola_scan(z, n_half, bs1)
 
     # Dense PCM assembly on device: gather each output sample from its

@@ -186,3 +186,23 @@ def test_stacked_group_path_equals_per_stream(stereo_ogg, mono_ogg, monkeypatch)
     got = decode_corpus(blobs, out_i16=True)
     for g, r in zip(got, ref):
         np.testing.assert_array_equal(g.pcm, r.pcm)
+
+
+def test_ola_emit_bit_equals_ola_scan():
+    """The vectorized OLA stencil (a documented negative result — the scan
+    is faster on the v5e) must stay bit-identical to ola_scan."""
+    import jax.numpy as jnp
+
+    from parseoggvorbis_tpu.runtime.jax_backend import ola_emit, ola_scan
+
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        t, c, bs1 = rng.randint(2, 30), rng.randint(1, 7), 2048
+        halves = rng.choice([128, 1024], t).astype(np.int32)
+        w = rng.randn(t, c, bs1).astype(np.float32)
+        for i in range(t):
+            w[i, :, 2 * halves[i]:] = 0
+        e1, l1 = ola_scan(jnp.asarray(w), jnp.asarray(halves), bs1)
+        e2, l2 = ola_emit(jnp.asarray(w), jnp.asarray(halves), bs1)
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
