@@ -108,3 +108,22 @@ def test_8192_floor0_intersection(oracle):
     assert ours.pcm.shape == ref.shape
     scale = max(float(np.abs(ref).max()), 1e-20)
     assert float(np.abs(ours.pcm - ref).max()) / scale <= 1e-5
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_residue_type0_end_to_end(oracle, seed):
+    """Residue type 0 (stride-interleaved format, spec 8.6.3) end-to-end
+    vs the system libvorbis — the corpus and every encoder-made stream use
+    types 1/2, so this surface only exists via the synthetic writer (types
+    0 and 1 share the bitstream layout; only the decode interleave
+    differs)."""
+    from make_synth_vorbis import SynthStream
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    blob = SynthStream(bs0=512, bs1=2048, seed=seed,
+                       residue_type=0).make(num_frames=14)
+    ref, _ = oracle.decode_ogg(blob)
+    ours = decode_bytes(blob)
+    assert ours.pcm.shape == ref.shape
+    scale = max(float(np.abs(ref).max()), 1e-20)
+    assert float(np.abs(ours.pcm - ref).max()) / scale <= 1e-5

@@ -103,13 +103,19 @@ class SynthStream:
 
     def __init__(self, bs0: int = 4096, bs1: int = 8192, rate: int = 48000,
                  seed: int = 0, floor_kind: str = "floor1",
-                 floor_xs=(128, 1024)):
+                 floor_xs=(128, 1024), residue_type: int = 1):
         assert bs0 <= bs1 <= 8192
         assert floor_kind in ("floor1", "floor0", "mixed")
         self.bs0, self.bs1, self.rate = bs0, bs1, rate
         self.rng = np.random.RandomState(seed)
         self.floor_kind = floor_kind
         self.floor_xs = tuple(floor_xs)  # partition X values (same count)
+        # types 0 and 1 share the same BITSTREAM layout (same codeword
+        # sequence); only the decoder's add pattern differs (format 0 is
+        # stride-interleaved, spec 8.6.3) — so covering type 0 end-to-end
+        # costs exactly one header bit
+        assert residue_type in (0, 1)
+        self.residue_type = residue_type
         # mixed: stereo with ch0 -> floor0 submap, ch1 -> floor1 submap
         self.channels = 2 if floor_kind == "mixed" else 1
         self.floor_book = _Flat(self.FLOOR_ENTRIES, 6)
@@ -211,9 +217,9 @@ class SynthStream:
             w.write(11, 4)                           # rangebits
             for x in self.floor_xs:                  # partition X values
                 w.write(int(x), 11)
-        # --- residues: one type-1 residue
+        # --- residues
         w.write(0, 6)                            # residue_count - 1
-        w.write(1, 16)                           # type 1
+        w.write(self.residue_type, 16)           # type 0 or 1
         w.write(0, 24)                           # begin
         w.write(self.RES_END, 24)                # end
         w.write(self.PART_SIZE - 1, 24)
