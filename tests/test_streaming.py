@@ -210,3 +210,54 @@ def test_streaming_rss_bounded_10min(long_ogg):
         except AssertionError as exc:
             last_err = exc
     raise last_err
+
+
+def test_streaming_spanning_packets():
+    """The incremental parser reassembles page-spanning packets across
+    window boundaries exactly like the whole-file demux."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(REPO_ROOT, "tests", "tools"))
+    from repaginate import repaginate
+
+    from parseoggvorbis_tpu.runtime.batch import (decode_bytes,
+                                                  decode_bytes_streaming)
+
+    if not _native_available():
+        pytest.skip("native front-end not built")
+    data, nspans = repaginate(open(STEREO_OGG, "rb").read())
+    assert nspans > 0
+    whole = decode_bytes(data)
+    got = decode_bytes_streaming(data, chunk_frames=9).read_all()
+    assert got.pcm.shape == whole.pcm.shape
+    np.testing.assert_allclose(got.pcm, whole.pcm, atol=2e-6, rtol=0)
+
+
+def test_heterogeneous_corpus_batch():
+    """One decode_corpus batch mixing every decode surface — golden files,
+    synthetic 8192 blocks, floor0 (LSP), mixed floor0+floor1 stereo, and
+    residue type 0 — each stream bit-equal to its per-file decode."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(REPO_ROOT, "tests", "tools"))
+    from make_synth_vorbis import (SynthStream, make_8192_stream,
+                                   make_floor0_stream)
+
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes, decode_corpus
+
+    blobs = [
+        open(MONO_OGG, "rb").read(),
+        make_8192_stream(seed=1, num_frames=10),
+        make_floor0_stream(seed=1, num_frames=10),
+        SynthStream(bs0=512, bs1=2048, seed=0,
+                    floor_kind="mixed").make(num_frames=10),
+        SynthStream(bs0=512, bs1=2048, seed=0,
+                    residue_type=0).make(num_frames=10),
+        open(STEREO_OGG, "rb").read(),
+    ]
+    refs = [decode_bytes(b) for b in blobs]
+    outs = decode_corpus(blobs)
+    assert len(outs) == len(blobs)
+    for o, r in zip(outs, refs):
+        assert o.ok
+        np.testing.assert_array_equal(o.pcm, r.pcm)
