@@ -229,6 +229,86 @@ def test_mutated_floor0_stream(tmp_path):
             assert nat_ok == py_ok, "front-end accept/reject disagreement"
 
 
+@pytest.mark.parametrize("kind", ["bs8192", "residue0", "mixed", "golden"])
+def test_mutated_streams_full_decode(kind, stereo_ogg):
+    """Bit flips on the synthetic decode surfaces (8192 blocks, residue
+    type 0, mixed floor0+floor1), pushed through the FULL decode — not
+    just the parse.  A mutation that still parses must decode to a result
+    or raise a clean error; the planner/device pipeline must never crash
+    on legal-but-weird symbol values (budget 30s per decode)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    from make_synth_vorbis import SynthStream, make_8192_stream
+
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    if kind == "bs8192":
+        data = bytearray(make_8192_stream(seed=0, num_frames=6))
+    elif kind == "residue0":
+        data = bytearray(SynthStream(bs0=512, bs1=2048, seed=0,
+                                     residue_type=0).make(num_frames=8))
+    elif kind == "mixed":
+        data = bytearray(SynthStream(bs0=512, bs1=2048, seed=0,
+                                     floor_kind="mixed").make(num_frames=8))
+    else:
+        data = bytearray(open(stereo_ogg, "rb").read())
+    import struct
+
+    from parseoggvorbis_tpu.ogg.page import HEADER_SIZE, read_page
+    from parseoggvorbis_tpu.utils.crc import ogg_page_crc
+
+    # page layout: (start, payload_start, end); flips target payloads and
+    # the page CRC is re-sealed so the mutation survives demux and reaches
+    # the codec layers
+    pages = []
+    off = 0
+    while True:
+        page, off2 = read_page(bytes(data), off)
+        if page is None:
+            break
+        nseg = data[off + 26]
+        pages.append((off, off + HEADER_SIZE + nseg, off2))
+        off = off2
+    # audio pages only (skip the 3 header packets' pages)
+    audio_pages = pages[2:]
+    assert audio_pages
+
+    def reseal(buf, pstart, ppayload, pend):
+        nseg = buf[pstart + 26]
+        hdr = bytearray(buf[pstart:pstart + HEADER_SIZE])
+        hdr[22:26] = b"\x00\x00\x00\x00"
+        seg = bytes(buf[pstart + HEADER_SIZE:pstart + HEADER_SIZE + nseg])
+        crc = ogg_page_crc(bytes(hdr), seg, bytes(buf[ppayload:pend]))
+        buf[pstart + 22:pstart + 26] = struct.pack("<I", crc)
+
+    rng = np.random.RandomState(11)
+    decoded = 0
+    for _ in range(30):
+        mutated = bytearray(data)
+        pstart, ppayload, pend = audio_pages[rng.randint(len(audio_pages))]
+        pos = rng.randint(ppayload, pend)
+        mutated[pos] ^= 1 << rng.randint(0, 8)
+        reseal(mutated, pstart, ppayload, pend)
+        blob = bytes(mutated)
+        try:
+            with _ParseBudget(30.0):
+                out = decode_bytes(blob)
+        except (ParseError, ValueError, AssertionError, RuntimeError):
+            continue  # clean rejection anywhere in the stack
+        except _ParseBudget.Timeout:
+            continue  # bounded-but-slow legal setup parse
+        # decoded garbage is fine (wrong VQ values -> wrong audio, possibly
+        # inf via a blown floor amplitude) -- crashing is not
+        assert out.pcm.shape[0] >= 1
+        decoded += 1
+    # most flips land in audio-packet payloads and still decode; if nearly
+    # everything is rejected the mutation loop isn't exercising the decoder
+    assert decoded >= 5, decoded
+
+
 def test_incremental_truncation_agreement(stereo_ogg):
     """Truncating at page boundaries: the incremental parser must agree
     with the whole-file native parse — same total frames when accepted,
