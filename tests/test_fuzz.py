@@ -255,44 +255,16 @@ def test_mutated_streams_full_decode(kind, stereo_ogg):
                                      floor_kind="mixed").make(num_frames=8))
     else:
         data = bytearray(open(stereo_ogg, "rb").read())
-    import struct
+    # flips target page payloads with the page CRC re-sealed, so the
+    # mutation survives demux and reaches the codec layers
+    from page_mutate import flip_payload_bit, page_spans
 
-    from parseoggvorbis_tpu.ogg.page import HEADER_SIZE, read_page
-    from parseoggvorbis_tpu.utils.crc import ogg_page_crc
-
-    # page layout: (start, payload_start, end); flips target payloads and
-    # the page CRC is re-sealed so the mutation survives demux and reaches
-    # the codec layers
-    pages = []
-    off = 0
-    while True:
-        page, off2 = read_page(bytes(data), off)
-        if page is None:
-            break
-        nseg = data[off + 26]
-        pages.append((off, off + HEADER_SIZE + nseg, off2))
-        off = off2
-    # audio pages only (skip the 3 header packets' pages)
-    audio_pages = pages[2:]
-    assert audio_pages
-
-    def reseal(buf, pstart, ppayload, pend):
-        nseg = buf[pstart + 26]
-        hdr = bytearray(buf[pstart:pstart + HEADER_SIZE])
-        hdr[22:26] = b"\x00\x00\x00\x00"
-        seg = bytes(buf[pstart + HEADER_SIZE:pstart + HEADER_SIZE + nseg])
-        crc = ogg_page_crc(bytes(hdr), seg, bytes(buf[ppayload:pend]))
-        buf[pstart + 22:pstart + 26] = struct.pack("<I", crc)
-
+    data = bytes(data)
+    spans = page_spans(data)
     rng = np.random.RandomState(11)
     decoded = 0
     for _ in range(30):
-        mutated = bytearray(data)
-        pstart, ppayload, pend = audio_pages[rng.randint(len(audio_pages))]
-        pos = rng.randint(ppayload, pend)
-        mutated[pos] ^= 1 << rng.randint(0, 8)
-        reseal(mutated, pstart, ppayload, pend)
-        blob = bytes(mutated)
+        blob = flip_payload_bit(data, rng, spans=spans)
         try:
             with _ParseBudget(30.0):
                 out = decode_bytes(blob)

@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--mutate", type=int, default=0, metavar="N",
+                    help="after each good roundtrip, full-decode N "
+                         "CRC-resealed payload mutations (crash hunt)")
     args = ap.parse_args()
 
     from vorbis_oracle import decode_ogg, encode_ogg
@@ -118,6 +121,24 @@ def main():
                     fails += 1
                     status = "FAIL(chained)"
                 extra += " +chain"
+            # CRC-resealed payload mutations must full-decode or reject
+            # cleanly, never crash (see tests/tools/page_mutate.py)
+            if args.mutate:
+                from page_mutate import flip_payload_bit, page_spans
+
+                from parseoggvorbis_tpu.utils.errors import ParseError
+
+                spans = page_spans(ogg)
+                nmut_ok = 0
+                for _ in range(args.mutate):
+                    blob = flip_payload_bit(ogg, rng, spans=spans)
+                    try:
+                        decode_bytes(blob)
+                        nmut_ok += 1
+                    except (ParseError, ValueError, AssertionError,
+                            RuntimeError):
+                        pass
+                extra += " +mut%d/%d" % (nmut_ok, args.mutate)
             prev = (ogg, ref)
         print("%3d: ch=%d rate=%5d %-8s %5.2fs -> %7d B  err=%.2e  %s%s"
               % (i, pcm.shape[0], rate, mode, pcm.shape[1] / rate, len(ogg),
