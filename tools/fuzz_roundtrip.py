@@ -121,6 +121,20 @@ def main():
                     fails += 1
                     status = "FAIL(chained)"
                 extra += " +chain"
+            # streaming path: chunked decode must match the whole-file
+            # decode (2e-6: batch-shape f32 reassociation, see
+            # tests/test_streaming.py)
+            if rng.rand() < 0.3:
+                from parseoggvorbis_tpu.runtime.batch import \
+                    decode_bytes_streaming
+
+                chunk = int(rng.choice([0, 7, 33, 256]))
+                got = decode_bytes_streaming(ogg, chunk_frames=chunk).read_all()
+                if (got.pcm.shape != ours.pcm.shape
+                        or float(np.abs(got.pcm - ours.pcm).max()) > 2e-6):
+                    fails += 1
+                    status = "FAIL(stream)"
+                extra += " +stream%d" % chunk
             # CRC-resealed payload mutations must full-decode or reject
             # cleanly, never crash (see tests/tools/page_mutate.py)
             if args.mutate:
