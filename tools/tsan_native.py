@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""ThreadSanitizer check of the native library's thread contract.
+
+Builds the native front-end with -fsanitize=thread into a scratch dir,
+then drives it from real Python threads two ways:
+
+1. concurrent bulk parses + incremental sessions (the serving /
+   --multi_threaded load) through the ctypes front-end;
+2. concurrent `ogg_vorbis_full_read` with per-thread dump sinks — the
+   Callbacks registry's documented contract (registry mutex +
+   thread-local pending config).
+
+One suppression is required: glibc's `_dl_deallocate_tls` freeing an
+exited thread's TLS block races, in TSan's view, with that thread's own
+C++ `thread_local` destructor (our pending-filter set).  Both frames are
+in uninstrumented ld-linux/libc, whose internal synchronization TSan
+cannot observe — a known loader artifact with dlopen'd libraries using
+C++ thread_locals, not a defect in the registry.  Nothing else reports.
+
+Measured on this host: 0 warnings across both workloads (8 threads x 6
+parses + incremental windows; 6 threads x 4 full_read+dump).
+
+Usage: python3 tools/tsan_native.py
+"""
+
+import ctypes
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SUPPRESSIONS = "race:_dl_deallocate_tls\n"
+
+
+def _libtsan():
+    out = subprocess.run(["g++", "-print-file-name=libtsan.so"],
+                         capture_output=True, text=True, check=True)
+    path = out.stdout.strip()
+    if not os.path.isabs(path):
+        raise RuntimeError("libtsan.so not found (g++ says %r)" % path)
+    return path
+
+
+def _build(build_dir):
+    subprocess.run(["cmake", "-S", os.path.join(REPO, "native"),
+                    "-B", build_dir, "-G", "Ninja",
+                    "-DPOV_SANITIZE=thread"],
+                   check=True, capture_output=True)
+    subprocess.run(["cmake", "--build", build_dir],
+                   check=True, capture_output=True)
+    return os.path.join(build_dir, "_libpov.so")
+
+
+def drive(lib_path):
+    """The workloads; runs inside the TSan-preloaded interpreter."""
+    from parseoggvorbis_tpu.native import frontend
+
+    frontend._LIB_PATH = lib_path
+    data = [open(os.path.join(REPO, "tests/data", f), "rb").read()
+            for f in ("test.stereo44khz.ogg", "test.mono44khz.ogg")]
+
+    def parse_worker(i):
+        for _ in range(6):
+            p = frontend.parse_stream_native(data[i % 2])
+            assert len(p.mode_idx) > 0
+            inc = frontend.NativeIncremental(data[i % 2])
+            while True:
+                view, _ = inc.next_window(16)
+                if view is None:
+                    break
+            inc.close()
+
+    threads = [threading.Thread(target=parse_worker, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    lib = ctypes.CDLL(lib_path)
+    lib.ogg_vorbis_full_read.restype = ctypes.c_int
+    lib.ogg_vorbis_full_read.argtypes = [ctypes.c_char_p,
+                                         ctypes.POINTER(ctypes.c_char_p)]
+    lib.set_data_output_file.argtypes = [ctypes.c_char_p]
+    files = [os.path.join(REPO, "tests/data", f).encode()
+             for f in ("test.stereo44khz.ogg", "test.mono44khz.ogg")]
+
+    def capi_worker(i):
+        for k in range(4):
+            with tempfile.NamedTemporaryFile(suffix=".bin",
+                                             delete=False) as f:
+                dump = f.name
+            lib.set_data_output_file(dump.encode())
+            err = ctypes.c_char_p()
+            rc = lib.ogg_vorbis_full_read(files[i % 2], ctypes.byref(err))
+            assert rc == 0, err.value
+            assert os.path.getsize(dump) > 1000
+            os.unlink(dump)
+
+    threads = [threading.Thread(target=capi_worker, args=(i,))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    print("drive: ok", flush=True)
+
+
+def main():
+    if os.environ.get("_POV_TSAN_CHILD"):
+        drive(os.environ["_POV_TSAN_LIB"])
+        return 0
+    with tempfile.TemporaryDirectory() as tmp:
+        lib_path = _build(os.path.join(tmp, "build"))
+        supp = os.path.join(tmp, "tsan.supp")
+        with open(supp, "w") as f:
+            f.write(SUPPRESSIONS)
+        env = dict(os.environ,
+                   LD_PRELOAD=_libtsan(),
+                   TSAN_OPTIONS="halt_on_error=0:suppressions=" + supp,
+                   _POV_TSAN_CHILD="1", _POV_TSAN_LIB=lib_path)
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           timeout=600)
+        txt = p.stdout + p.stderr
+        warnings = txt.count("WARNING: ThreadSanitizer")
+        ok = p.returncode == 0 and warnings == 0 and "drive: ok" in txt
+        print(json.dumps({"ok": ok, "tsan_warnings": warnings,
+                          "returncode": p.returncode}))
+        if not ok:
+            print(txt[-4000:])
+        return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
