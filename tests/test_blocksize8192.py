@@ -127,3 +127,25 @@ def test_residue_type0_end_to_end(oracle, seed):
     assert ours.pcm.shape == ref.shape
     scale = max(float(np.abs(ref).max()), 1e-20)
     assert float(np.abs(ours.pcm - ref).max()) / scale <= 1e-5
+
+
+def test_residue_type0_python_frontend_and_scalar_cli(tmp_path, capsys):
+    """The PYTHON front-end and the scalar CLI pipeline also decode the
+    type-0 interleave (Residue._accumulate_partition's rtype==0 branch;
+    the batch tests above exercise only the native front-end)."""
+    from make_synth_vorbis import SynthStream
+    from parseoggvorbis_tpu import cli
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    blob = SynthStream(bs0=512, bs1=2048, seed=0,
+                       residue_type=0).make(num_frames=14)
+    nat = decode_bytes(blob)
+    py = decode_bytes(blob, prefer_native=False)
+    assert py.pcm.shape == nat.pcm.shape
+    np.testing.assert_array_equal(py.pcm, nat.pcm)
+
+    path = str(tmp_path / "type0.ogg")
+    open(path, "wb").write(blob)
+    assert cli.main(["cli", "--in", path]) == 0
+    out = capsys.readouterr().out
+    assert "got eof. sample count: %d" % nat.num_samples in out
