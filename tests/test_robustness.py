@@ -90,3 +90,53 @@ def test_early_stop_callback(blobs):
     cb = StopAfterHeader()
     OggReader(cb).full_read_from_memory(blobs["stereo"])
     assert cb.got
+
+
+def test_granule_validation_errors():
+    """DecodeState.ready_pcm enforces the reference's granule-position
+    rules (ParseOggVorbis.hpp:1019-1059): position past the granule and
+    granule-implied mid-stream short frames are both stream errors."""
+    import numpy as np
+    import pytest
+
+    from parseoggvorbis_tpu.runtime.state import DecodeState
+
+    def advance(st, frames):
+        for _ in range(frames):
+            st.begin_frame(256)
+            st.add_pcm_frame(0, np.zeros(256, np.float32),
+                             np.zeros(256, np.float32))
+            st.ready_pcm()
+
+    st = DecodeState(1)
+    advance(st, 3)  # abs_total_pos = 256
+    assert st.abs_total_pos == 256
+    st.set_expected_ending_pos(50)  # already past
+    st.begin_frame(256)
+    with pytest.raises(ValueError, match="past granule position"):
+        st.ready_pcm()
+
+    st = DecodeState(1)
+    advance(st, 3)
+    st.set_expected_ending_pos(10_000)  # this emission cannot reach it
+    st.begin_frame(256)
+    with pytest.raises(ValueError, match="mid-stream short frame"):
+        st.ready_pcm()
+
+    # the legal case: granule truncates the final emission exactly
+    st = DecodeState(1)
+    advance(st, 3)
+    st.set_expected_ending_pos(256 + 100)
+    st.begin_frame(256)
+    out = st.ready_pcm()
+    assert out.shape == (1, 100)
+    assert st.abs_total_pos == 356
+
+
+def test_make_mesh_errors():
+    from parseoggvorbis_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="need 1000 devices"):
+        make_mesh(1000)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_mesh(8, model=3)

@@ -86,3 +86,25 @@ def test_lookup1_values():
     assert specmath.lookup1_values(27, 3) == 3
     assert specmath.lookup1_values(26, 3) == 2
     assert specmath.lookup1_values(1, 1) == 1
+
+
+def test_render_line_vec_matches_into():
+    out = specmath.render_line_vec(2, 5, 9, 40, 12)
+    ref = np.zeros(12, dtype=np.int64)
+    specmath.render_line_into(2, 5, 9, 40, ref)
+    np.testing.assert_array_equal(out, ref)
+    assert out[0] == out[1] == 0 and out[9] == 0  # outside [x0, x1) stays zero
+    # x0 beyond the vector: no-op
+    np.testing.assert_array_equal(specmath.render_line_vec(20, 0, 30, 5, 10),
+                                  np.zeros(10, dtype=np.int64))
+
+
+def test_float32_unpack_exponent_clamp():
+    """The reference clamps the unpacked exponent to [-63, 63]
+    (Utils.hpp:193-203); absurd setup floats stay finite."""
+    huge = (1023 << 21) | 1  # raw exponent 1023 -> +235 unclamped
+    tiny = 1                 # raw exponent 0 -> -788 unclamped
+    assert specmath.float32_unpack(huge) == np.ldexp(1.0, 63)
+    assert specmath.float32_unpack(tiny) == np.ldexp(1.0, -63)
+    assert specmath.float32_unpack(0x80000000 | huge) == -np.ldexp(1.0, 63)
+    assert np.isfinite(specmath.float32_unpack(0xFFFFFFFF))
