@@ -140,3 +140,37 @@ def test_make_mesh_errors():
         make_mesh(1000)
     with pytest.raises(ValueError, match="not divisible"):
         make_mesh(8, model=3)
+
+
+def test_phase_summary_interval_merge():
+    """phase_summary reduces the event timeline to per-phase wall
+    occupancy: busy = union length of intervals (overlaps merged), bytes
+    summed, effective MB/s = bytes/busy.  bench.py embeds this; the math
+    is what makes the 'link-bound' claim quantitative."""
+    from parseoggvorbis_tpu.runtime.device_decoder import _TransferStats
+
+    st = _TransferStats()
+    assert st.phase_summary() == {}
+    # two overlapping fetches (1.0-3.0 merged) + one disjoint (4.0-5.0)
+    st.event("fetch", 1.0, 2.5, 10_000_000)
+    st.event("fetch", 2.0, 3.0, 10_000_000)
+    st.event("fetch", 4.0, 5.0, 10_000_000)
+    st.event("dispatch", 0.0, 0.5, 3_000_000)
+    s = st.phase_summary()
+    assert s["wall_span"] == 5.0
+    f = s["fetch"]
+    assert f["count"] == 3
+    assert abs(f["busy_s"] - 3.0) < 1e-9  # 2.0 merged + 1.0 disjoint
+    assert f["span_s"] == 4.0
+    assert f["bytes"] == 30_000_000
+    assert abs(f["mb_per_s"] - 10.0) < 1e-6
+    assert s["dispatch"]["count"] == 1
+    assert "parse" not in s  # no parse events recorded
+    st.clear_events()
+    assert st.phase_summary() == {}
+    # counters are independent of the event timeline
+    st.add(100, 200)
+    snap = st.snapshot()
+    assert (snap["bytes_in"], snap["bytes_out"], snap["dispatches"]) == (100, 200, 1)
+    st.reset()
+    assert st.snapshot()["dispatches"] == 0
