@@ -63,3 +63,18 @@ def test_peek_and_skip():
     assert br.peek_bits(8) == 0x73
     br.skip_bits(4)
     assert br.read_bits(8) == 0xA7
+
+
+def test_read_bit_past_end_and_accessors():
+    """Reading past the end returns 0 and latches reached_end (the
+    reference BitReader's EOF semantics, Utils.hpp:388-402)."""
+    br = BitReader(b"\x01")
+    assert br.bit_position == 0
+    assert br.read_bit() == 1
+    assert br.bit_offset() == 1
+    for _ in range(7):
+        br.read_bit()
+    assert br.bit_offset() == 0
+    assert not br.reached_end_now()
+    assert br.read_bit() == 0  # past the end
+    assert br.reached_end_now()

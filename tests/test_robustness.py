@@ -174,3 +174,34 @@ def test_phase_summary_interval_merge():
     assert (snap["bytes_in"], snap["bytes_out"], snap["dispatches"]) == (100, 200, 1)
     st.reset()
     assert st.snapshot()["dispatches"] == 0
+
+
+@pytest.mark.parametrize("stage", ["got_comments", "got_setup",
+                                   "got_pcm_data", "got_eof"])
+def test_early_stop_at_every_callback_stage(blobs, stage):
+    """Returning False from ANY ParseCallbacks hook stops the parse there
+    (reference ParseCallbacks contract, ParseOggVorbis.hpp:966-973) — no
+    later-stage callback fires."""
+    order = ["got_header", "got_comments", "got_setup", "got_pcm_data",
+             "got_eof"]
+
+    class StopAt(ParseCallbacks):
+        def __init__(self):
+            self.seen = []
+
+    def make_hook(name):
+        def hook(self, *a):
+            if name not in self.seen:
+                self.seen.append(name)
+            return name != stage
+        return hook
+
+    for name in order:
+        setattr(StopAt, name, make_hook(name))
+    cb = StopAt()
+    OggReader(cb).full_read_from_memory(blobs["stereo"])
+    idx = order.index(stage)
+    later = set(order[idx + 1:]) - {"got_pcm_data"} if stage != "got_pcm_data" \
+        else set(order[idx + 1:])
+    assert stage in cb.seen
+    assert not (set(cb.seen) & later), cb.seen
