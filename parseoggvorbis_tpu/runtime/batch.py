@@ -361,6 +361,7 @@ class StreamingDecode:
         from . import device_decoder as dd
 
         self._inc = native.NativeIncremental(data)
+        self._data = data
         self._out_i16 = out_i16
         self._chunk_frames = chunk_frames
         self._max_in_flight = max(1, max_in_flight)
@@ -411,8 +412,16 @@ class StreamingDecode:
 
     def read_all(self) -> DecodedAudio:
         chunks = list(self)
-        pcm = (np.concatenate(chunks, axis=1) if chunks
-               else np.zeros((self.channels or 0, 0), np.float32))
+        if chunks:
+            pcm = np.concatenate(chunks, axis=1)
+        else:
+            if self.channels is None:
+                # zero audio windows => the stream is headers-only, so a
+                # whole-file parse for its metadata is trivially cheap
+                sf = parse_stream(self._data)
+                self.sample_rate = sf.sample_rate
+                self.channels = sf.channels
+            pcm = np.zeros((self.channels, 0), np.float32)
         return DecodedAudio(pcm=pcm, sample_rate=self.sample_rate or 0)
 
 

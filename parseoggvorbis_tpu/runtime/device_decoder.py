@@ -900,7 +900,8 @@ def _chunk_frames(sf) -> int:
         return _CHUNK_T
     # avg bins/frame = mean(frame_n)/2 — equals both the mean emission in
     # samples and the mean per-channel residue bytes/frame (u8 codes)
-    avg_emission = max(64.0, float(np.mean(sf.frame_n)) / 2.0)
+    mean_n = float(np.mean(sf.frame_n)) if len(sf.frame_n) else 0.0
+    avg_emission = max(64.0, mean_n / 2.0)
     target = int(6e6 / avg_emission)
     # cap the dominant input array (residue codes, ~C*avg bins bytes/frame)
     # at ~3MB per transfer: tunneled links stall unpredictably on large

@@ -24,7 +24,7 @@ from conftest import REPO_ROOT
 
 sys.path.insert(0, os.path.join(REPO_ROOT, "tests", "tools"))
 
-from make_synth_vorbis import make_floor0_stream  # noqa: E402
+from make_synth_vorbis import SynthStream, make_floor0_stream  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -202,3 +202,25 @@ def test_floor0_feature_path_matches_reference_posture():
     blob = make_floor0_stream(seed=0, num_frames=6)
     with pytest.raises(AssertionError):
         batched.get_features(blob, 64, "floor_final_ys")
+
+
+@pytest.mark.parametrize("order", [3, 5])
+def test_floor0_odd_order_vs_libvorbis(oracle, order):
+    """Odd LSP orders take the distinct p/q product tail (spec 6.2.3's
+    'm is odd' case — floor.py Floor0.curve's odd branch; libvorbis
+    vorbis_lsp_to_curve's m&1 path).  Even orders (the writer's default)
+    never execute it, so this is its only oracle coverage."""
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    blob = SynthStream(bs0=512, bs1=2048, seed=1, floor_kind="floor0",
+                       lsp_order=order).make(num_frames=14)
+    ref, rate = oracle.decode_ogg(blob)
+    ours = decode_bytes(blob, prefer_native=False)
+    assert ours.sample_rate == rate
+    assert ours.pcm.shape == ref.shape
+    assert _rel_err(ours.pcm, ref) <= 1e-5
+    from parseoggvorbis_tpu.native.frontend import available
+
+    if available():
+        nat = decode_bytes(blob, prefer_native=True)
+        assert _rel_err(nat.pcm, ref) <= 1e-5

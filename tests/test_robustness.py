@@ -205,3 +205,37 @@ def test_early_stop_at_every_callback_stage(blobs, stage):
         else set(order[idx + 1:])
     assert stage in cb.seen
     assert not (set(cb.seen) & later), cb.seen
+
+
+def test_zero_audio_frame_stream():
+    """A legal stream with headers but no audio packets decodes to an
+    empty PCM result on every path — no warnings, no errors."""
+    import sys as _sys
+    import warnings
+
+    from conftest import REPO_ROOT
+
+    _sys.path.insert(0, REPO_ROOT + "/tests/tools")
+    from make_synth_vorbis import SynthStream
+
+    from parseoggvorbis_tpu.runtime.batch import (decode_bytes,
+                                                  decode_bytes_streaming)
+
+    blob = SynthStream(bs0=512, bs1=2048, seed=0).make(num_frames=0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = decode_bytes(blob)
+        assert out.pcm.shape == (1, 0) and out.num_samples == 0
+        py = decode_bytes(blob, prefer_native=False)
+        assert py.pcm.shape == (1, 0)
+        got = decode_bytes_streaming(blob).read_all()
+        assert got.pcm.shape == (1, 0)
+
+
+def test_invalid_floor_type_rejected():
+    from parseoggvorbis_tpu.utils.bitreader import BitReader
+    from parseoggvorbis_tpu.utils.errors import ParseError
+    from parseoggvorbis_tpu.vorbis.floor import Floor
+
+    with pytest.raises(ParseError, match="invalid floor type 2"):
+        Floor.parse(BitReader(b"\x02\x00" + b"\x00" * 16), 0)

@@ -103,9 +103,16 @@ class SynthStream:
 
     def __init__(self, bs0: int = 4096, bs1: int = 8192, rate: int = 48000,
                  seed: int = 0, floor_kind: str = "floor1",
-                 floor_xs=(128, 1024), residue_type: int = 1):
+                 floor_xs=(128, 1024), residue_type: int = 1,
+                 lsp_order: int = None):
         assert bs0 <= bs1 <= 8192
         assert floor_kind in ("floor1", "floor0", "mixed")
+        if lsp_order is not None:
+            # odd orders hit the distinct p/q product tail in every decoder
+            # (spec 6.2.3's "m is odd" case); cumsum steps of 1-2 keep the
+            # roots interlaced for any order with max mult 2*order < 16
+            assert 2 <= lsp_order <= 7
+            self.LSP_ORDER = lsp_order  # instance shadows the class default
         self.bs0, self.bs1, self.rate = bs0, bs1, rate
         self.rng = np.random.RandomState(seed)
         self.floor_kind = floor_kind
