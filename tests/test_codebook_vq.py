@@ -1,0 +1,91 @@
+"""VQ table construction edge cases, parsed from hand-written bitstreams.
+
+``sequence_p`` (spec 3.2.1 step 10: each dimension adds the previous
+dimension's stored value) is never set by libvorbis' encoder, so no
+encoder-generated corpus covers it — these build codebook headers with
+the synthetic writer's BitWriter and check the cumulative semantics
+against hand computation for both lookup types.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import REPO_ROOT
+
+sys.path.insert(0, os.path.join(REPO_ROOT, "tests", "tools"))
+
+from make_synth_vorbis import BitWriter, float32_pack  # noqa: E402
+
+from parseoggvorbis_tpu.utils.bitreader import BitReader  # noqa: E402
+from parseoggvorbis_tpu.utils.errors import ParseError  # noqa: E402
+from parseoggvorbis_tpu.vorbis.codebook import Codebook  # noqa: E402
+
+
+def _book_bits(dims, entries, lengths, lookup, mults, seq_p,
+               minimum=0.0, delta=0.5, value_bits=4):
+    w = BitWriter()
+    w.write(0x564342, 24)  # sync
+    w.write(dims, 16)
+    w.write(entries, 24)
+    w.write(0, 1)  # not ordered
+    w.write(0, 1)  # not sparse
+    for ln in lengths:
+        w.write(ln - 1, 5)
+    w.write(lookup, 4)
+    if lookup:
+        w.write(float32_pack(minimum), 32)
+        w.write(float32_pack(delta), 32)
+        w.write(value_bits - 1, 4)
+        w.write(1 if seq_p else 0, 1)
+        for m in mults:
+            w.write(m, value_bits)
+    return w.getvalue()
+
+
+def test_lookup1_sequence_p_cumulative():
+    # entries=4 dims=2 -> lookup1_values = 2 multiplicands [1, 2]
+    blob = _book_bits(2, 4, [2, 2, 2, 2], 1, [1, 2], seq_p=True)
+    cb = Codebook.parse(BitReader(blob))
+    # dim0: mult[idx % 2] * .5; dim1: mult[idx // 2 % 2] * .5 + dim0
+    expect = np.array([[0.5, 1.0], [1.0, 1.5], [0.5, 1.5], [1.0, 2.0]],
+                      dtype=np.float32)
+    np.testing.assert_array_equal(cb.vq_table, expect)
+    # same book without sequence_p: independent dimensions
+    cb0 = Codebook.parse(BitReader(_book_bits(2, 4, [2] * 4, 1, [1, 2],
+                                              seq_p=False)))
+    np.testing.assert_array_equal(
+        cb0.vq_table,
+        np.array([[0.5, 0.5], [1.0, 0.5], [0.5, 1.0], [1.0, 1.0]],
+                 dtype=np.float32))
+
+
+def test_lookup2_sequence_p_cumulative():
+    # lookup 2: entries*dims explicit multiplicands
+    mults = [1, 2, 3, 4, 5, 6, 7, 8]
+    blob = _book_bits(2, 4, [2, 2, 2, 2], 2, mults, seq_p=True)
+    cb = Codebook.parse(BitReader(blob))
+    m = np.array(mults, np.float64).reshape(4, 2) * 0.5
+    expect = np.stack([m[:, 0], m[:, 1] + m[:, 0]], axis=1).astype(np.float32)
+    np.testing.assert_array_equal(cb.vq_table, expect)
+
+
+def test_lookup0_decode_vector_returns_none():
+    blob = _book_bits(2, 4, [2, 2, 2, 2], 0, [], seq_p=False)
+    cb = Codebook.parse(BitReader(blob))
+    assert cb.vq_table is None or cb.lookup_type == 0
+    assert cb.decode_vector(BitReader(b"\x00\x00")) is None
+
+
+def test_underspecified_codebook_rejected():
+    # three length-2 codewords leave a quarter of the code space unused
+    with pytest.raises(ParseError, match="underspecified"):
+        Codebook.parse(BitReader(_book_bits(1, 3, [2, 2, 2], 0, [],
+                                            seq_p=False)))
+    # and an overfull assignment is impossible to express canonically:
+    # lengths [1, 1, 2] over-fill after the second entry
+    with pytest.raises(ParseError, match="overspecified"):
+        Codebook.parse(BitReader(_book_bits(1, 3, [1, 1, 2], 0, [],
+                                            seq_p=False)))
