@@ -89,3 +89,25 @@ def test_underspecified_codebook_rejected():
     with pytest.raises(ParseError, match="overspecified"):
         Codebook.parse(BitReader(_book_bits(1, 3, [1, 1, 2], 0, [],
                                             seq_p=False)))
+
+
+def test_sequence_p_end_to_end_vs_libvorbis():
+    """A full stream whose residue VQ book sets sequence_p, decoded by the
+    system libvorbis and by both our front-ends — covers the cumulative
+    path through setup parse, native VQ build, and the device pipeline."""
+    import vorbis_oracle
+
+    from make_synth_vorbis import SynthStream
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    if not vorbis_oracle.available():
+        pytest.skip("system libvorbis not available")
+    blob = SynthStream(bs0=512, bs1=2048, seed=0,
+                       vq_sequence_p=True).make(num_frames=12)
+    ref, rate = vorbis_oracle.decode_ogg(blob)
+    scale = max(float(np.abs(ref).max()), 1e-20)
+    ours = decode_bytes(blob)
+    assert ours.sample_rate == rate and ours.pcm.shape == ref.shape
+    assert float(np.abs(ours.pcm - ref).max()) / scale <= 1e-5
+    py = decode_bytes(blob, prefer_native=False)
+    np.testing.assert_array_equal(py.pcm, ours.pcm)

@@ -104,7 +104,7 @@ class SynthStream:
     def __init__(self, bs0: int = 4096, bs1: int = 8192, rate: int = 48000,
                  seed: int = 0, floor_kind: str = "floor1",
                  floor_xs=(128, 1024), residue_type: int = 1,
-                 lsp_order: int = None):
+                 lsp_order: int = None, vq_sequence_p: bool = False):
         assert bs0 <= bs1 <= 8192
         assert floor_kind in ("floor1", "floor0", "mixed")
         if lsp_order is not None:
@@ -128,6 +128,9 @@ class SynthStream:
         self.floor_book = _Flat(self.FLOOR_ENTRIES, 6)
         self.class_book = _Flat(self.CLASSES ** 2, 2)  # dims 2
         self.value_book = _Flat(self.VQ_ENTRIES, 4)
+        # spec 3.2.1 step 10 (cumulative dims) — never set by libvorbis'
+        # encoder, so only a synthetic stream can cover it end-to-end
+        self.vq_sequence_p = vq_sequence_p
         self.lsp_book = _Flat(16, 4)  # floor0 coefficient VQ book
         self.two_modes = bs0 != bs1
 
@@ -169,7 +172,7 @@ class SynthStream:
         w.write(float32_pack(-0.25), 32)         # minimum
         w.write(float32_pack(0.03125), 32)       # delta
         w.write(4 - 1, 4)                        # value bits
-        w.write(0, 1)                            # sequence_p
+        w.write(1 if self.vq_sequence_p else 0, 1)  # sequence_p
         self.vq_mults = self.rng.randint(
             0, 16, self.VQ_ENTRIES * self.VQ_DIMS)
         for m in self.vq_mults:
