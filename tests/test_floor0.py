@@ -224,3 +224,24 @@ def test_floor0_odd_order_vs_libvorbis(oracle, order):
     if available():
         nat = decode_bytes(blob, prefer_native=True)
         assert _rel_err(nat.pcm, ref) <= 1e-5
+
+
+@pytest.mark.parametrize("order,dims", [(5, 3), (6, 4)])
+def test_floor0_multi_vector_block_offset(oracle, order, dims):
+    """order > book dims: the channel ships ceil(order/dims) VQ vectors and
+    each later block is offset by the previous block's last value (spec
+    6.2.2 'cumulative block offset' — floor.py decode_coeffs' multi-vector
+    loop; libvorbis floor0 inverse1's `last` carry).  Single-vector
+    streams (every other floor0 test) never execute the carry."""
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    blob = SynthStream(bs0=512, bs1=2048, seed=2, floor_kind="floor0",
+                       lsp_order=order, lsp_dims=dims).make(num_frames=12)
+    ref, rate = oracle.decode_ogg(blob)
+    scale = max(float(np.abs(ref).max()), 1e-20)
+    assert np.isfinite(ref).all()
+    ours = decode_bytes(blob)
+    assert ours.pcm.shape == ref.shape
+    assert float(np.abs(ours.pcm - ref).max()) / scale <= 1e-5
+    py = decode_bytes(blob, prefer_native=False)
+    assert float(np.abs(py.pcm - ref).max()) / scale <= 1e-5

@@ -104,7 +104,8 @@ class SynthStream:
     def __init__(self, bs0: int = 4096, bs1: int = 8192, rate: int = 48000,
                  seed: int = 0, floor_kind: str = "floor1",
                  floor_xs=(128, 1024), residue_type: int = 1,
-                 lsp_order: int = None, vq_sequence_p: bool = False):
+                 lsp_order: int = None, vq_sequence_p: bool = False,
+                 lsp_dims: int = None):
         assert bs0 <= bs1 <= 8192
         assert floor_kind in ("floor1", "floor0", "mixed")
         if lsp_order is not None:
@@ -113,6 +114,12 @@ class SynthStream:
             # roots interlaced for any order with max mult 2*order < 16
             assert 2 <= lsp_order <= 7
             self.LSP_ORDER = lsp_order  # instance shadows the class default
+        # book dims < order => the channel ships ceil(order/dims) vectors
+        # and every block after the first is offset by the previous block's
+        # last value (spec 6.2.2's cumulative block offset) — another path
+        # no encoder-generated stream ever takes
+        self.LSP_DIMS = lsp_dims or self.LSP_ORDER
+        assert 2 <= self.LSP_DIMS <= self.LSP_ORDER
         self.bs0, self.bs1, self.rate = bs0, bs1, rate
         self.rng = np.random.RandomState(seed)
         self.floor_kind = floor_kind
@@ -183,13 +190,23 @@ class SynthStream:
         # the decoded LSP roots stay interlaced and bounded away from every
         # evaluation point — 1/sqrt(p+q) is a dB scale, and roots near a
         # grid point overflow the envelope in ANY decoder (incl. libvorbis)
-        self.lsp_book.write_scalar_header(w, dims=self.LSP_ORDER)
+        self.lsp_book.write_scalar_header(w, dims=self.LSP_DIMS)
         w.write(2, 4)                            # lookup type 2
-        w.write(float32_pack(2.5 * np.pi / self.LSP_LN), 32)  # minimum
-        w.write(float32_pack(np.pi / self.LSP_LN), 32)        # delta
+        unit = np.pi / self.LSP_LN
+        if self.LSP_DIMS < self.LSP_ORDER:
+            # multi-vector: block k's roots sit at (k * minimum + integers)
+            # * unit, so a HALF-unit minimum would put second-block roots ON
+            # the grid (two half-odd lattice values sum to an integer).  A
+            # quarter-unit minimum keeps block1 at x.25 and block2 at x.5 —
+            # off-grid everywhere, with the amplitude capped below to keep
+            # the tighter x.25 margin out of envelope overflow
+            w.write(float32_pack(2.25 * unit), 32)  # minimum
+        else:
+            w.write(float32_pack(2.5 * unit), 32)   # minimum
+        w.write(float32_pack(unit), 32)          # delta
         w.write(4 - 1, 4)
         w.write(0, 1)
-        steps = self.rng.randint(1, 3, (16, self.LSP_ORDER))
+        steps = self.rng.randint(1, 3, (16, self.LSP_DIMS))
         self.lsp_mults = np.cumsum(steps, axis=1).reshape(-1)
         for m in self.lsp_mults:
             w.write(int(m), 4)
@@ -300,13 +317,16 @@ class SynthStream:
             # LSP vector.  amplitude == 0 (1 in 8 frames) marks the channel
             # unused: no book/coefficients follow (and no residue reads for
             # a fully-unused submap).
+            amp_hi = 20 if self.LSP_DIMS < self.LSP_ORDER else 64
             amp = (0 if self.rng.randint(0, 8) == 0
-                   else int(self.rng.randint(1, 64)))
+                   else int(self.rng.randint(1, amp_hi)))
             w.write(amp, 6)
             if amp == 0:
                 return False
             w.write(0, 1)
-            self.lsp_book.write_entry(w, int(self.rng.randint(0, 16)))
+            nvec = -(-self.LSP_ORDER // self.LSP_DIMS)
+            for _ in range(nvec):
+                self.lsp_book.write_entry(w, int(self.rng.randint(0, 16)))
             return True
 
         def write_floor1_channel():
