@@ -46,22 +46,67 @@ def _replicated(mesh: Mesh, x) -> jax.Array:
     return jax.device_put(np.asarray(x), NamedSharding(mesh, P()))
 
 
+def _forced_host_device_count() -> int:
+    """Virtual CPU device count from XLA_FLAGS, or 0 if not forced.
+
+    Read from the environment (no jax call) so the answer is available
+    *before* any backend initializes.
+    """
+    import os
+    import re
+
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)",
+                  os.environ.get("XLA_FLAGS", ""))
+    return int(m.group(1)) if m else 0
+
+
+def _cpu_devices_hermetic():
+    """CPU devices without ever initializing the default (TPU) backend.
+
+    jax 0.9 initializes *every* registered plugin on the first
+    ``jax.devices(...)`` call — including a TPU plugin whose init can hang on
+    a dead link (MULTICHIP_r03's failure class).  The only way to keep the
+    default backend untouched is to restrict the platform list to cpu
+    *before* that first call.  If backends are already up, ``devices("cpu")``
+    is a cached lookup and cannot re-initialize anything.
+    """
+    from jax._src import xla_bridge
+
+    if not xla_bridge._backends and jax.config.jax_platforms != "cpu":
+        # Locks this process to the cpu backend; acceptable because the
+        # caller explicitly forced a virtual host device count, which only
+        # ever means "validate sharding on CPU".  Overrides the TPU plugin's
+        # import-time 'axon,cpu' platform list — with that list in place,
+        # backends() would initialize the (possibly hanging) TPU plugin too.
+        jax.config.update("jax_platforms", "cpu")
+    return jax.devices("cpu")
+
+
 def make_mesh(n_devices: Optional[int] = None, model: int = 1) -> Mesh:
     """Build a ('data', 'model') mesh over the first *n_devices* devices.
 
-    Falls back to the (virtual) CPU backend when the default backend has
-    fewer devices than requested (or fails to initialize) — this is how
-    multi-chip sharding is validated on a single-chip host
-    (xla_force_host_platform_device_count).  The fallback is reported with
-    a warning so a CPU-mesh run can never masquerade as TPU validation.
+    Device selection is CPU-first when a virtual CPU mesh can satisfy the
+    request: if ``--xla_force_host_platform_device_count`` provides at least
+    *n_devices*, the mesh is built from the CPU backend WITHOUT initializing
+    the default (TPU) backend at all — device enumeration itself must stay
+    hermetic, because a TPU plugin stalling on a dead tunnel would otherwise
+    hang the dry run before any fallback could trigger.
+
+    Otherwise falls back to the CPU backend when the default backend has
+    fewer devices than requested (or fails to initialize).  The fallback is
+    reported with a warning so a CPU-mesh run can never masquerade as TPU
+    validation.
     """
-    try:
-        devices = jax.devices()
-    except Exception as exc:  # default backend failed to initialize
-        warnings.warn(
-            "default jax backend failed to initialize (%s); building the "
-            "mesh on the CPU backend" % (exc,))
-        devices = jax.devices("cpu")
+    if n_devices is not None and 0 < n_devices <= _forced_host_device_count():
+        devices = _cpu_devices_hermetic()
+    else:
+        try:
+            devices = jax.devices()
+        except Exception as exc:  # default backend failed to initialize
+            warnings.warn(
+                "default jax backend failed to initialize (%s); building the "
+                "mesh on the CPU backend" % (exc,))
+            devices = jax.devices("cpu")
     if n_devices is None:
         n_devices = len(devices)
     if len(devices) < n_devices and devices[0].platform != "cpu":

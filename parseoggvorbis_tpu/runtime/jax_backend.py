@@ -165,8 +165,8 @@ def frame_pipeline(
             spectrum.reshape(b * c, half), imdct_m, precision=_HIGHEST
         ).reshape(b, c, imdct_m.shape[1])
 
-    # window
-    win = windows[win_sel]  # [B, n]
+    # window (take, not __getitem__: windows may be a captured numpy constant)
+    win = jnp.take(windows, win_sel, axis=0)  # [B, n]
     return pcm * win[:, None, :]
 
 

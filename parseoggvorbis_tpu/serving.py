@@ -90,6 +90,12 @@ class _Batcher(threading.Thread):
             return
         self._count("requests")
         self.q.put(p)
+        # close the submit/stop race: a request enqueued after stop()'s
+        # drain would otherwise sit unanswered until the client timeout.
+        # Re-checking after the put means either stop()'s drain sees it,
+        # or this fail() does (failing twice is harmless: done is an Event).
+        if self._stop:
+            p.fail("server shutting down")
 
     def stop(self) -> None:
         self._stop = True
@@ -181,7 +187,10 @@ class _Batcher(threading.Thread):
             # so one request's option must not leak onto its batchmates
             groups = {}
             for p in feats:
-                groups.setdefault((int(p.opts.get("dim", 64)),
+                # dim was validated/converted in do_POST: nothing here can
+                # raise from one request's malformed input and poison the
+                # whole admission batch via run()'s defensive catch
+                groups.setdefault((p.opts.get("dim", 64),
                                    p.opts.get("kind", "floor_final_ys"),
                                    bool(p.opts.get("device"))),
                                   []).append(p)
@@ -225,11 +234,30 @@ class _Handler(BaseHTTPRequestHandler):
         qs = {k: v[0] for k, v in parse_qs(url.query).items()}
         length = int(self.headers.get("Content-Length", "0"))
         blob = self.rfile.read(length)
+        # validate/convert every query param HERE: a malformed value must
+        # 400 this one request, never raise inside the batcher where the
+        # defensive catch would fail the whole admission batch
+        try:
+            timeout = float(qs.get("timeout", "300"))
+        except ValueError:
+            self.send_error(400, "bad timeout value")
+            return
         if url.path == "/decode":
-            p = _Pending(blob, "decode", {"fmt": qs.get("fmt", "i16")})
+            fmt = qs.get("fmt", "i16")
+            if fmt not in ("i16", "f32"):
+                self.send_error(400, "fmt must be i16 or f32")
+                return
+            p = _Pending(blob, "decode", {"fmt": fmt})
         elif url.path == "/features":
+            try:
+                dim = int(qs.get("dim", "64"))
+            except ValueError:
+                dim = -1
+            if dim <= 0:
+                self.send_error(400, "dim must be a positive integer")
+                return
             p = _Pending(blob, "features", {
-                "dim": qs.get("dim", "64"),
+                "dim": dim,
                 "kind": qs.get("kind", "floor_final_ys"),
                 "device": qs.get("device") == "1",
             })
@@ -237,7 +265,7 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_error(404)
             return
         self.batcher.submit(p)
-        if not p.done.wait(timeout=float(qs.get("timeout", "300"))):
+        if not p.done.wait(timeout=timeout):
             self.send_error(504, "decode timed out")
             return
         if p.error is not None:

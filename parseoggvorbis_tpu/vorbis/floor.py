@@ -180,13 +180,16 @@ class Floor0:
             q = np.float32(q * (w - lsp[j - 1]))
             p = np.float32(p * (w - lsp[j]))
             j += 2
+        # operation ORDER matters: the oracle writes `p *= p * (4.f - w*w)`,
+        # i.e. p * (p * (4-w*w)) — float32 multiplication is non-associative,
+        # so (p*p)*(4-w*w) can differ by 1 ulp; keep the oracle's grouping
         if j == m:  # odd order
             q = np.float32(q * (w - lsp[j - 1]))
-            p = np.float32(p * p * (np.float32(4.0) - w * w))
+            p = np.float32(p * np.float32(p * (np.float32(4.0) - w * w)))
             q = np.float32(q * q)
         else:  # even order
-            p = np.float32(p * p * (np.float32(2.0) - w))
-            q = np.float32(q * q * (np.float32(2.0) + w))
+            p = np.float32(p * np.float32(p * (np.float32(2.0) - w)))
+            q = np.float32(q * np.float32(q * (np.float32(2.0) + w)))
         # fromdB(x) = exp(x * .11512925f); the argument is computed in
         # double (C promotion through sqrt), result stored float32
         expo = (np.float64(amp) / np.sqrt((p + q).astype(np.float64))

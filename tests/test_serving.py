@@ -187,3 +187,66 @@ def test_batcher_batch_failure_isolates():
     b.stop()
     time.sleep(0.05)
     assert not b.is_alive() or True  # stop() returned; thread exits async
+
+
+def test_malformed_query_params_get_400_and_do_not_poison_batch(server):
+    """ADVICE r3: bad 'dim'/'timeout'/'fmt' must 400 the one request, not
+    raise inside the batcher and fail its admission batchmates."""
+    import concurrent.futures
+
+    good = open(MONO_OGG, "rb").read()
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        fgood = ex.submit(_post, server.port, "/decode?fmt=i16", good)
+        fbad_dim = ex.submit(_post, server.port, "/features?dim=banana", good)
+        fbad_to = ex.submit(_post, server.port, "/decode?timeout=soon", good)
+        fbad_fmt = ex.submit(_post, server.port, "/decode?fmt=mp3", good)
+        assert fbad_dim.result()[0] == 400
+        assert fbad_to.result()[0] == 400
+        assert fbad_fmt.result()[0] == 400
+        status, headers, _ = fgood.result()
+    assert status == 200
+    assert int(headers["X-Samples"]) == 63488
+
+
+def test_negative_dim_rejected(server):
+    good = open(MONO_OGG, "rb").read()
+    status, _, _ = _post(server.port, "/features?dim=-3", good)
+    assert status == 400
+
+
+def test_submit_after_stop_fails_promptly():
+    """ADVICE r3 submit/stop race: a pending enqueued around stop() must be
+    failed, not left to block out the client timeout."""
+    from parseoggvorbis_tpu.serving import _Batcher, _Pending
+
+    b = _Batcher(max_batch=4, max_wait_ms=10.0)
+    # not started: no batcher thread will ever drain the queue, exactly the
+    # post-final-drain window the race hits
+    b._stop = True
+    p = _Pending(b"x", "decode", {"fmt": "i16"})
+    b._stop = False
+    b._count("requests")
+    b.q.put(p)          # simulates a submit() that passed the first check...
+    b._stop = True      # ...racing with stop()
+    # re-run only the post-put portion of submit()
+    if b._stop:
+        p.fail("server shutting down")
+    assert p.done.wait(timeout=1.0)
+    assert p.error is not None
+
+
+def test_submit_recheck_covers_stop_race():
+    from parseoggvorbis_tpu.serving import _Batcher, _Pending
+
+    b = _Batcher(max_batch=4, max_wait_ms=10.0)
+    orig_put = b.q.put
+
+    def put_then_stop(item):
+        orig_put(item)
+        b._stop = True  # stop() wins the race right after the enqueue
+
+    b.q.put = put_then_stop
+    p = _Pending(b"x", "decode", {"fmt": "i16"})
+    b.submit(p)
+    assert p.done.wait(timeout=1.0)
+    assert p.error == "server shutting down"
