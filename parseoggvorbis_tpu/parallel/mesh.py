@@ -135,6 +135,7 @@ def sharded_decode_step(
     num_channels: int,
     couplings: Tuple[Tuple[int, int], ...] = (),
     num_windows: int = 1,
+    tp: bool = False,
 ):
     """Build the jitted multi-chip decode step: [S, T, ...] batch -> PCM chunks.
 
@@ -148,9 +149,20 @@ def sharded_decode_step(
 
     Returns (emitted [S, T, C, n/2], lengths [S, T]) — the overlap-added PCM
     region per frame with its valid length (left-aligned padding).
+
+    ``tp=True`` column-shards the IMDCT matrix over the mesh's 'model' axis:
+    XLA partitions the matmul by output columns (each column's reduction
+    stays whole, so the result is BITWISE equal to the replicated layout)
+    and all-gathers the windowed columns on the ICI before the OLA scan.
+    The production corpus path applies the same layout automatically when
+    the mesh has a 'model' axis (device_decoder._mesh_consts).
     """
     half = n // 2
-    imdct_m = _replicated(mesh, imdct_matrix_f32(n))
+    if tp:
+        imdct_m = jax.device_put(imdct_matrix_f32(n),
+                                 NamedSharding(mesh, P(None, "model")))
+    else:
+        imdct_m = _replicated(mesh, imdct_matrix_f32(n))
     inverse_db = _replicated(mesh, INVERSE_DB_TABLE)
     windows = _replicated(
         mesh, np.stack([make_window(n, half, half)] * num_windows)
@@ -178,59 +190,6 @@ def sharded_decode_step(
     return jax.jit(
         step,
         in_shardings=(shard3, shard3, shard2, shard2, shard1, shard1),
-        out_shardings=(shard3, shard1),
-    )
-
-
-def sharded_decode_step_tp(
-    mesh: Mesh,
-    n: int,
-    num_channels: int,
-    couplings: Tuple[Tuple[int, int], ...] = (),
-):
-    """Tensor-parallel variant: IMDCT matrix column-sharded over 'model'.
-
-    Used when frames are huge (n=8192) or the per-device batch is small:
-    the matmul's output columns split across 'model'; windowing is applied on
-    the shards and XLA all-gathers the columns before the OLA scan.
-    """
-    half = n // 2
-    inverse_db = _replicated(mesh, INVERSE_DB_TABLE)
-    window = _replicated(mesh, make_window(n, half, half))
-
-    mat_sharding = NamedSharding(mesh, P(None, "model"))
-    imdct_sharded = jax.device_put(imdct_matrix_f32(n), mat_sharding)
-
-    def step(residue, floor_curve, floor_decoded, floor_used, n_half):
-        s, t = residue.shape[:2]
-        flat = lambda x: x.reshape((s * t,) + x.shape[2:])
-        res = flat(residue)
-        for mag, ang in reversed(couplings):
-            m, a = res[:, mag, :], res[:, ang, :]
-            new_m = jnp.where(m > 0, jnp.where(a > 0, m, m + a), jnp.where(a > 0, m, m - a))
-            new_a = jnp.where(m > 0, jnp.where(a > 0, m - a, m), jnp.where(a > 0, m + a, m))
-            res = res.at[:, mag, :].set(new_m).at[:, ang, :].set(new_a)
-        env = jnp.take(inverse_db, flat(floor_curve).astype(jnp.int32), axis=0)
-        env = jnp.where(flat(floor_decoded)[..., None], env, 0.0)
-        spec = res * jnp.where(flat(floor_used)[..., None], env, 1.0)
-        b = spec.shape[0]
-        pcm = jnp.matmul(
-            spec.reshape(b * num_channels, half),
-            imdct_sharded,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(s, t, num_channels, n)
-        windowed = pcm * window
-        emitted, lengths = jax.vmap(lambda w, nh: ola_scan(w, nh, n))(
-            windowed, n_half
-        )
-        return emitted, lengths
-
-    shard3 = NamedSharding(mesh, P("data", None, None, None))
-    shard2 = NamedSharding(mesh, P("data", None, None))
-    shard1 = NamedSharding(mesh, P("data", None))
-    return jax.jit(
-        step,
-        in_shardings=(shard3, shard3, shard2, shard2, shard1),
         out_shardings=(shard3, shard1),
     )
 
@@ -273,11 +232,16 @@ def dryrun_multichip(n_devices: int) -> None:
         jax.block_until_ready((emitted, lengths))
         assert emitted.shape == (s, t, c, half)
 
-        step_tp = sharded_decode_step_tp(mesh, n, c, couplings=((0, 1),))
-        emitted2, lengths2 = step_tp(residue, curve, decoded, used, n_half)
+        # tensor-parallel layout: same pipeline, IMDCT column-sharded over
+        # 'model' — column sharding keeps each output column's reduction
+        # whole, so dp and dp+tp must agree BITWISE
+        step_tp = sharded_decode_step(mesh, n, c, couplings=((0, 1),), tp=True)
+        emitted2, lengths2 = step_tp(residue, curve, decoded, used, win_sel,
+                                     n_half)
         jax.block_until_ready((emitted2, lengths2))
         assert emitted2.shape == (s, t, c, half)
-    np.testing.assert_allclose(np.asarray(emitted), np.asarray(emitted2), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(emitted), np.asarray(emitted2))
+    np.testing.assert_array_equal(np.asarray(lengths), np.asarray(lengths2))
 
     # The production path: full corpus decode (real golden file, python host
     # front-end, mixed blocksizes, device floors, dense PCM assembly)

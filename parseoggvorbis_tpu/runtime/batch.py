@@ -529,7 +529,8 @@ def decode_corpus(
             for sf in sfs:
                 try:
                     pending = dd.launch_stream_decode(sf, out_i16=out_i16)
-                    pending.prefetch()
+                    if not dd._FUSED_FETCH:
+                        pending.prefetch()
                     out.append((sf, pending))
                 except Exception as exc:
                     if strict:
@@ -547,6 +548,15 @@ def decode_corpus(
         it = iter(pendings)
         launched = [[(sf, next(it)) for sf in sfs] if isinstance(sfs, list)
                     else sfs for sfs in parsed]
+
+    # One fused device->host transfer for the whole corpus (per dtype):
+    # on high-RTT links per-stream reads serialize into round-trip latency.
+    if dd._FUSED_FETCH and mesh is None:
+        all_pendings = [entry[1] for per_blob in launched
+                        if isinstance(per_blob, list)
+                        for entry in per_blob if isinstance(entry, tuple)]
+        if len(all_pendings) > 1:
+            dd.fuse_pending_fetch(all_pendings)
 
     def finish(item):
         blob_i, stream_i, entry = item

@@ -56,6 +56,9 @@ def setup_jax() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+    from ..utils.malloc_tuning import tune_arena
+
+    tune_arena()  # first-touch page faults are ~1000x on microVM hosts
     _jax_configured = True
 
 
@@ -438,6 +441,87 @@ class _GroupResult:
                 TRANSFER_STATS.event("fetch", t0, time.perf_counter(),
                                      getattr(self.pcm, "nbytes", 0))
             return self._host
+
+
+@jax.jit
+def _concat_flat(xs):
+    """Device-side fuse: flatten + concatenate many PCM buffers into one."""
+    return jnp.concatenate([x.reshape(-1) for x in xs])
+
+
+def fuse_pending_fetch(pendings) -> None:
+    """Fetch ALL pendings' PCM over the link as ONE transfer per dtype.
+
+    On high-RTT links (the tunneled bench host measures 30-90 ms per
+    round trip) per-stream fetches serialize into pure latency: 13 streams
+    x RTT dwarfs the actual byte time.  This fuses every pending device
+    buffer into a single flat device array per dtype (one cheap on-device
+    concat dispatch, HBM-bandwidth bound) and performs ONE blocking
+    device->host read, then splits host-side and populates each group's
+    cached host result — after this, each ``pending.fetch()`` is a local
+    numpy slice.
+
+    Skips FailedPending (error surfaces at its fetch) and non-jax arrays.
+    Chunked pendings contribute each chunk's buffer.  Safe to call
+    concurrently with fetch(): population happens under each group's lock.
+    """
+    import time
+
+    groups = []
+    seen = set()
+
+    def _collect(p):
+        if isinstance(p, FailedPending) or p is None:
+            return
+        if isinstance(p, _ChunkedPending):
+            for f in p.futures:
+                if f.exception() is None:
+                    _collect(f.result())
+            return
+        if isinstance(p, _MultiPending):
+            for sub in p.pendings:
+                _collect(sub)
+            return
+        g = p.group if isinstance(p, PendingDecode) else None
+        if g is not None and id(g) not in seen and g._host is None:
+            seen.add(id(g))
+            groups.append(g)
+
+    for p in pendings:
+        try:
+            _collect(p)
+        except Exception:
+            pass  # a failed chunk future: surfaces at that pending's fetch
+
+    by_dtype = {}
+    for g in groups:
+        if not isinstance(g.pcm, jax.Array):
+            continue  # tests / host fallbacks fetch individually
+        try:
+            if len(g.pcm.devices()) != 1:
+                continue  # mesh-sharded outputs: concat would force gathers
+        except Exception:
+            continue
+        by_dtype.setdefault(np.dtype(g.pcm.dtype).str, []).append(g)
+
+    for _, gs in by_dtype.items():
+        if len(gs) == 1:
+            gs[0].prefetch()
+            continue
+        t0 = time.perf_counter()
+        fused = _concat_flat([g.pcm for g in gs])
+        TRANSFER_STATS.event("dispatch", t0, time.perf_counter(), 0)
+        t0 = time.perf_counter()
+        flat = np.asarray(fused)
+        TRANSFER_STATS.event("fetch", t0, time.perf_counter(), flat.nbytes)
+        off = 0
+        for g in gs:
+            size = int(np.prod(g.pcm.shape))
+            host = flat[off : off + size].reshape(g.pcm.shape)
+            off += size
+            with g._lock:
+                if g._host is None:
+                    g._host = host
 
 
 class FailedPending:
@@ -1010,6 +1094,17 @@ def _launch_one(sf, out_i16: bool) -> PendingDecode:
     return PendingDecode(pcm, n_total)
 
 
+# Corpus fetch fusion: collect every stream's device PCM into ONE flat
+# device buffer (per dtype) and read it back in a single transfer, instead
+# of one blocking read per dispatch.  On high-RTT links the per-stream
+# reads serialize into pure round-trip latency (the r03 bench recorded 13
+# fetches whose span ~= the whole post-dispatch wall); the fused read pays
+# one RTT + the byte time.  Individual prefetch (copy_to_host_async per
+# buffer) is suppressed when fusion is on — those would transfer the same
+# bytes a second time.
+_FUSED_FETCH = os.environ.get("POV_FUSED_FETCH", "1") != "0"
+
+
 # Streams per stacked dispatch.  With asynchronous dispatch plus
 # copy_to_host_async group prefetch, per-stream dispatches (GROUP_S=1)
 # pipeline best on latency-bound links: each stream's output transfer
@@ -1110,9 +1205,10 @@ def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
                 pendings[i] = PendingDecode(
                     pcm, prepared[i][4], group=group, group_idx=gi,
                 )
-    for p in pendings:
-        if p is not None:
-            p.prefetch()
+    if not _FUSED_FETCH:
+        for p in pendings:
+            if p is not None:
+                p.prefetch()
     return pendings
 
 
@@ -1172,7 +1268,16 @@ def _chunk_views(sf):
 
 
 def _mesh_consts(consts, mesh):
-    """Device constants replicated over every device of *mesh*.
+    """Device constants placed on every device of *mesh*.
+
+    Windows/floors/tables are replicated.  The IMDCT cosine matrix — the
+    largest constant and the FLOP-dominant operand — is COLUMN-SHARDED over
+    the mesh's 'model' axis when one exists (P(None, 'model')): XLA then
+    partitions each stream's [B*C, half] @ [half, n] matmul by output
+    columns (tensor parallelism; the K reduction stays whole per column, so
+    results are bitwise identical to the replicated layout) and inserts one
+    output all-gather on the ICI before windowing/OLA.  Combined with the
+    stream axis sharded over 'data' this is the full 2D dp x tp decode.
 
     Hermetic: nothing touches the default backend (constants are built
     under out_shardings or device_put directly onto the mesh), so a
@@ -1181,11 +1286,13 @@ def _mesh_consts(consts, mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
+    tp = mesh.shape.get("model", 1) > 1
+    mat_sh = NamedSharding(mesh, P(None, "model")) if tp else rep
     imdct_ms, window_stacks, floor_consts = [], [], []
     for n, wkey, windows, fconst_keys in consts:
         imdct_ms.append(None if n is None else _CONSTS.cached(
-            ("mesh-imdct", mesh, n),
-            lambda n=n: _build_imdct_on_device(n, sharding=rep)))
+            ("mesh-imdct", mesh, n, tp),
+            lambda n=n: _build_imdct_on_device(n, sharding=mat_sh)))
         window_stacks.append(_CONSTS.cached(
             ("mesh-win", mesh) + wkey,
             lambda w=windows: jax.device_put(w, rep)))

@@ -89,3 +89,27 @@ def test_grouping_respects_device_constant_identity(mesh, monkeypatch):
     outs = decode_corpus([a, b] * 2, mesh=mesh)
     for i, o in enumerate(outs):
         np.testing.assert_array_equal(o.pcm, ref[i % 2].pcm)
+
+
+def test_mesh_tp_corpus_decode_bitwise_equals_dp(mesh):
+    """VERDICT r3 item 5: tensor parallelism in the PRODUCTION mesh path.
+
+    A ('data','model')=(4,2) mesh column-shards every IMDCT matrix over
+    'model' (device_decoder._mesh_consts); column sharding keeps each
+    output column's reduction whole, so dp+tp must equal dp-only BITWISE —
+    on real golden files and on a synthetic 8192-blocksize stream (the
+    large-frame regime tp exists for; no encoder emits it).
+    """
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tests", "tools"))
+    from make_synth_vorbis import make_8192_stream
+
+    blobs = [open(MONO_OGG, "rb").read(), open(STEREO_OGG, "rb").read(),
+             make_8192_stream(seed=3, num_frames=6)]
+    mesh_tp = make_mesh(8, model=2)
+    ref = decode_corpus(blobs, mesh=mesh)      # dp-only (model=1)
+    got = decode_corpus(blobs, mesh=mesh_tp)   # dp x tp
+    assert [g.num_samples for g in got] == [r.num_samples for r in ref]
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(g.pcm, r.pcm)
