@@ -282,6 +282,12 @@ class StreamSig:
     # overlap-add emissions into an exactly-positioned [C, out_n] PCM
     # buffer so no padding rows ever cross the host link
     out_n: int = 0
+    # dense-assembly block size: every frame's emission count (except a
+    # granule-truncated final frame) is a multiple of min(n)/4, so the
+    # gather moves [1, C, blk] slices instead of single elements (TPU
+    # element gathers are ~100x below memory bandwidth).  0 = irregular
+    # emissions (rare mid-stream truncation) -> element-gather fallback.
+    dense_blk: int = 0
 
 
 def _decode_stream_impl(
@@ -294,7 +300,7 @@ def _decode_stream_impl(
     floor_consts: Sequence[tuple],  # per mode: per channel (xs_sorted, sorted_idx, pmap, multiplier)
     sig: StreamSig,
 ):
-    from .jax_backend import frame_pipeline, ola_scan, render_floor_curve_int
+    from .jax_backend import frame_pipeline, render_floor_curve_int
 
     c = sig.channels
     bs1 = sig.bs1
@@ -310,11 +316,18 @@ def _decode_stream_impl(
                 residue = _decode_slab_codes(ms.res_enc, codes, res_dict,
                                              w_cols)
             else:
+                from .jax_backend import table_lookup_f32
+
                 if ms.res_enc == "p4":
                     codes = _unpack4(codes, w_cols)
                 elif ms.res_enc == "p6":
                     codes = _unpack6(codes, w_cols)
-                residue = jnp.take(res_dict, codes.astype(jnp.int32), axis=0)
+                codes = codes.astype(jnp.int32)
+                if res_dict.shape[0] <= 4096:
+                    # one-hot matmul beats the element gather by ~10x
+                    residue = table_lookup_f32(codes, res_dict)
+                else:
+                    residue = jnp.take(res_dict, codes, axis=0)
         if ms.env_f32:
             curve = floor_data[:, :, :w_cols]
         elif ms.floor_pts:
@@ -348,28 +361,53 @@ def _decode_stream_impl(
             w = jnp.pad(w, ((0, 0), (0, 0), (0, bs1 - ms.n)))
         z = z.at[ids].set(w)
     z = z[: sig.t_pad]
-    # ola_scan measured FASTER than the vectorized jax_backend.ola_emit on
-    # the v5e (0.04 vs 0.37 ms at T=2048: XLA compiles the scan to the
-    # HBM-write bound; the stencil's take_along_axis gathers cost more)
-    emitted, _ = ola_scan(z, n_half, bs1)
+    # Static-slice OLA: all per-frame offsets come from the <=2 legal
+    # blocksizes, so no gather/scan is needed (ola_emit_static docstring
+    # has the honest v5e numbers; the scan costs ~19us/frame of pure
+    # sequential latency, the static formulation is bandwidth-bound).
+    from .jax_backend import ola_emit_static
 
-    # Dense PCM assembly on device: gather each output sample from its
-    # (frame, offset) emission position.  The host link then carries
-    # exactly the audio samples (bucket-padded), never the [T, C, bs1/2]
-    # padded emission rows — decisive for short-block-heavy streams where
-    # rows are mostly padding.  ``nums`` is host-computed from the frame
-    # geometry + Ogg granule truncation (reference: forwardReadyPcm,
-    # ParseOggVorbis.hpp:1019-1059), so the gather map needs no data-
-    # dependent shapes.
-    cum = jnp.cumsum(nums)
-    excl = cum - nums
-    s = jnp.arange(sig.out_n, dtype=jnp.int32)
-    f = jnp.searchsorted(cum, s, side="right").astype(jnp.int32)
-    f_c = jnp.minimum(f, sig.t_pad - 1)
-    pos = s - excl[f_c]
-    dense = emitted[f_c, :, pos]                # [out_n, C]
-    dense = jnp.where((s < cum[-1])[:, None], dense, 0.0)
-    pcm = dense.T                               # [C, out_n]
+    halves = tuple(sorted({ms.n // 2 for ms in sig.modes}))
+    emitted, _ = ola_emit_static(z, n_half, bs1, halves)
+
+    # Dense PCM assembly on device: gather each output sample's emission
+    # region so the host link carries exactly the audio samples
+    # (bucket-padded), never the [T, C, bs1/2] padded emission rows.
+    # ``nums`` is host-computed from the frame geometry + Ogg granule
+    # truncation (reference: forwardReadyPcm, ParseOggVorbis.hpp:1019-1059),
+    # so the gather map needs no data-dependent shapes.  Emission counts
+    # are multiples of sig.dense_blk (= min(n)/4), so the gather moves
+    # [1, C, blk] slices — TPU element gathers are ~100x slower.
+    if sig.dense_blk:
+        blk = sig.dense_blk
+        nums_b = -(-nums // blk)
+        cumb = jnp.cumsum(nums_b)
+        exclb = cumb - nums_b
+        nb = sig.out_n // blk
+        sb = jnp.arange(nb, dtype=jnp.int32)
+        fb = jnp.searchsorted(cumb, sb, side="right").astype(jnp.int32)
+        fb_c = jnp.minimum(fb, sig.t_pad - 1)
+        pos = (sb - exclb[fb_c]) * blk
+        starts = jnp.stack([fb_c, pos], axis=1)             # [nb, 2]
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0,),
+            start_index_map=(0, 2))
+        g = jax.lax.gather(
+            emitted, starts, dn, slice_sizes=(1, sig.channels, blk),
+            indices_are_sorted=True,
+            mode=jax.lax.GatherScatterMode.CLIP)            # [nb, C, blk]
+        g = jnp.where((sb < cumb[-1])[:, None, None], g, 0.0)
+        pcm = jnp.transpose(g, (1, 0, 2)).reshape(sig.channels, sig.out_n)
+    else:
+        cum = jnp.cumsum(nums)
+        excl = cum - nums
+        s = jnp.arange(sig.out_n, dtype=jnp.int32)
+        f = jnp.searchsorted(cum, s, side="right").astype(jnp.int32)
+        f_c = jnp.minimum(f, sig.t_pad - 1)
+        pos = s - excl[f_c]
+        dense = emitted[f_c, :, pos]                # [out_n, C]
+        dense = jnp.where((s < cum[-1])[:, None], dense, 0.0)
+        pcm = dense.T                               # [C, out_n]
     if sig.out_i16:
         pcm = jnp.clip(
             jnp.round(pcm * 32767.0), -32768.0, 32767.0
@@ -664,15 +702,38 @@ _SLAB_UNPACKERS = {"g4": (_unpack4, 4), "g6": (_unpack6, 6),
 
 def _decode_slab_codes(enc: str, codes: jnp.ndarray, res_dict: jnp.ndarray,
                        w_cols: int) -> jnp.ndarray:
-    """Per-slab-dictionary decode: unpack w-bit codes, offset each row into
-    its slab's dictionary, gather."""
+    """Per-slab-dictionary decode: unpack w-bit codes, then decode each
+    slab's codes against its dictionary as a batched one-hot matmul.
+
+    One-hot (jax_backend.table_lookup_f32 rationale) instead of a gather:
+    TPU element gathers over millions of indices run far below memory
+    bandwidth; the batched matmul rides the MXU and is bit-exact (products
+    are exactly 1.0*v / 0.0*v).  Rows are grouped by slab (row b reads dict
+    slab b//_DICT_SLAB); the batch axis is padded up to a slab multiple.
+    On the CPU backend the one-hot would be materialized (GBs), so the
+    element gather is kept there (jax_backend.use_onehot_lookup).
+    """
+    from .jax_backend import _HIGHEST, use_onehot_lookup
+
     unpack, w = _SLAB_UNPACKERS[enc]
     if unpack is not None:
         codes = unpack(codes, w_cols)
     codes = codes.astype(jnp.int32)
-    slab = jnp.arange(codes.shape[0], dtype=jnp.int32) // _DICT_SLAB
-    codes = codes + (slab * (1 << w))[:, None, None]
-    return jnp.take(res_dict, codes, axis=0)
+    if not use_onehot_lookup():
+        slab = jnp.arange(codes.shape[0], dtype=jnp.int32) // _DICT_SLAB
+        codes = codes + (slab * (1 << w))[:, None, None]
+        return jnp.take(res_dict, codes, axis=0)
+    b, c, k = codes.shape
+    nslabs = -(-b // _DICT_SLAB)
+    pad_rows = nslabs * _DICT_SLAB - b
+    if pad_rows:
+        codes = jnp.pad(codes, ((0, pad_rows), (0, 0), (0, 0)))
+    dict_w = 1 << w
+    dicts = res_dict.reshape(-1, dict_w)[:nslabs]          # [S, W]
+    oh = jax.nn.one_hot(codes.reshape(nslabs, _DICT_SLAB * c * k), dict_w,
+                        dtype=jnp.float32)                 # [S, P, W]
+    out = jnp.einsum("spw,sw->sp", oh, dicts, precision=_HIGHEST)
+    return out.reshape(nslabs * _DICT_SLAB, c, k)[:b]
 
 
 def _encode_residue(residue: np.ndarray):
@@ -917,9 +978,18 @@ def _prepare_stream(sf, out_i16: bool):
     n_total = int(nums_real.sum())
     out_n = max(_OUT_BUCKET, -(-n_total // _OUT_BUCKET) * _OUT_BUCKET)
 
+    # dense-assembly block: emissions are multiples of min(n)/4 (power-of-
+    # two blocksizes) except a granule-truncated FINAL frame; mid-stream
+    # truncation (rare, reference-tolerated) falls back to element gather.
+    # A zero-audio-frame stream has no modes in play: blk=0 (fallback).
+    blk = min((sf.modes[m].blocksize for m in mode_ids), default=0) // 4
+    nz = np.nonzero(nums_real)[0]
+    regular = blk > 0 and (
+        len(nz) == 0 or not np.any(nums_real[: nz[-1]] % blk))
     sig = StreamSig(
         channels=c, bs1=sf.blocksize1, t_pad=t_pad, out_i16=out_i16,
         modes=tuple(mode_sigs), out_n=out_n,
+        dense_blk=blk if regular else 0,
     )
     return sig, tuple(mode_args), n_half, nums, n_total, consts
 

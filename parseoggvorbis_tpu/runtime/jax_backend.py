@@ -37,6 +37,45 @@ import jax.numpy as jnp
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def use_onehot_lookup() -> bool:
+    """Whether table lookups should ride the MXU as one-hot matmuls.
+
+    TPU: yes — XLA fuses the one-hot (an eq-broadcast) into the matmul
+    operand read, so nothing is materialized and the MXU replaces an
+    element gather that runs ~100x below memory bandwidth.  CPU: no — XLA
+    materializes the [N, W] one-hot (GBs at corpus scale, measured 18 GB
+    RSS in the test suite) and the matmul costs W× the gather's FLOPs.
+    ``POV_FORCE_ONEHOT=1`` forces the MXU formulation so CI (CPU backend)
+    can cover it on small shapes.
+    """
+    import os
+
+    if os.environ.get("POV_FORCE_ONEHOT") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def table_lookup_f32(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """Bit-exact table lookup: one-hot matmul (MXU) on TPU, gather on CPU.
+
+    TPU element gathers run orders of magnitude below memory bandwidth
+    (measured on the v5e: an 8.4M-element take from a 256-entry table costs
+    70 ms; the one-hot matmul 6 ms).  Bit-exactness holds because every
+    product is exactly 1.0*v or 0.0*v and the sum adds one nonzero term;
+    HIGHEST precision keeps the f32 table values unrounded on the MXU.
+    The two formulations are therefore bit-identical (asserted in
+    tests/test_jax_backend.py), and the CPU backend keeps the plain gather
+    (see use_onehot_lookup for why).
+
+    ``idx`` must be in range (guaranteed by construction here: u8 codes /
+    clipped curves); out-of-range one-hot rows are all-zero -> result 0.
+    """
+    if not use_onehot_lookup():
+        return jnp.take(table.astype(jnp.float32), idx, axis=0)
+    oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
+    return jnp.matmul(oh, table.astype(jnp.float32), precision=_HIGHEST)
+
+
 def _coupling_step(mag: jnp.ndarray, ang: jnp.ndarray):
     """Vorbis magnitude/angle rectangularization (spec 4.3.5), elementwise."""
     new_m = jnp.where(mag > 0, jnp.where(ang > 0, mag, mag + ang),
@@ -151,7 +190,7 @@ def frame_pipeline(
     if env_f32:
         envelope = floor_curve.astype(jnp.float32)
     else:
-        envelope = jnp.take(inverse_db, floor_curve.astype(jnp.int32), axis=0)
+        envelope = table_lookup_f32(floor_curve.astype(jnp.int32), inverse_db)
     envelope = jnp.where(floor_decoded[..., None], envelope, 0.0)
     spectrum = residue * jnp.where(floor_used[..., None], envelope, 1.0)
 
@@ -185,12 +224,13 @@ def ola_emit(
         for s < prev_quarter + quarter_t   (frame 0 emits nothing)
 
     Bit-identical to ola_scan (pure adds/gathers, same operand order).
-    MEASURED NEGATIVE RESULT, kept as documentation: on the v5e this runs
-    0.37 ms vs the scan's 0.04 ms at T=2048 — XLA already compiles the
-    scan to the HBM-write bound (16MB output at ~400GB/s), while the
-    stencil pays for two full-size take_along_axis gathers.  The scan is
-    NOT a sequential bottleneck; production uses ola_scan, and the
-    'Pallas would remove scan overhead' hypothesis is dead (ROADMAP).
+    HISTORY: r3 measured this "slower than the scan" through a no-op
+    ``block_until_ready`` (the tunneled backend returns before execution
+    finishes) — honest r4 timing with a value fetch shows scan 158 ms /
+    this stencil 199 ms / ola_emit_static ~2 ms at T=8192 on the v5e:
+    per-element gathers and sequential scans are both pathological.
+    Production uses ola_emit_static; this and ola_scan remain as oracles
+    for its bit-exactness tests.
     """
     maxh = max_n // 2
     t = windowed.shape[0]
@@ -216,6 +256,71 @@ def ola_emit(
     tail_valid = s_idx[None, :] < prev_half[:, None]
     prev_tail = jnp.take_along_axis(
         prev_w, jnp.clip(tail_idx, 0, max_n - 1)[:, None, :], axis=2)
+    prev_tail = jnp.where(tail_valid[:, None, :], prev_tail, 0.0)
+
+    emitted = jnp.where(s_idx[None, None, :] < lengths[:, None, None],
+                        prev_tail + cur, 0.0)
+    return emitted, lengths
+
+
+def ola_emit_static(
+    windowed: jnp.ndarray,   # [T, C, max_n] windowed frames, left-aligned pad
+    n_half: jnp.ndarray,     # [T] int32 — half window size per frame
+    max_n: int,
+    halves: Tuple[int, ...],  # static: the distinct n/2 values (1 or 2)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Overlap-add emission, vectorized with STATIC slices only.
+
+    Same emission as ola_scan/ola_emit (bit-identical: same two addends in
+    the same order, same masks), but exploits that ``n_half`` takes at most
+    two values, so the per-frame gather offsets
+
+        emitted[t, s] = w[t-1][prev_half + s] + w[t][s + q_t - pq_t]
+
+    come from a tiny static set: prev_half in ``halves`` and
+    d = q_t - pq_t in {0, +/-(q1-q0)}.  Each candidate is one static slice
+    of the (padded) frame buffer; per-frame selection is elementwise
+    ``where``.  No gather instructions at all — the per-element
+    take/take_along_axis formulations measure 50-200x slower on TPU (the
+    r3 'scan is HBM-bound' conclusion came from a no-op block_until_ready;
+    honest timing: scan 158 ms, stencil 199 ms, this ~2 ms at T=8192).
+    """
+    maxh = max_n // 2
+    t, c = windowed.shape[0], windowed.shape[1]
+    s_idx = jnp.arange(maxh)
+    half = n_half.astype(jnp.int32)
+    prev_half = jnp.concatenate([jnp.zeros(1, jnp.int32), half[:-1]])
+    quarter = half // 2
+    prev_quarter = prev_half // 2
+    lengths = jnp.where(prev_half > 0, prev_quarter + quarter, 0)  # [T]
+
+    qs = sorted(h // 2 for h in set(halves))
+    d_values = {0}
+    if len(qs) == 2:
+        d_values |= {qs[1] - qs[0], qs[0] - qs[1]}
+
+    # pad the frame axis minor dim so every candidate is an in-bounds slice
+    wp = jnp.pad(windowed, ((0, 0), (0, 0), (maxh, maxh)))
+
+    # current frame's contribution: w[t][s + d], d = q_t - pq_t
+    d_t = quarter - prev_quarter                              # [T]
+    cur = jnp.zeros((t, c, maxh), windowed.dtype)
+    for dv in sorted(d_values):
+        cand = jax.lax.slice_in_dim(wp, maxh + dv, maxh + dv + maxh, axis=2)
+        cur = jnp.where((d_t == dv)[:, None, None], cand, cur)
+    cur_idx = s_idx[None, :] + d_t[:, None]
+    cur_valid = (cur_idx >= 0) & (cur_idx < 2 * half[:, None])
+    cur = jnp.where(cur_valid[:, None, :], cur, 0.0)
+
+    # previous frame's tail: w[t-1][prev_half + s]
+    prev_wp = jnp.concatenate([jnp.zeros_like(wp[:1]), wp[:-1]], axis=0)
+    prev_tail = jnp.zeros((t, c, maxh), windowed.dtype)
+    for ph in sorted(set(halves)):
+        cand = jax.lax.slice_in_dim(prev_wp, maxh + ph, maxh + ph + maxh,
+                                    axis=2)
+        prev_tail = jnp.where((prev_half == ph)[:, None, None], cand,
+                              prev_tail)
+    tail_valid = s_idx[None, :] < prev_half[:, None]
     prev_tail = jnp.where(tail_valid[:, None, :], prev_tail, 0.0)
 
     emitted = jnp.where(s_idx[None, None, :] < lengths[:, None, None],

@@ -73,7 +73,7 @@ class _Batcher(threading.Thread):
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "batched": 0,
                        "errors": 0}
-        self._stop = False
+        self._stopping = False
 
     def _count(self, key: str, delta: int = 1) -> None:
         with self._stats_lock:
@@ -85,7 +85,7 @@ class _Batcher(threading.Thread):
             return dict(self._stats)
 
     def submit(self, p: _Pending) -> None:
-        if self._stop:
+        if self._stopping:
             p.fail("server shutting down")
             return
         self._count("requests")
@@ -94,12 +94,11 @@ class _Batcher(threading.Thread):
         # drain would otherwise sit unanswered until the client timeout.
         # Re-checking after the put means either stop()'s drain sees it,
         # or this fail() does (failing twice is harmless: done is an Event).
-        if self._stop:
+        if self._stopping:
             p.fail("server shutting down")
 
     def stop(self) -> None:
-        self._stop = True
-        self.q.put(None)
+        self._stopping = True
         # fail anything still queued so handlers return promptly instead
         # of blocking out their full wait timeout
         while True:
@@ -109,11 +108,14 @@ class _Batcher(threading.Thread):
                 break
             if p is not None:
                 p.fail("server shutting down")
+        # wake the run loop AFTER the drain (draining first could consume
+        # the sentinel and leave the thread blocked in q.get forever)
+        self.q.put(None)
 
     def run(self) -> None:
         import time
 
-        while not self._stop:
+        while not self._stopping:
             first = self.q.get()
             if first is None:
                 continue

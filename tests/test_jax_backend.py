@@ -206,3 +206,72 @@ def test_ola_emit_bit_equals_ola_scan():
         e2, l2 = ola_emit(jnp.asarray(w), jnp.asarray(halves), bs1)
         np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_ola_emit_static_bit_equals_ola_scan():
+    """The production static-slice OLA must stay bit-identical to the
+    ola_scan oracle on mixed, single-size, and truncation-shaped inputs."""
+    import jax.numpy as jnp
+
+    from parseoggvorbis_tpu.runtime.jax_backend import ola_emit_static, ola_scan
+
+    rng = np.random.RandomState(1)
+    cases = [((128, 1024), 2048), ((1024,), 2048), ((128,), 2048),
+             ((512, 4096), 8192)]
+    for halves_set, bs1 in cases:
+        for _ in range(3):
+            t, c = rng.randint(2, 30), rng.randint(1, 7)
+            halves = rng.choice(list(halves_set), t).astype(np.int32)
+            w = rng.randn(t, c, bs1).astype(np.float32)
+            for i in range(t):
+                w[i, :, 2 * halves[i]:] = 0
+            e1, l1 = ola_scan(jnp.asarray(w), jnp.asarray(halves), bs1)
+            e2, l2 = ola_emit_static(jnp.asarray(w), jnp.asarray(halves),
+                                     bs1, halves_set)
+            np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+            np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_table_lookup_onehot_bit_equals_gather(monkeypatch):
+    """The MXU one-hot formulation (TPU path) must be bit-identical to the
+    element gather (CPU path) for 1-D and 2-D tables."""
+    import jax.numpy as jnp
+
+    from parseoggvorbis_tpu.runtime import jax_backend as jb
+
+    rng = np.random.RandomState(2)
+    for table_shape in [(256,), (181,), (256, 4)]:
+        table = jnp.asarray(rng.randn(*table_shape).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, table_shape[0], (5, 3, 17)))
+        monkeypatch.delenv("POV_FORCE_ONEHOT", raising=False)
+        via_gather = np.asarray(jb.table_lookup_f32(idx, table))
+        monkeypatch.setenv("POV_FORCE_ONEHOT", "1")
+        via_onehot = np.asarray(jb.table_lookup_f32(idx, table))
+        np.testing.assert_array_equal(via_gather, via_onehot)
+        np.testing.assert_array_equal(
+            via_gather, np.asarray(table)[np.asarray(idx)])
+
+
+def test_slab_decode_onehot_bit_equals_gather(monkeypatch):
+    """_decode_slab_codes' batched one-hot einsum (TPU) must match the
+    slab-offset gather (CPU) bitwise, including batch-axis padding."""
+    import jax.numpy as jnp
+
+    from parseoggvorbis_tpu.runtime import device_decoder as dd
+
+    rng = np.random.RandomState(3)
+    w = 8
+    for b in (1, dd._DICT_SLAB, dd._DICT_SLAB + 3, 2 * dd._DICT_SLAB - 1):
+        nslabs = -(-b // dd._DICT_SLAB)
+        res_dict = jnp.asarray(
+            rng.randn(nslabs * (1 << w)).astype(np.float32))
+        # "g8" = no unpack: feed 8-bit codes directly
+        codes = jnp.asarray(
+            rng.randint(0, 1 << w, (b, 2, 24)).astype(np.uint8))
+        monkeypatch.delenv("POV_FORCE_ONEHOT", raising=False)
+        via_gather = np.asarray(
+            dd._decode_slab_codes("g8", codes, res_dict, 24))
+        monkeypatch.setenv("POV_FORCE_ONEHOT", "1")
+        via_onehot = np.asarray(
+            dd._decode_slab_codes("g8", codes, res_dict, 24))
+        np.testing.assert_array_equal(via_gather, via_onehot)

@@ -222,14 +222,14 @@ def test_submit_after_stop_fails_promptly():
     b = _Batcher(max_batch=4, max_wait_ms=10.0)
     # not started: no batcher thread will ever drain the queue, exactly the
     # post-final-drain window the race hits
-    b._stop = True
+    b._stopping = True
     p = _Pending(b"x", "decode", {"fmt": "i16"})
-    b._stop = False
+    b._stopping = False
     b._count("requests")
     b.q.put(p)          # simulates a submit() that passed the first check...
-    b._stop = True      # ...racing with stop()
+    b._stopping = True      # ...racing with stop()
     # re-run only the post-put portion of submit()
-    if b._stop:
+    if b._stopping:
         p.fail("server shutting down")
     assert p.done.wait(timeout=1.0)
     assert p.error is not None
@@ -243,7 +243,7 @@ def test_submit_recheck_covers_stop_race():
 
     def put_then_stop(item):
         orig_put(item)
-        b._stop = True  # stop() wins the race right after the enqueue
+        b._stopping = True  # stop() wins the race right after the enqueue
 
     b.q.put = put_then_stop
     p = _Pending(b"x", "decode", {"fmt": "i16"})

@@ -5,7 +5,22 @@ Runs on whatever accelerator jax sees (TPU in production); prints per-call
 times and realtime-equivalents for the stereo long-block configuration.
 Useful for chasing device-compute regressions independently of the host
 link (the end-to-end bench is bench.py).
+
+SYNC CAVEAT: ``jax.block_until_ready`` is a NO-OP on this environment's
+tunneled backend (it returns before execution finishes) — every timing
+here therefore syncs by fetching a tiny on-device reduction of the result
+instead.  The r3 numbers printed by earlier revisions of this script used
+the broken barrier and are untrustworthy.
 """
+
+
+def _sync(x) -> float:
+    """Honest barrier: fetch a 4-byte reduction of ``x`` (leaves ok)."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(x)
+    return float(sum(jnp.sum(l.astype(jnp.float32)) for l in leaves))
 
 import functools
 import os
@@ -54,13 +69,13 @@ def main():
     outs = {}
     for name, fn in variants.items():
         out = fn(jnp.float32(1.0))
-        jax.block_until_ready(out)
+        _sync(out)
         outs[name] = np.asarray(out)
         # vary the input each call so no layer can cache results
         scales = [jnp.float32(1.0 + i * 1e-6) for i in range(10)]
         t0 = time.time()
         rs = [fn(s) for s in scales]
-        jax.block_until_ready(rs)
+        _sync(rs)
         dt = (time.time() - t0) / len(scales)
         print("%-6s %.4fs/call (%d frames) -> %.0fx realtime-equiv (stereo)"
               % (name, dt, b, b * half / 44100.0 / dt))
@@ -105,11 +120,11 @@ def bench_imdct_crossover():
             x0 = jax.device_put(rng.randn(b, half).astype(np.float32))
             for name, step in (("matmul", mm_step), ("fft", ff_step)):
                 x = step(x0)
-                jax.block_until_ready(x)
+                _sync(x)
                 t0 = time.time()
                 for _ in range(5):
                     x = step(x)  # chained: output feeds the next input
-                jax.block_until_ready(x)
+                _sync(x)
                 dt = (time.time() - t0) / 5
                 print("imdct %-6s n=%-5d b=%-4d %.4fs/call" % (name, n, b, dt))
 
