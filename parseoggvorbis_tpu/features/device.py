@@ -331,7 +331,12 @@ def _decode_residue_device(bsig: _BucketSig, res_arg):
         codes = _unpack4(codes, bsig.res_cols)
     elif bsig.res_enc == "p6":
         codes = _unpack6(codes, bsig.res_cols)
-    return jnp.take(res_dict, codes.astype(jnp.int32), axis=0)
+    # one-hot matmul on TPU, element gather on CPU (bit-identical; TPU
+    # element gathers run ~100x below memory bandwidth — see
+    # jax_backend.table_lookup_f32)
+    from ..runtime.jax_backend import table_lookup_f32
+
+    return table_lookup_f32(codes.astype(jnp.int32), res_dict)
 
 
 # ------------------------------------------------------------- device impl --
@@ -366,7 +371,9 @@ def _rows_floor_bucket(bsig: _BucketSig, ys, flags, consts, table,
             c0 = jnp.full((b, 1), np.int32(1022 + cs.col0_code), jnp.int32)
             zero = jnp.zeros((b, 1), jnp.int32)
         else:
-            vals_f = jnp.take(table, vals, axis=0)
+            from ..runtime.jax_backend import table_lookup_f32
+
+            vals_f = table_lookup_f32(vals, table)
             c0 = jnp.full((b, 1), np.float32(cs.col0), jnp.float32)
             zero = jnp.zeros((b, 1), jnp.float32)
         pieces = []
@@ -452,8 +459,10 @@ def _feat_impl(sig: _FeatSig, bucket_args, bucket_consts, row_src, table,
                 c = render_floor_curve_int(
                     ys_ch, fl_ch, xs_sorted=xs_sorted, sorted_idx=sorted_idx,
                     pmap=pmap, multiplier=cs.mult, x_pos=x_pos)
-                curves.append(jnp.take(table, jnp.clip(c, 0, table.shape[0] - 1),
-                                       axis=0))
+                from ..runtime.jax_backend import table_lookup_f32
+
+                curves.append(table_lookup_f32(
+                    jnp.clip(c, 0, table.shape[0] - 1), table))
             stacked = jnp.stack(curves, axis=1)  # [B, K, L]
             win = jnp.take_along_axis(
                 stacked, jnp.maximum(winner, 0)[:, None, None], axis=1

@@ -108,6 +108,14 @@ def render_floor_curve_int(
     dense 0..half-1 grid (the feature path samples the floor at its xs
     points only); ``pmap`` must then map each position to its sorted
     segment (searchsorted(xs_sorted, x_pos, 'right') - 1).
+
+    TPU: the [B, half] lookups into the tiny [B, P] point arrays (P <= 65)
+    are static where-chains over the point axis instead of gathers — six
+    per-element gathers of ~1M elements each cost ~50 ms/stream on the
+    v5e (element gathers run ~100x below memory bandwidth) while the
+    unrolled selects fuse into one elementwise loop.  CPU keeps the
+    gathers (a 65-deep select chain is slower than scalar gathers there).
+    Both formulations select identical elements, so they are bit-identical.
     """
     p = xs_sorted.shape[0]
     half = pmap.shape[0]
@@ -122,19 +130,47 @@ def render_floor_curve_int(
         [nextflag, jnp.full((nextflag.shape[0], 1), p, jnp.int32)], axis=1
     )
 
-    li = jnp.take(lastflag, pmap, axis=1)                     # [B, half]
-    hi = jnp.take_along_axis(nextflag, li + 1, axis=1)        # [B, half]
-    valid = hi < p
-    hi_c = jnp.minimum(hi, p - 1)
+    if use_onehot_lookup():
+        def sel(data, sidx):
+            # data [B, K], sidx [B|1, half] in [0, K) -> out[b, h] =
+            # data[b, sidx[b, h]] as an unrolled static select chain
+            out = jnp.zeros((data.shape[0], sidx.shape[-1]), data.dtype)
+            for k in range(data.shape[1]):
+                out = jnp.where(sidx == k, data[:, k : k + 1], out)
+            return out
+
+        def sel_const(vec, sidx):
+            # vec [K] trace-time array, sidx [B, half] -> vec[sidx]
+            out = jnp.zeros(sidx.shape, vec.dtype)
+            for k in range(vec.shape[0]):
+                out = jnp.where(sidx == k, vec[k], out)
+            return out
+
+        li = sel(lastflag, pmap[None, :])                     # [B, half]
+        hi = sel(nextflag, li + 1)                            # [B, half]
+        valid = hi < p
+        hi_c = jnp.minimum(hi, p - 1)
+        # XLA gather clamps the (unreachable: point 0 is always flagged)
+        # li = -1 corner to 0; jnp.maximum replicates that exactly
+        li_c = jnp.maximum(li, 0)
+        x0 = sel_const(xs_sorted, li_c)
+        x1 = sel_const(xs_sorted, hi_c)
+        y0 = sel(ys_s, li_c)
+        y1 = sel(ys_s, hi_c)
+    else:
+        li = jnp.take(lastflag, pmap, axis=1)                 # [B, half]
+        hi = jnp.take_along_axis(nextflag, li + 1, axis=1)    # [B, half]
+        valid = hi < p
+        hi_c = jnp.minimum(hi, p - 1)
+        x0 = xs_sorted[li]
+        x1 = xs_sorted[hi_c]
+        y0 = jnp.take_along_axis(ys_s, li, axis=1)
+        y1 = jnp.take_along_axis(ys_s, hi_c, axis=1)
 
     if x_pos is None:
         x = jnp.arange(half, dtype=jnp.int32)[None, :]
     else:
         x = x_pos.astype(jnp.int32)[None, :]
-    x0 = xs_sorted[li]
-    x1 = xs_sorted[hi_c]
-    y0 = jnp.take_along_axis(ys_s, li, axis=1)
-    y1 = jnp.take_along_axis(ys_s, hi_c, axis=1)
     dy = y1 - y0
     adx = jnp.maximum(x1 - x0, 1)
     off = (jnp.abs(dy) * (x - x0)) // adx

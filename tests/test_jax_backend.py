@@ -189,8 +189,8 @@ def test_stacked_group_path_equals_per_stream(stereo_ogg, mono_ogg, monkeypatch)
 
 
 def test_ola_emit_bit_equals_ola_scan():
-    """The vectorized OLA stencil (a documented negative result — the scan
-    is faster on the v5e) must stay bit-identical to ola_scan."""
+    """The vectorized OLA stencil (kept as an oracle; production uses
+    ola_emit_static) must stay bit-identical to ola_scan."""
     import jax.numpy as jnp
 
     from parseoggvorbis_tpu.runtime.jax_backend import ola_emit, ola_scan
@@ -275,3 +275,37 @@ def test_slab_decode_onehot_bit_equals_gather(monkeypatch):
         via_onehot = np.asarray(
             dd._decode_slab_codes("g8", codes, res_dict, 24))
         np.testing.assert_array_equal(via_gather, via_onehot)
+
+
+def test_floor_render_select_chain_bit_equals_gather(monkeypatch):
+    """render_floor_curve_int's TPU select-chain formulation must stay
+    bit-identical to the gather formulation (CPU path)."""
+    import jax.numpy as jnp
+
+    from parseoggvorbis_tpu.runtime.jax_backend import render_floor_curve_int
+
+    rng = np.random.RandomState(7)
+    for _ in range(4):
+        p = rng.randint(4, 66)
+        half = int(rng.choice([128, 1024]))
+        xs = np.sort(
+            rng.choice(np.arange(0, 4096), p, replace=False)).astype(np.int32)
+        xs[0] = 0
+        b = 23
+        ys = rng.randint(0, 256, (b, p)).astype(np.uint8)
+        flags = (rng.rand(b, p) < 0.6).astype(np.uint8)
+        flags[:, 0] = 1
+        flags[:, 1] = 1
+        pmap = np.clip(
+            np.searchsorted(xs, np.arange(half), side="right") - 1,
+            0, p - 1).astype(np.int32)
+        kw = dict(xs_sorted=jnp.asarray(xs),
+                  sorted_idx=jnp.asarray(np.arange(p, dtype=np.int32)),
+                  pmap=jnp.asarray(pmap), multiplier=int(rng.randint(1, 5)))
+        monkeypatch.delenv("POV_FORCE_ONEHOT", raising=False)
+        via_gather = np.asarray(render_floor_curve_int(
+            jnp.asarray(ys), jnp.asarray(flags), **kw))
+        monkeypatch.setenv("POV_FORCE_ONEHOT", "1")
+        via_chain = np.asarray(render_floor_curve_int(
+            jnp.asarray(ys), jnp.asarray(flags), **kw))
+        np.testing.assert_array_equal(via_gather, via_chain)
