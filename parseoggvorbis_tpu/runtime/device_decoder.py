@@ -1175,15 +1175,15 @@ def _launch_one(sf, out_i16: bool) -> PendingDecode:
 _FUSED_FETCH = os.environ.get("POV_FUSED_FETCH", "1") != "0"
 
 
-# Streams per stacked dispatch.  With asynchronous dispatch plus
-# copy_to_host_async group prefetch, per-stream dispatches (GROUP_S=1)
-# pipeline best on latency-bound links: each stream's output transfer
-# starts the moment its own compute finishes, and host->device, compute,
-# and device->host of different streams overlap (measured 88x vs 50x
-# realtime for stacked 16-groups on the tunneled v5e).  Stacked vmapped
-# dispatch (>1) remains available for dense local links where per-call
-# overhead dominates.
-_GROUP_S = int(os.environ.get("POV_GROUP_STREAMS", "1"))
+# Streams per stacked dispatch.  Default chosen from the recorded in-run
+# sweeps (bench.py `group_sweep`): with the fused single-fetch corpus read
+# (r4), stacked 16-groups win the p50 decisively — fewer execute RPCs
+# means less exposure to the tunnel's stall lottery — at a modest best-of
+# cost (r4 sweep: group_16 best 112x / p50 103x vs group_1 best 131x /
+# p50 68x).  Users get p50, so 16 is the default; per-stream dispatch
+# (=1) remains selectable for links where fine-grained transfer overlap
+# beats RPC count (it held the best-of record pre-fused-fetch).
+_GROUP_S = int(os.environ.get("POV_GROUP_STREAMS", "16"))
 
 
 def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
