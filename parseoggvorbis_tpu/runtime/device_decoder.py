@@ -502,6 +502,12 @@ def fuse_pending_fetch(pendings) -> None:
     Skips FailedPending (error surfaces at its fetch) and non-jax arrays.
     Chunked pendings contribute each chunk's buffer.  Safe to call
     concurrently with fetch(): population happens under each group's lock.
+
+    ``POV_FETCH_WAVES`` (default 2) splits the read into that many
+    launch-ordered waves fetched concurrently: the first wave's device
+    buffers are ready while later dispatches are still transferring or
+    computing, so its device->host read overlaps them instead of waiting
+    for the LAST stream.  1 restores the single tail fetch.
     """
     import time
 
@@ -531,35 +537,58 @@ def fuse_pending_fetch(pendings) -> None:
         except Exception:
             pass  # a failed chunk future: surfaces at that pending's fetch
 
-    by_dtype = {}
+    fusable = []
     for g in groups:
         if not isinstance(g.pcm, jax.Array):
-            continue  # tests / host fallbacks fetch individually
+            g.prefetch()  # tests / host fallbacks fetch individually
+            continue
         try:
             if len(g.pcm.devices()) != 1:
                 continue  # mesh-sharded outputs: concat would force gathers
         except Exception:
             continue
-        by_dtype.setdefault(np.dtype(g.pcm.dtype).str, []).append(g)
+        fusable.append(g)
 
-    for _, gs in by_dtype.items():
-        if len(gs) == 1:
-            gs[0].prefetch()
-            continue
-        t0 = time.perf_counter()
-        fused = _concat_flat([g.pcm for g in gs])
-        TRANSFER_STATS.event("dispatch", t0, time.perf_counter(), 0)
-        t0 = time.perf_counter()
-        flat = np.asarray(fused)
-        TRANSFER_STATS.event("fetch", t0, time.perf_counter(), flat.nbytes)
-        off = 0
-        for g in gs:
-            size = int(np.prod(g.pcm.shape))
-            host = flat[off : off + size].reshape(g.pcm.shape)
-            off += size
-            with g._lock:
-                if g._host is None:
-                    g._host = host
+    def _fuse(wave):
+        by_dtype = {}
+        for g in wave:
+            by_dtype.setdefault(np.dtype(g.pcm.dtype).str, []).append(g)
+        for _, gs in by_dtype.items():
+            if len(gs) == 1:
+                gs[0].prefetch()
+                continue
+            t0 = time.perf_counter()
+            fused = _concat_flat([g.pcm for g in gs])
+            TRANSFER_STATS.event("dispatch", t0, time.perf_counter(), 0)
+            t0 = time.perf_counter()
+            flat = np.asarray(fused)
+            TRANSFER_STATS.event("fetch", t0, time.perf_counter(), flat.nbytes)
+            off = 0
+            for g in gs:
+                size = int(np.prod(g.pcm.shape))
+                host = flat[off : off + size].reshape(g.pcm.shape)
+                off += size
+                with g._lock:
+                    if g._host is None:
+                        g._host = host
+
+    waves = max(1, _FETCH_WAVES)
+    if waves > 1 and len(fusable) > 1:
+        import threading
+
+        # contiguous launch-ordered waves: earlier groups finish compute
+        # first, so their reads run while later groups still transfer
+        per = -(-len(fusable) // waves)
+        chunks = [fusable[i : i + per] for i in range(0, len(fusable), per)]
+        threads = [threading.Thread(target=_fuse, args=(ch,), daemon=True)
+                   for ch in chunks[:-1]]
+        for t in threads:
+            t.start()
+        _fuse(chunks[-1])
+        for t in threads:
+            t.join()
+    else:
+        _fuse(fusable)
 
 
 class FailedPending:
@@ -1173,6 +1202,12 @@ def _launch_one(sf, out_i16: bool) -> PendingDecode:
 # buffer) is suppressed when fusion is on — those would transfer the same
 # bytes a second time.
 _FUSED_FETCH = os.environ.get("POV_FUSED_FETCH", "1") != "0"
+# Concurrent fused-fetch waves (see fuse_pending_fetch).  MEASURED
+# NEGATIVE on the tunneled link (r4 A/B, 5 repeats each): waves=2 best
+# 73x / waves=3 120x vs waves=1 116-120x — concurrent reads contend for
+# the same TCP path instead of overlapping, so the single tail fetch
+# stays the default.  The knob remains for full-duplex local links.
+_FETCH_WAVES = int(os.environ.get("POV_FETCH_WAVES", "1"))
 
 
 # Streams per stacked dispatch.  Default chosen from the recorded in-run
