@@ -309,3 +309,22 @@ def test_floor_render_select_chain_bit_equals_gather(monkeypatch):
         via_chain = np.asarray(render_floor_curve_int(
             jnp.asarray(ys), jnp.asarray(flags), **kw))
         np.testing.assert_array_equal(via_gather, via_chain)
+
+
+def test_dense_scatter_assembly_bit_equals_gather(stereo_ogg, mono_ogg,
+                                                  monkeypatch):
+    """The default scatter-add dense PCM assembly must be bit-identical to
+    the blocked-gather formulation (POV_DENSE_GATHER=1) on real streams."""
+    from parseoggvorbis_tpu.runtime import device_decoder as dd
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
+
+    blobs = [open(stereo_ogg, "rb").read(), open(mono_ogg, "rb").read()]
+    monkeypatch.setattr(dd, "_DENSE_GATHER", False)
+    dd._get_stream_fn.cache_clear()
+    via_scatter = decode_corpus(blobs, out_i16=True)
+    monkeypatch.setattr(dd, "_DENSE_GATHER", True)
+    dd._get_stream_fn.cache_clear()
+    via_gather = decode_corpus(blobs, out_i16=True)
+    dd._get_stream_fn.cache_clear()
+    for a, b in zip(via_scatter, via_gather):
+        np.testing.assert_array_equal(a.pcm, b.pcm)
