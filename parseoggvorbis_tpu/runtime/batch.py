@@ -540,14 +540,34 @@ def decode_corpus(
 
         launched = run(parse_and_launch, list(blobs))
     else:
-        # Stacked-group flow (POV_GROUP_STREAMS>1): same-signature streams
-        # share vmapped dispatches; best on dense local links.
-        parsed = run(safe_parse, list(blobs))
-        flat = [sf for sfs in parsed if isinstance(sfs, list) for sf in sfs]
-        pendings = dd.launch_corpus_decode(flat, out_i16=out_i16)
-        it = iter(pendings)
-        launched = [[(sf, next(it)) for sf in sfs] if isinstance(sfs, list)
-                    else sfs for sfs in parsed]
+        # Stacked-group flow (POV_GROUP_STREAMS>1, the default): same-
+        # signature streams share vmapped dispatches.  The launcher is fed
+        # incrementally as each blob's parse completes, so a group's
+        # host->device transfer and device compute overlap the remaining
+        # host symbol pass (~0.5 s serial for the bench corpus) instead of
+        # waiting for the whole corpus to parse.
+        launcher = dd.CorpusLauncher(out_i16=out_i16)
+        items = list(blobs)
+        slots: List = [None] * len(items)
+
+        def parse_and_feed(pos_blob):
+            pos, b = pos_blob
+            sfs = safe_parse(b)
+            if isinstance(sfs, list):
+                # launcher.add is not thread-safe by design (dispatch order
+                # = grouping determinism); serialize adds across the pool
+                with _launch_lock:
+                    slots[pos] = [(sf, launcher.add(sf)) for sf in sfs]
+            else:
+                slots[pos] = sfs
+
+        import threading
+
+        _launch_lock = threading.Lock()
+        run(parse_and_feed, list(enumerate(items)))
+        pend_list = launcher.flush()
+        launched = [[(sf, pend_list[ix]) for sf, ix in per]
+                    if isinstance(per, list) else per for per in slots]
 
     # One fused device->host transfer for the whole corpus (per dtype):
     # on high-RTT links per-stream reads serialize into round-trip latency.

@@ -1245,100 +1245,138 @@ _FETCH_WAVES = int(os.environ.get("POV_FETCH_WAVES", "1"))
 _GROUP_S = int(os.environ.get("POV_GROUP_STREAMS", "16"))
 
 
-def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
-    """Launch device decodes for many streams, stacking same-signature
-    streams into vmapped dispatches of up to _GROUP_S (kills per-call
-    latency while keeping individual transfers modest).
+class CorpusLauncher:
+    """Incremental stacked-group launcher.
+
+    ``add(sf)`` streams as host parsing produces them; a same-signature
+    group dispatches the MOMENT it fills (_GROUP_S streams), so its
+    host->device transfer and device compute run while the host is still
+    parsing/preparing the rest of the corpus (the host symbol pass is
+    ~0.5 s serial on the bench corpus — link-idle time in a parse-all-
+    then-launch-all flow).  ``flush()`` dispatches the partial groups and
+    returns the pendings in add() order.
 
     Per-stream failures (bad granule accounting, prepare errors, a failed
     group dispatch) yield a :class:`FailedPending` for that stream only —
-    the rest of the batch decodes (strict-mode callers re-raise at fetch)."""
-    pendings: List[Optional[PendingDecode]] = [None] * len(streams)
-    # long streams decode individually in bounded chunks
-    short_idx = []
-    for i, sf in enumerate(streams):
+    the rest of the batch decodes (strict-mode callers re-raise at fetch).
+    """
+
+    def __init__(self, out_i16: bool = False):
+        self.out_i16 = out_i16
+        self.pendings: List[Optional[PendingDecode]] = []
+        self._by_sig: Dict[tuple, List[int]] = {}
+        self._prepared: Dict[int, tuple] = {}
+
+    def add(self, sf) -> int:
+        """Register one stream; returns its index into the final list."""
+        i = len(self.pendings)
+        self.pendings.append(None)
         try:
             long = sf.num_frames > _chunk_frames(sf) + 1
-            if long:
-                pendings[i] = launch_stream_decode(sf, out_i16=out_i16)
         except Exception as exc:
-            pendings[i] = FailedPending(exc)
-            continue
-        if not long:
-            short_idx.append(i)
-
-    prepared_map = {}
-    for i in short_idx:
-        try:
-            prepared_map[i] = _prepare_stream(streams[i], out_i16)
-        except Exception as exc:
-            pendings[i] = FailedPending(exc)
-    by_sig: Dict[tuple, List[int]] = {}
-    for i in short_idx:
-        if i in prepared_map:
-            by_sig.setdefault(
-                (prepared_map[i][0], _const_key(prepared_map[i][5])),
-                []).append(i)
-    prepared = prepared_map
-    for (sig, _ck), idxs in by_sig.items():
-        imdct_ms, window_stacks, floor_consts = _device_consts(
-            prepared[idxs[0]][5])
-        for start in range(0, len(idxs), _GROUP_S):
-            chunk = idxs[start : start + _GROUP_S]
-            if len(chunk) == 1:
-                import time
-
-                i = chunk[0]
-                fn = _get_stream_fn(sig)
-                t0 = time.perf_counter()
-                pcm = fn(prepared[i][1], prepared[i][2], prepared[i][3],
-                         imdct_ms, window_stacks, _CONSTS.inverse_db,
-                         floor_consts)
-                in_b = sum(x.nbytes for x in jax.tree_util.tree_leaves(
-                    prepared[i][1:4]))
-                TRANSFER_STATS.event("dispatch", t0, time.perf_counter(), in_b)
-                TRANSFER_STATS.add(in_b, pcm.nbytes)
-                pendings[i] = PendingDecode(pcm, prepared[i][4])
-                continue
-            # pad group size to the next power of two (bounded compiles)
-            s_real = len(chunk)
-            s_pad = 1 << (s_real - 1).bit_length()
-            take = lambda i: prepared[chunk[min(i, s_real - 1)]]
-            stacked_args = jax.tree_util.tree_map(
-                lambda *xs: np.stack(xs), *[take(i)[1] for i in range(s_pad)]
-            )
-            stacked_nhalf = np.stack([take(i)[2] for i in range(s_pad)])
-            stacked_nums = np.stack([take(i)[3] for i in range(s_pad)])
-            fn = _get_stacked_fn(sig, s_pad)
+            self.pendings[i] = FailedPending(exc)
+            return i
+        if long:
+            # long streams decode individually in bounded chunks
             try:
-                pcm = fn(stacked_args, stacked_nhalf, stacked_nums, imdct_ms,
-                         window_stacks, _CONSTS.inverse_db, floor_consts)
-            except Exception:
-                # a poison member must not take the group down: retry each
-                # stream in its own dispatch and fail only the bad ones
-                fn1 = _get_stream_fn(sig)
-                for i in chunk:
-                    try:
-                        pcm1 = fn1(prepared[i][1], prepared[i][2],
-                                   prepared[i][3], imdct_ms, window_stacks,
-                                   _CONSTS.inverse_db, floor_consts)
-                        pendings[i] = PendingDecode(pcm1, prepared[i][4])
-                    except Exception as exc1:
-                        pendings[i] = FailedPending(exc1)
-                continue
-            TRANSFER_STATS.add(
-                sum(x.nbytes for x in jax.tree_util.tree_leaves(
-                    (stacked_args, stacked_nhalf, stacked_nums))), pcm.nbytes)
-            group = _GroupResult(pcm)
-            for gi, i in enumerate(chunk):
-                pendings[i] = PendingDecode(
-                    pcm, prepared[i][4], group=group, group_idx=gi,
-                )
-    if not _FUSED_FETCH:
-        for p in pendings:
-            if p is not None:
-                p.prefetch()
-    return pendings
+                self.pendings[i] = launch_stream_decode(
+                    sf, out_i16=self.out_i16)
+            except Exception as exc:
+                self.pendings[i] = FailedPending(exc)
+            return i
+        try:
+            prep = _prepare_stream(sf, self.out_i16)
+        except Exception as exc:
+            self.pendings[i] = FailedPending(exc)
+            return i
+        self._prepared[i] = prep
+        key = (prep[0], _const_key(prep[5]))
+        bucket = self._by_sig.setdefault(key, [])
+        bucket.append(i)
+        if len(bucket) >= _GROUP_S:
+            self._by_sig[key] = []
+            self._dispatch(key[0], bucket)
+        return i
+
+    def flush(self) -> List[Optional[PendingDecode]]:
+        for (sig, _ck), idxs in list(self._by_sig.items()):
+            if idxs:
+                self._dispatch(sig, idxs)
+        self._by_sig.clear()
+        if not _FUSED_FETCH:
+            for p in self.pendings:
+                if p is not None:
+                    p.prefetch()
+        return self.pendings
+
+    def _dispatch(self, sig, chunk: List[int]) -> None:
+        pendings, prepared = self.pendings, self._prepared
+        imdct_ms, window_stacks, floor_consts = _device_consts(
+            prepared[chunk[0]][5])
+        if len(chunk) == 1:
+            import time
+
+            i = chunk[0]
+            fn = _get_stream_fn(sig)
+            t0 = time.perf_counter()
+            pcm = fn(prepared[i][1], prepared[i][2], prepared[i][3],
+                     imdct_ms, window_stacks, _CONSTS.inverse_db,
+                     floor_consts)
+            in_b = sum(x.nbytes for x in jax.tree_util.tree_leaves(
+                prepared[i][1:4]))
+            TRANSFER_STATS.event("dispatch", t0, time.perf_counter(), in_b)
+            TRANSFER_STATS.add(in_b, pcm.nbytes)
+            pendings[i] = PendingDecode(pcm, prepared[i][4])
+            del prepared[i]
+            return
+        # pad group size to the next power of two (bounded compiles)
+        s_real = len(chunk)
+        s_pad = 1 << (s_real - 1).bit_length()
+        take = lambda i: prepared[chunk[min(i, s_real - 1)]]
+        stacked_args = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *[take(i)[1] for i in range(s_pad)]
+        )
+        stacked_nhalf = np.stack([take(i)[2] for i in range(s_pad)])
+        stacked_nums = np.stack([take(i)[3] for i in range(s_pad)])
+        fn = _get_stacked_fn(sig, s_pad)
+        try:
+            pcm = fn(stacked_args, stacked_nhalf, stacked_nums, imdct_ms,
+                     window_stacks, _CONSTS.inverse_db, floor_consts)
+        except Exception:
+            # a poison member must not take the group down: retry each
+            # stream in its own dispatch and fail only the bad ones
+            fn1 = _get_stream_fn(sig)
+            for i in chunk:
+                try:
+                    pcm1 = fn1(prepared[i][1], prepared[i][2],
+                               prepared[i][3], imdct_ms, window_stacks,
+                               _CONSTS.inverse_db, floor_consts)
+                    pendings[i] = PendingDecode(pcm1, prepared[i][4])
+                except Exception as exc1:
+                    pendings[i] = FailedPending(exc1)
+                del prepared[i]
+            return
+        TRANSFER_STATS.add(
+            sum(x.nbytes for x in jax.tree_util.tree_leaves(
+                (stacked_args, stacked_nhalf, stacked_nums))), pcm.nbytes)
+        group = _GroupResult(pcm)
+        for gi, i in enumerate(chunk):
+            pendings[i] = PendingDecode(
+                pcm, prepared[i][4], group=group, group_idx=gi,
+            )
+            del prepared[i]
+
+
+def launch_corpus_decode(streams, out_i16: bool = False) -> List[PendingDecode]:
+    """Launch device decodes for many streams, stacking same-signature
+    streams into vmapped dispatches of up to _GROUP_S (kills per-call
+    latency while keeping individual transfers modest).  Thin wrapper over
+    :class:`CorpusLauncher` (add-all then flush); decode_corpus feeds the
+    launcher incrementally as blobs parse instead."""
+    launcher = CorpusLauncher(out_i16=out_i16)
+    for sf in streams:
+        launcher.add(sf)
+    return launcher.flush()
 
 
 def _assemble_nums_sequential(lengths, granules, t_real, abs_base=0):
