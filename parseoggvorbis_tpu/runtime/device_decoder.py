@@ -1230,7 +1230,11 @@ _DENSE_GATHER = os.environ.get("POV_DENSE_GATHER", "0") == "1"
 # NEGATIVE on the tunneled link (r4 A/B, 5 repeats each): waves=2 best
 # 73x / waves=3 120x vs waves=1 116-120x — concurrent reads contend for
 # the same TCP path instead of overlapping, so the single tail fetch
-# stays the default.  The knob remains for full-duplex local links.
+# stays the default.  A direct duplex probe confirms why: simultaneous
+# 16 MB h2d + d2h complete in the SUM of their serial times (gain
+# 0.97-1.03x, 3 trials) — the link is effectively half-duplex, so no
+# fetch schedule can hide output bytes under input bytes.  The knob
+# remains for full-duplex local links.
 _FETCH_WAVES = int(os.environ.get("POV_FETCH_WAVES", "1"))
 
 
