@@ -331,7 +331,10 @@ class DecodeServer:
             self._thread.join(timeout=10)
 
 
-def main(argv=None) -> int:
+def main(argv=None, ready=None) -> int:
+    """CLI entry point.  ``ready`` is a test hook: when given, it is called
+    with the running server instead of blocking forever, and the server is
+    stopped when it returns."""
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
@@ -353,9 +356,13 @@ def main(argv=None) -> int:
     print("serving on %s:%d (POST /decode, POST /features, GET /stats)"
           % (args.host, port))
     try:
-        threading.Event().wait()
+        if ready is not None:
+            ready(server)
+        else:  # pragma: no cover - interactive loop
+            threading.Event().wait()
     except KeyboardInterrupt:
-        server.stop()
+        pass
+    server.stop()
     return 0
 
 

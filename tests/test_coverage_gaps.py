@@ -241,3 +241,52 @@ def test_malloc_tuning_idempotent():
 
     first = tune_arena()
     assert tune_arena() is True or first is False  # second call short-circuits
+
+
+def test_native_autobuild_disabled_falls_back(monkeypatch, caplog):
+    """POV_AUTOBUILD=0 with no built library: _load logs and returns None
+    (pure-Python host path) without attempting a build."""
+    import logging
+
+    from parseoggvorbis_tpu.native import frontend as fe
+
+    monkeypatch.setattr(fe, "_lib", None)
+    monkeypatch.setattr(fe, "_LIB_PATH", "/nonexistent/pov/_libpov.so")
+    monkeypatch.setenv("POV_AUTOBUILD", "0")
+    with caplog.at_level(logging.INFO, "parseoggvorbis_tpu.native"):
+        assert fe._load() is None
+    assert any("POV_AUTOBUILD=0" in r.message for r in caplog.records)
+
+
+def test_native_autobuild_failure_falls_back(monkeypatch, caplog):
+    """A failing auto-build logs a warning and falls back to pure Python
+    instead of raising."""
+    import logging
+    import subprocess
+
+    from parseoggvorbis_tpu.native import frontend as fe
+
+    monkeypatch.setattr(fe, "_lib", None)
+    monkeypatch.setattr(fe, "_LIB_PATH", "/nonexistent/pov/_libpov.so")
+    monkeypatch.delenv("POV_AUTOBUILD", raising=False)
+
+    def boom(*a, **k):
+        raise subprocess.SubprocessError("compiler exploded")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    with caplog.at_level(logging.WARNING, "parseoggvorbis_tpu.native"):
+        assert fe._load() is None
+    assert any("auto-build failed" in r.message for r in caplog.records)
+
+
+def test_native_parse_requires_lib(monkeypatch):
+    """parse_streams_native without a built library raises RuntimeError."""
+    import pytest
+
+    from parseoggvorbis_tpu.native import frontend as fe
+
+    monkeypatch.setattr(fe, "_lib", None)
+    monkeypatch.setattr(fe, "_LIB_PATH", "/nonexistent/pov/_libpov.so")
+    monkeypatch.setenv("POV_AUTOBUILD", "0")
+    with pytest.raises(RuntimeError, match="not built"):
+        fe.parse_streams_native(b"OggS")

@@ -250,3 +250,45 @@ def test_submit_recheck_covers_stop_race():
     b.submit(p)
     assert p.done.wait(timeout=1.0)
     assert p.error == "server shutting down"
+
+
+def test_main_cli_serves_and_stops():
+    """serving.main (the CLI entry): arg parsing, server startup on an
+    ephemeral port, a live /stats round trip, clean shutdown."""
+    import json
+    import urllib.request
+
+    from parseoggvorbis_tpu import serving
+
+    seen = {}
+
+    def ready(server):
+        with urllib.request.urlopen(
+                "http://127.0.0.1:%d/stats" % server.port, timeout=10) as r:
+            seen["stats"] = json.loads(r.read().decode())
+
+    rc = serving.main(["--port", "0", "--max_batch", "2"], ready=ready)
+    assert rc == 0
+    assert seen["stats"]["requests"] == 0
+
+
+def test_main_cli_mesh_flag():
+    """--mesh N builds the mesh and serves over it (virtual CPU devices)."""
+    import urllib.request
+
+    from parseoggvorbis_tpu import serving
+
+    mono = open("tests/data/test.mono44khz.ogg", "rb").read()
+    got = {}
+
+    def ready(server):
+        req = urllib.request.Request(
+            "http://127.0.0.1:%d/decode?fmt=i16" % server.port, data=mono)
+        with urllib.request.urlopen(req, timeout=60) as r:
+            got["channels"] = int(r.headers["X-Channels"])
+            got["pcm_len"] = len(r.read())
+
+    rc = serving.main(["--port", "0", "--mesh", "4"], ready=ready)
+    assert rc == 0
+    assert got["channels"] == 1
+    assert got["pcm_len"] == 63488 * 2
