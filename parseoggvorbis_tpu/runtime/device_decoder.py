@@ -47,15 +47,23 @@ _jax_configured = False
 
 
 def setup_jax() -> None:
-    """Enable the persistent compilation cache (idempotent)."""
+    """Enable the persistent compilation cache (idempotent).
+
+    ``POV_JAX_CACHE=0`` (or ``off``/empty) skips the cache entirely: XLA:CPU
+    cache entries are AOT-compiled for the *build* host's CPU features, and
+    loading one on a host missing those features can SIGILL — the hermetic
+    multichip dryrun runs cache-free for exactly this reason.
+    """
     global _jax_configured
     if _jax_configured:
         return
-    try:
-        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    if _CACHE_DIR not in ("", "0", "off"):
+        try:
+            jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.5)
+        except Exception:
+            pass
     from ..utils.malloc_tuning import tune_arena
 
     tune_arena()  # first-touch page faults are ~1000x on microVM hosts
