@@ -343,4 +343,91 @@ void pov_mode_floor_numbers(PovHandle* h, int32_t mode_idx, int32_t* floors) {
     floors[ch] = mp.submaps[mp.muxs[ch]].floor;
 }
 
+// --------------------------------------------------------------- factorize --
+//
+// Hash-based lossless factorization of a float32 array: each element's rank
+// in the sorted distinct-value list (codes) plus that list itself (uniq).
+// Replaces numpy's sort-based unique+searchsorted on the residue-compaction
+// host path (device_decoder._encode_residue) at O(n) instead of O(n log n)
+// — the residue arrays reach millions of elements per stream and their
+// dictionary build was the dominant host cost of corpus decode.
+//
+// Semantics match the numpy pair it replaces: -0.0f collapses into +0.0f
+// (numpy's unique also keeps a single representative of the pair; only the
+// sign bit of the stored representative was unspecified there), and NaN
+// payload patterns are kept distinct and sort last.  Returns the number of
+// distinct values, writing them sorted to uniq_out and each element's rank
+// to codes_out (uint16 — callers cap at 65536), or -1 if more than uniq_cap
+// distinct values exist (codes_out/uniq_out contents are then undefined).
+
+int64_t pov_factorize_f32(const float* data, int64_t n, float* uniq_out,
+                          int64_t uniq_cap, uint16_t* codes_out) {
+  if (n <= 0) return 0;
+  if (uniq_cap <= 0 || uniq_cap > 65536) return -1;
+  // Open-addressing table: id == -1 marks an empty slot (ids are ranks into
+  // `vals`, never negative), so any key bit pattern is permitted.
+  struct Slot { uint32_t key; int32_t id; };
+  int64_t want = std::min<int64_t>(4 * uniq_cap, 2 * n);
+  size_t tsize = 16;
+  while ((int64_t)tsize < want) tsize <<= 1;
+  std::vector<Slot> table(tsize, Slot{0, -1});
+  const size_t mask = tsize - 1;
+  std::vector<float> vals;
+  vals.reserve(std::min<int64_t>(uniq_cap, n));
+  std::vector<int32_t> prov(n >= 0 ? (size_t)n : 0);
+  const uint32_t* bits = reinterpret_cast<const uint32_t*>(data);
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t k = bits[i];
+    if ((k & 0x7fffffffu) == 0) k = 0;  // -0.0f -> +0.0f
+    // 32-bit finalizer-style hash
+    uint32_t hv = k;
+    hv ^= hv >> 16; hv *= 0x7feb352du;
+    hv ^= hv >> 15; hv *= 0x846ca68bu;
+    hv ^= hv >> 16;
+    size_t pos = hv & mask;
+    for (;;) {
+      Slot& s = table[pos];
+      if (s.id < 0) {
+        if ((int64_t)vals.size() >= uniq_cap) return -1;
+        s.key = k;
+        s.id = (int32_t)vals.size();
+        float v;
+        memcpy(&v, &k, 4);
+        vals.push_back(v);
+        prov[i] = s.id;
+        break;
+      }
+      if (s.key == k) {
+        prov[i] = s.id;
+        break;
+      }
+      pos = (pos + 1) & mask;
+    }
+  }
+  const int64_t nu = (int64_t)vals.size();
+  // rank the provisional ids by value (NaNs last, ordered by bit pattern
+  // for determinism; numpy leaves the order among NaNs unspecified)
+  std::vector<int32_t> order((size_t)nu);
+  for (int64_t i = 0; i < nu; ++i) order[i] = (int32_t)i;
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    float va = vals[a], vb = vals[b];
+    bool na = std::isnan(va), nb = std::isnan(vb);
+    if (na != nb) return nb;
+    if (na) {
+      uint32_t ba, bb;
+      memcpy(&ba, &va, 4);
+      memcpy(&bb, &vb, 4);
+      return ba < bb;
+    }
+    return va < vb;
+  });
+  std::vector<uint16_t> rank((size_t)nu);
+  for (int64_t r = 0; r < nu; ++r) {
+    uniq_out[r] = vals[order[r]];
+    rank[order[r]] = (uint16_t)r;
+  }
+  for (int64_t i = 0; i < n; ++i) codes_out[i] = rank[prov[i]];
+  return nu;
+}
+
 }  // extern "C"

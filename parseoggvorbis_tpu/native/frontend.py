@@ -127,12 +127,45 @@ def _load():
         lib.pov_inc_view.restype = ctypes.c_void_p
         lib.pov_inc_view.argtypes = [ctypes.c_void_p]
         lib.pov_inc_free.argtypes = [ctypes.c_void_p]
+        lib.pov_factorize_f32.restype = ctypes.c_int64
+        lib.pov_factorize_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+#: sentinel returned by :func:`factorize_f32` when the distinct-value count
+#: exceeds the cap (vs ``None`` for "native library unavailable")
+OVERFLOW = "overflow"
+
+
+def factorize_f32(arr: np.ndarray, cap: int):
+    """Native lossless factorization (sorted uniques + per-element ranks).
+
+    Returns ``(uniq float32 [nu], codes uint16 shaped like arr)``, the
+    :data:`OVERFLOW` sentinel when ``arr`` has more than ``cap`` distinct
+    values, or ``None`` when the native library is unavailable.  Matches
+    ``u = np.unique(arr); c = np.searchsorted(u, arr)`` in O(n) (modulo the
+    sign bit of a zero representative — both paths keep a single zero).
+    ``cap`` must be <= 65536 (codes are uint16).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(arr, dtype=np.float32).reshape(-1)
+    uniq = np.empty(cap, dtype=np.float32)
+    codes = np.empty(flat.shape, dtype=np.uint16)
+    nu = lib.pov_factorize_f32(flat.ctypes.data, flat.size,
+                               uniq.ctypes.data, cap, codes.ctypes.data)
+    if nu < 0:
+        return OVERFLOW
+    return uniq[:nu].copy(), codes.reshape(arr.shape)
 
 
 @dataclass

@@ -794,6 +794,16 @@ def _decode_slab_codes(enc: str, codes: jnp.ndarray, res_dict: jnp.ndarray,
     return out.reshape(nslabs * _DICT_SLAB, c, k)[:b]
 
 
+def _native_factorize(arr: np.ndarray, cap: int):
+    """Native sorted-unique + ranks (see frontend.factorize_f32), or None
+    when the library is unavailable or POV_NATIVE_FACTORIZE=0."""
+    if os.environ.get("POV_NATIVE_FACTORIZE", "1") == "0":
+        return None
+    from ..native import frontend as _nf
+
+    return _nf.factorize_f32(arr, cap)
+
+
 def _encode_residue(residue: np.ndarray):
     """Lossless compaction of residue spectra for the host link.
 
@@ -810,6 +820,13 @@ def _encode_residue(residue: np.ndarray):
        u8/u16, falling back to raw f32 for dense value sets.
 
     Returns (enc, data, dictionary, res_cols).
+
+    The dictionary build runs through the native ``pov_factorize_f32``
+    (hash-based, O(n)) when the front-end library is available — numpy's
+    sort-based unique+searchsorted was the dominant host cost of corpus
+    decode.  ``POV_NATIVE_FACTORIZE=0`` forces the numpy path; both paths
+    produce value-identical encodings (asserted in
+    tests/test_residue_encoding.py).
     """
     half = residue.shape[2]
     nz = np.nonzero(np.any(residue != 0, axis=(0, 1)))[0]
@@ -818,10 +835,20 @@ def _encode_residue(residue: np.ndarray):
     res_cols = min(half, max(64, -(-end // 64) * 64))
     trimmed = np.ascontiguousarray(residue[:, :, :res_cols])
 
-    uniq = np.unique(trimmed)
-    nu = len(uniq)
+    fact = _native_factorize(trimmed, 65536)
+    codes_all = None
+    if fact is None:  # native front-end unavailable: numpy path
+        uniq = np.unique(trimmed)
+        nu = len(uniq)
+    elif fact == "overflow":  # > 65536 distinct: only slab or f32 apply
+        uniq = None
+        nu = 1 << 62
+    else:
+        uniq, codes_all = fact
+        nu = len(uniq)
     if nu <= 256:
-        codes = np.searchsorted(uniq, trimmed)
+        codes = (codes_all if codes_all is not None
+                 else np.searchsorted(uniq, trimmed))
         if nu <= 16:
             d = np.zeros(16, dtype=np.float32)
             d[:nu] = uniq
@@ -845,9 +872,23 @@ def _encode_residue(residue: np.ndarray):
     b_pad = _pad32(b)
     nslabs_pad = -(-b_pad // _DICT_SLAB)
     nslabs = -(-b // _DICT_SLAB)
-    slab_uniqs = [np.unique(trimmed[s * _DICT_SLAB : (s + 1) * _DICT_SLAB])
-                  for s in range(nslabs)]
-    max_u = max((len(u) for u in slab_uniqs), default=1)
+    slab_codes = None
+    if fact is None:
+        slab_uniqs = [np.unique(trimmed[s * _DICT_SLAB:(s + 1) * _DICT_SLAB])
+                      for s in range(nslabs)]
+        max_u = max((len(u) for u in slab_uniqs), default=1)
+    else:
+        slab_uniqs, slab_codes = [], []
+        max_u = 1
+        for s in range(nslabs):
+            r = _native_factorize(
+                trimmed[s * _DICT_SLAB:(s + 1) * _DICT_SLAB], 4096)
+            if r == "overflow" or r is None:
+                max_u = 1 << 62  # a slab exceeds the widest dictionary
+                break
+            slab_uniqs.append(r[0])
+            slab_codes.append(r[1])
+            max_u = max(max_u, len(r[0]))
     if max_u <= 4096:
         w = next(w for w in (4, 6, 8, 10, 12) if (1 << w) >= max_u)
         slab_bytes = (b_pad * trimmed.shape[1] * res_cols * w // 8
@@ -860,9 +901,10 @@ def _encode_residue(residue: np.ndarray):
             codes = np.empty(trimmed.shape, dtype=np.uint16)
             for s, u in enumerate(slab_uniqs):
                 dicts[s, : len(u)] = u
-                codes[s * _DICT_SLAB : (s + 1) * _DICT_SLAB] = \
-                    np.searchsorted(u, trimmed[s * _DICT_SLAB :
-                                               (s + 1) * _DICT_SLAB])
+                codes[s * _DICT_SLAB : (s + 1) * _DICT_SLAB] = (
+                    slab_codes[s] if slab_codes is not None
+                    else np.searchsorted(u, trimmed[s * _DICT_SLAB :
+                                                    (s + 1) * _DICT_SLAB]))
             if w == 4:
                 data = _pack4(codes)
             elif w == 6:
@@ -876,7 +918,8 @@ def _encode_residue(residue: np.ndarray):
             return "g%d" % w, data, dicts.reshape(-1), res_cols
 
     if nu <= 65536:
-        codes16 = np.searchsorted(uniq, trimmed).astype(np.uint16)
+        codes16 = (codes_all if codes_all is not None
+                   else np.searchsorted(uniq, trimmed).astype(np.uint16))
         size = 1 << max(9, int(nu - 1).bit_length())
         d = np.zeros(size, dtype=np.float32)
         d[:nu] = uniq
