@@ -549,23 +549,45 @@ def decode_corpus(
         launcher = dd.CorpusLauncher(out_i16=out_i16)
         items = list(blobs)
         slots: List = [None] * len(items)
+        total_bytes = sum(len(b) for b in items)
+        # pipelined mid-corpus fetch: once _PIPELINE_FRAC of the corpus
+        # bytes has parsed, dispatch the open groups and read their PCM in
+        # a background thread while the host parses the rest — the link
+        # was idle under the host symbol pass, and the two fetches stay
+        # sequential (no concurrent-read contention)
+        pipe = {"done": 0, "thread": None}
 
         def parse_and_feed(pos_blob):
             pos, b = pos_blob
             sfs = safe_parse(b)
-            if isinstance(sfs, list):
-                # launcher.add is not thread-safe by design (dispatch order
-                # = grouping determinism); serialize adds across the pool
-                with _launch_lock:
+            # launcher.add is not thread-safe by design (dispatch order
+            # = grouping determinism); serialize adds across the pool
+            with _launch_lock:
+                if isinstance(sfs, list):
                     slots[pos] = [(sf, launcher.add(sf)) for sf in sfs]
-            else:
-                slots[pos] = sfs
+                else:
+                    slots[pos] = sfs
+                pipe["done"] += len(b)
+                if (pipe["thread"] is None and dd._FUSED_FETCH
+                        and mesh is None and dd._PIPELINE_FRAC > 0
+                        and pipe["done"] >= dd._PIPELINE_FRAC * total_bytes
+                        and pipe["done"] < total_bytes):
+                    wave = [p for p in launcher.flush_open()
+                            if isinstance(p, dd.PendingDecode)]
+                    if len(wave) > 1:
+                        pipe["thread"] = threading.Thread(
+                            target=dd.fuse_pending_fetch, args=(wave,),
+                            daemon=True)
+                        pipe["thread"].start()
 
         import threading
 
         _launch_lock = threading.Lock()
         run(parse_and_feed, list(enumerate(items)))
         pend_list = launcher.flush()
+        if pipe["thread"] is not None:
+            # the tail fused fetch below must not overlap the wave read
+            pipe["thread"].join()
         launched = [[(sf, pend_list[ix]) for sf, ix in per]
                     if isinstance(per, list) else per for per in slots]
 

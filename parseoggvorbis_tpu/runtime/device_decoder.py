@@ -1288,6 +1288,21 @@ _DENSE_GATHER = os.environ.get("POV_DENSE_GATHER", "0") == "1"
 # remains for full-duplex local links.
 _FETCH_WAVES = int(os.environ.get("POV_FETCH_WAVES", "1"))
 
+# Mid-corpus pipelined fetch (batch.decode_corpus): once this fraction of
+# the corpus bytes has parsed, the open groups dispatch and their PCM is
+# fetched in a background thread while the host parses the rest.  Unlike
+# POV_FETCH_WAVES (concurrent reads of an already-finished corpus — the
+# measured-negative contention case above), the two transfers here are
+# sequential on the link; the first simply runs under host CPU time that
+# previously left the link idle.  MEASURED NEUTRAL-TO-NEGATIVE here as a
+# default (r4, interleaved A/B x12 on the bench corpus): the native-
+# factorize host pass is now ~0.3 s — shorter than the wave fetch it
+# would hide — and the wave contends with the remaining dispatch h2d on
+# the half-duplex link (calm-mood p50 1.85 s -> 2.06 s; it only helped
+# the best-of during stall storms).  Off by default; set 0.3-0.5 on
+# hosts whose symbol pass is long relative to the link fetch.
+_PIPELINE_FRAC = float(os.environ.get("POV_PIPELINE_FETCH", "0"))
+
 
 # Streams per stacked dispatch.  Default chosen from the recorded in-run
 # sweeps (bench.py `group_sweep`): with the fused single-fetch corpus read
@@ -1353,11 +1368,25 @@ class CorpusLauncher:
             self._dispatch(key[0], bucket)
         return i
 
-    def flush(self) -> List[Optional[PendingDecode]]:
+    def flush_open(self) -> List[Optional[PendingDecode]]:
+        """Dispatch the currently-open partial groups WITHOUT closing the
+        launcher, returning a snapshot of the pendings so far.
+
+        The pipelined mid-corpus fetch (batch.decode_corpus) uses this to
+        put the first wave of PCM on the link while the host is still
+        parsing the rest of the corpus; later ``add()`` calls start fresh
+        groups.  Same-signature streams added after this point lose their
+        chance to share these dispatches — callers trade that (free when
+        signatures are distinct, small otherwise) for link/host overlap.
+        """
         for (sig, _ck), idxs in list(self._by_sig.items()):
             if idxs:
                 self._dispatch(sig, idxs)
         self._by_sig.clear()
+        return list(self.pendings)
+
+    def flush(self) -> List[Optional[PendingDecode]]:
+        self.flush_open()
         if not _FUSED_FETCH:
             for p in self.pendings:
                 if p is not None:

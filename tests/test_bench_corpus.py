@@ -103,3 +103,24 @@ def test_uncoupled_multichannel_residue_order():
         assert ours.pcm.shape == ref.shape
         err = float(np.abs(ours.pcm - ref).max())
         assert err <= 1e-6, (prefer_native, err)
+
+
+def test_pipelined_midcorpus_fetch_matches_tail_fetch(monkeypatch):
+    """POV_PIPELINE_FETCH (off by default; see device_decoder._PIPELINE_FRAC)
+    must produce byte-identical PCM: the mid-corpus wave fetch and the tail
+    fused fetch split the same device buffers."""
+    from parseoggvorbis_tpu.runtime import device_decoder as dd
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
+
+    blobs = []
+    for name in ("test.stereo44khz.ogg", "test.mono44khz.ogg"):
+        with open(os.path.join(REPO_ROOT, "tests", "data", name), "rb") as f:
+            blobs.append(f.read())
+    blobs = blobs * 3
+    base = decode_corpus(blobs, out_i16=True)
+    monkeypatch.setattr(dd, "_PIPELINE_FRAC", 0.3)
+    piped = decode_corpus(blobs, out_i16=True)
+    assert len(base) == len(piped) == len(blobs)
+    for a, b in zip(base, piped):
+        assert a.ok and b.ok
+        np.testing.assert_array_equal(a.pcm, b.pcm)
