@@ -84,6 +84,19 @@ def measure(blobs, repeats: int = 8) -> dict:
     mega_jit = jax.jit(mega)
     mega_args = [args for _, args, _, _, _ in staged]
 
+    # null-program baseline: one dispatch + 4-byte checksum fetch of a
+    # trivial reduction — the control-link round trip the mega wall pays
+    # exactly once.  Subtracting it isolates device compute time.
+    tiny = jax.device_put(np.ones(8, np.float32))
+    null_jit = jax.jit(lambda v: jnp.sum(v))
+    float(null_jit(tiny))
+    nwalls = []
+    for _ in range(max(repeats, 6)):
+        t0 = time.perf_counter()
+        float(null_jit(tiny))
+        nwalls.append(time.perf_counter() - t0)
+    nwalls.sort()
+
     run_all()  # warm: compile + constant staging
     float(mega_jit(mega_args))  # warm the fused program
     cwalls, mwalls = [], []
@@ -98,6 +111,7 @@ def measure(blobs, repeats: int = 8) -> dict:
     mwalls.sort()
     cbest = cwalls[0]
     mbest = mwalls[0]
+    compute_s = max(mbest - nwalls[0], 1e-6)
     dev = jax.devices()[0]
     peak = None
     for key, tf in _BF16_PEAK_TFLOPS.items():
@@ -113,6 +127,11 @@ def measure(blobs, repeats: int = 8) -> dict:
         "device_only_rtf_per_stream_dispatch": round(audio_s / cbest, 1),
         "device_only_rtf_per_stream_p50": round(
             audio_s / cwalls[len(cwalls) // 2], 1),
+        # the mega wall pays exactly one control round trip; subtracting
+        # the measured null dispatch+fetch isolates device compute — what
+        # a host-local (non-tunneled) deployment would see per program
+        "null_roundtrip_s": round(nwalls[0], 4),
+        "device_only_rtf_rtt_corrected": round(audio_s / compute_s, 1),
         "mega_wall_s": round(mbest, 4),
         "streams": len(staged),
         "audio_seconds": round(audio_s, 2),
