@@ -28,7 +28,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..ogg.page import PacketAssembler, read_page
-from ..utils.errors import check
+from ..utils.errors import ParseError, check
 from ..vorbis.header import parse_comment_header, parse_id_header
 from ..vorbis.mode import make_window
 from ..vorbis.setup import Setup
@@ -436,6 +436,88 @@ def decode_bytes(data: bytes, prefer_native: bool = True,
                  out_i16: bool = False) -> DecodedAudio:
     return decode_corpus([data], prefer_native=prefer_native,
                          out_i16=out_i16)[0]
+
+
+def _solve_emission_base(sf: StreamFrames) -> int:
+    """Absolute sample position where a spliced stream's emission begins.
+
+    The first spliced frame emits nothing (fresh-stream rule); frame t >= 1
+    emits (n[t-1] + n[t]) / 4 samples.  The first granule-bearing frame m
+    pins the absolute position:  base = granule[m] - sum(emissions 1..m).
+    Assumes granule[m] is non-truncating (guaranteed by the splice planner
+    for well-formed streams: the anchor granule is mid-stream); a later
+    inconsistent granule fails _compute_emission_nums' validation rather
+    than decoding silently wrong.
+    """
+    t = sf.num_frames
+    quarters = sf.frame_n.astype(np.int64) // 4
+    lengths = np.zeros(t, dtype=np.int64)
+    if t > 1:
+        lengths[1:] = quarters[:-1] + quarters[1:]
+    gmask = sf.granules[:t] >= 0
+    if not gmask.any():
+        raise ParseError("spliced range has no granule position to anchor")
+    m = int(np.nonzero(gmask)[0][0])
+    base = int(sf.granules[m]) - int(lengths[:m + 1].sum())
+    check(base >= 0, "granule position too small for spliced frames")
+    return base
+
+
+def decode_sample_range(data: bytes, start: int, end: Optional[int] = None,
+                        prefer_native: bool = True, out_i16: bool = False,
+                        serial: Optional[int] = None) -> DecodedAudio:
+    """Decode exactly samples [start, end) of one stream (sample-exact seek).
+
+    Bit-identical to ``decode_bytes(data).pcm[:, start:end]`` but costs
+    O(range + one page) instead of O(start + range): a header-only page
+    walk anchors on granule positions, only the pages covering the range
+    are parsed and decoded (see ogg/seek.py for the exactness argument).
+    Capability beyond the reference, which always decodes from byte 0;
+    the ecosystem bar is vorbisfile's ov_pcm_seek.
+
+    ``end=None`` decodes to the end of the stream; ranges extending past
+    the stream are clamped.  ``serial`` selects the logical stream of a
+    multiplexed/chained file (default: first Vorbis stream).
+    """
+    from ..ogg.seek import plan_sample_range, walk_pages
+    from . import device_decoder as dd
+
+    index = walk_pages(data, serial=serial)
+    plan = plan_sample_range(index, start, end)
+    if plan.empty:
+        sf = parse_stream(plan.splice(data), prefer_native=prefer_native)
+        dtype = np.int16 if out_i16 else np.float32
+        return DecodedAudio(pcm=np.zeros((sf.channels, 0), dtype),
+                            sample_rate=sf.sample_rate)
+    sf = parse_stream(plan.splice(data), prefer_native=prefer_native)
+    base = _solve_emission_base(sf)
+    sf.emission_nums = dd._compute_emission_nums(sf, abs_base=base)
+    pcm = dd._launch_one(sf, out_i16).fetch()
+    n = pcm.shape[1]
+    lo = min(n, plan.start_sample - base)
+    hi = n if plan.end_sample is None else max(
+        lo, min(n, plan.end_sample - base))
+    return DecodedAudio(pcm=np.ascontiguousarray(pcm[:, lo:hi]),
+                        sample_rate=sf.sample_rate)
+
+
+def decode_time_range(data: bytes, start_seconds: float,
+                      end_seconds: Optional[float] = None,
+                      prefer_native: bool = True, out_i16: bool = False,
+                      serial: Optional[int] = None) -> DecodedAudio:
+    """Seconds-based convenience over :func:`decode_sample_range`."""
+    from ..ogg.seek import plan_sample_range, walk_pages  # noqa: F401
+    from ..vorbis.header import IdHeader  # noqa: F401
+
+    index = walk_pages(data, serial=serial)
+    # sample rate from the headers-only splice (cheap: setup parse only)
+    head = b"".join(data[p.offset:p.end]
+                    for p in index.pages[:index.header_end])
+    rate = parse_stream(head, prefer_native=prefer_native).sample_rate
+    start = int(round(start_seconds * rate))
+    end = None if end_seconds is None else int(round(end_seconds * rate))
+    return decode_sample_range(data, start, end, prefer_native=prefer_native,
+                               out_i16=out_i16, serial=serial)
 
 
 def decode_all_streams(data: bytes, prefer_native: bool = True,

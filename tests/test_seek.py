@@ -1,0 +1,213 @@
+"""Sample-exact random access (ogg/seek.py + decode_sample_range).
+
+Capability beyond the reference (it always decodes from byte 0; the
+ecosystem bar is vorbisfile's ov_pcm_seek): for every range,
+``decode_sample_range(data, s, e)`` must be BIT-identical to
+``decode_bytes(data).pcm[:, s:e]`` — exactness, not approximation, because
+Vorbis packet decode is stateless given setup and overlap-add only spans
+adjacent frames (see ogg/seek.py's module docstring for the argument).
+"""
+
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import DATA_DIR, MONO_OGG, REPO_ROOT, STEREO_OGG
+
+sys.path.insert(0, os.path.join(REPO_ROOT, "tests", "tools"))
+
+from repaginate import repaginate
+
+from parseoggvorbis_tpu.ogg.seek import plan_sample_range, walk_pages
+from parseoggvorbis_tpu.runtime.batch import (
+    decode_bytes,
+    decode_sample_range,
+    decode_time_range,
+)
+from parseoggvorbis_tpu.utils.errors import ParseError
+
+BENCH = os.path.join(DATA_DIR, "bench")
+
+_FILES = {
+    "mono": MONO_OGG,
+    "stereo": STEREO_OGG,
+    "music-q8": os.path.join(BENCH, "music8s.stereo.44k.q8.ogg"),
+    "surround": os.path.join(BENCH, "surround6s.5_1.44k.q4.ogg"),
+    "long64s": os.path.join(BENCH, "long64s.stereo.44k.q3.ogg"),
+}
+
+
+@pytest.fixture(scope="module", params=list(_FILES))
+def decoded(request):
+    path = _FILES[request.param]
+    if not os.path.exists(path):
+        pytest.skip("bench corpus not generated")
+    data = open(path, "rb").read()
+    return data, decode_bytes(data).pcm
+
+
+def _ranges(total):
+    """Edge-heavy sample ranges: start, interior, block boundaries, end."""
+    return [
+        (0, min(1000, total)),
+        (1, 2),
+        (total // 3, total // 3 + 4096 + 7),
+        (total // 2, None),
+        (max(0, total - 257), total + 10_000),  # clamped past the end
+    ]
+
+
+def test_range_bit_exact(decoded):
+    data, full = decoded
+    total = full.shape[1]
+    for s, e in _ranges(total):
+        got = decode_sample_range(data, s, e).pcm
+        want = full[:, s:e]
+        assert got.shape == want.shape, (s, e)
+        assert np.array_equal(got, want), (s, e)
+
+
+def test_empty_ranges(decoded):
+    data, full = decoded
+    total = full.shape[1]
+    for s, e in [(5, 5), (100, 40), (total, None), (total + 10**6, None)]:
+        got = decode_sample_range(data, s, e)
+        assert got.pcm.shape == (full.shape[0], 0)
+        assert got.pcm.dtype == np.float32
+
+
+def test_negative_start_clamps(decoded):
+    data, full = decoded
+    got = decode_sample_range(data, -50, 100).pcm
+    assert np.array_equal(got, full[:, :100])
+
+
+def test_range_i16(decoded):
+    data, _ = decoded
+    full = decode_bytes(data, out_i16=True).pcm
+    s, e = full.shape[1] // 4, full.shape[1] // 4 + 2000
+    got = decode_sample_range(data, s, e, out_i16=True)
+    assert got.pcm.dtype == np.int16
+    assert np.array_equal(got.pcm, full[:, s:e])
+    empty = decode_sample_range(data, full.shape[1] + 1, None, out_i16=True)
+    assert empty.pcm.dtype == np.int16 and empty.pcm.shape[1] == 0
+
+
+def test_python_frontend_range(decoded):
+    data, full = decoded
+    s = full.shape[1] // 2
+    got = decode_sample_range(data, s, s + 777, prefer_native=False).pcm
+    assert np.array_equal(got, full[:, s:s + 777])
+
+
+def test_time_range_seconds():
+    data = open(STEREO_OGG, "rb").read()
+    full = decode_bytes(data)
+    rate = full.sample_rate
+    got = decode_time_range(data, 0.25, 0.75)
+    assert got.sample_rate == rate
+    want = full.pcm[:, int(0.25 * rate):int(0.75 * rate)]
+    assert np.array_equal(got.pcm, want)
+    assert decode_time_range(data, 1e6).pcm.shape[1] == 0
+
+
+def test_seek_into_spanning_pages():
+    """Anchor walk-back over CONTINUED pages: the repaginated stream has
+    audio packets spanning page boundaries; ranges must stay bit-exact."""
+    path = _FILES["music-q8"]
+    if not os.path.exists(path):
+        pytest.skip("bench corpus not generated")
+    spanned, n_spans = repaginate(open(path, "rb").read())
+    assert n_spans >= 5
+    full = decode_bytes(spanned).pcm
+    total = full.shape[1]
+    for s, e in [(total // 2, total // 2 + 3000), (total - 1000, None)]:
+        got = decode_sample_range(spanned, s, e).pcm
+        assert np.array_equal(got, full[:, s:e])
+
+
+def test_multiplexed_serial_selection():
+    """Seek in an interleaved two-stream file, both by default and by an
+    explicit serial."""
+    from parseoggvorbis_tpu.utils.crc import ogg_page_crc
+    from parseoggvorbis_tpu.ogg.page import HEADER_SIZE, read_page
+
+    def raw_pages(data):
+        pages, off = [], 0
+        while off < len(data):
+            page, nxt = read_page(data, off)
+            if page is None:
+                break
+            pages.append(data[off:nxt])
+            off = nxt
+        return pages
+
+    def set_serial(page_bytes, serial):
+        buf = bytearray(page_bytes)
+        struct.pack_into("<I", buf, 14, serial)
+        buf[22:26] = b"\x00\x00\x00\x00"
+        nseg = buf[26]
+        crc = ogg_page_crc(bytes(buf[:HEADER_SIZE]),
+                           bytes(buf[HEADER_SIZE:HEADER_SIZE + nseg]),
+                           bytes(buf[HEADER_SIZE + nseg:]))
+        struct.pack_into("<I", buf, 22, crc)
+        return bytes(buf)
+
+    mono = open(MONO_OGG, "rb").read()
+    stereo = open(STEREO_OGG, "rb").read()
+    pm = [set_serial(p, 0x1111) for p in raw_pages(mono)]
+    ps = [set_serial(p, 0x2222) for p in raw_pages(stereo)]
+    rest, a, b = [], pm[1:], ps[1:]
+    while a or b:
+        if a:
+            rest.append(a.pop(0))
+        if b:
+            rest.append(b.pop(0))
+    data = b"".join([pm[0], ps[0]] + rest)
+
+    full_mono = decode_bytes(mono).pcm
+    full_stereo = decode_bytes(stereo).pcm
+    # default: first Vorbis stream (mono, serial 0x1111)
+    got = decode_sample_range(data, 1000, 3000).pcm
+    assert np.array_equal(got, full_mono[:, 1000:3000])
+    # explicit serial: the stereo stream
+    got = decode_sample_range(data, 1000, 3000, serial=0x2222).pcm
+    assert got.shape[0] == 2
+    assert np.array_equal(got, full_stereo[:, 1000:3000])
+
+
+def test_walk_pages_index():
+    data = open(STEREO_OGG, "rb").read()
+    idx = walk_pages(data)
+    full = decode_bytes(data)
+    assert idx.total_samples == full.pcm.shape[1]
+    # header span: 3 packets complete before the first audio page
+    assert sum(p.completions for p in idx.pages[:idx.header_end]) == 3
+    assert all(p.granule == 0 for p in idx.pages[:idx.header_end])
+    # byte coverage: pages tile the file exactly (single-stream file)
+    assert idx.pages[0].offset == 0
+    for a, b in zip(idx.pages, idx.pages[1:]):
+        assert a.end == b.offset
+    assert idx.pages[-1].end == len(data)
+
+
+def test_walk_pages_rejects_non_vorbis():
+    with pytest.raises(ParseError):
+        walk_pages(b"not an ogg stream at all")
+    with pytest.raises(ParseError):
+        walk_pages(open(STEREO_OGG, "rb").read(), serial=0xDEAD)
+
+
+def test_plan_headers_only():
+    """A headers-only truncation plans an empty range (no audio pages)."""
+    data = open(STEREO_OGG, "rb").read()
+    idx = walk_pages(data)
+    head_end = idx.pages[idx.header_end - 1].end
+    idx2 = walk_pages(data[:head_end])
+    plan = plan_sample_range(idx2, 0, None)
+    assert plan.empty
+    got = decode_sample_range(data[:head_end], 0, None)
+    assert got.pcm.shape == (2, 0)
