@@ -492,7 +492,8 @@ def decode_sample_range(data: bytes, start: int, end: Optional[int] = None,
     sf = parse_stream(plan.splice(data), prefer_native=prefer_native)
     base = _solve_emission_base(sf)
     sf.emission_nums = dd._compute_emission_nums(sf, abs_base=base)
-    pcm = dd._launch_one(sf, out_i16).fetch()
+    # launch_stream_decode chunks very long ranges (bounded device memory)
+    pcm = dd.launch_stream_decode(sf, out_i16).fetch()
     n = pcm.shape[1]
     lo = min(n, plan.start_sample - base)
     hi = n if plan.end_sample is None else max(

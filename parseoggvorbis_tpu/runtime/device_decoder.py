@@ -1505,7 +1505,11 @@ def _chunk_views(sf):
     chunk_t = _chunk_frames(sf)
     if sf.num_frames <= chunk_t + 1:
         return [sf]
-    nums = _compute_emission_nums(sf)
+    # honor precomputed emission accounting (spliced/seek streams carry an
+    # absolute base the default abs_base=0 computation would reject)
+    nums = getattr(sf, "emission_nums", None)
+    if nums is None:
+        nums = _compute_emission_nums(sf)
     views = []
     start = 0
     while start < sf.num_frames:

@@ -10,9 +10,11 @@ isolation keeps a poison request from failing its batchmates).
 
 Endpoints (stdlib http.server; no external dependencies):
 
-  POST /decode?fmt=i16|f32     body: ogg bytes
+  POST /decode?fmt=i16|f32[&start=S&end=E]     body: ogg bytes
       -> 200, X-Sample-Rate/X-Channels/X-Samples headers, raw PCM
-         ([C, N] row-major, int16 LE or float32 LE)
+         ([C, N] row-major, int16 LE or float32 LE); start/end select a
+         sample range decoded via the seek path (only the pages covering
+         the range are parsed — random access into long files)
   POST /features?dim=64&kind=floor_final_ys[&device=1]   body: ogg bytes
       -> 200, X-Rows/X-Dim headers, raw float32 [rows, dim]
   GET  /stats
@@ -150,10 +152,27 @@ class _Batcher(threading.Thread):
                 p.fail("server shutting down")
 
     def _run_batch(self, batch: List[_Pending]) -> None:
-        from .runtime.batch import decode_corpus
+        from .runtime.batch import decode_corpus, decode_sample_range
 
-        decodes = [p for p in batch if p.kind == "decode"]
+        all_decodes = [p for p in batch if p.kind == "decode"]
+        # range requests decode only their pages via the seek path; each is
+        # one small dispatch, isolated per request (a bad blob must not
+        # fail its batchmates)
+        ranged = [p for p in all_decodes
+                  if "start" in p.opts or "end" in p.opts]
+        decodes = [p for p in all_decodes if p not in ranged]
         feats = [p for p in batch if p.kind == "features"]
+
+        for p in ranged:
+            try:
+                out = decode_sample_range(
+                    p.blob, p.opts.get("start", 0), p.opts.get("end"),
+                    out_i16=p.opts.get("fmt", "i16") == "i16")
+                p.result = (out.pcm, out.sample_rate)
+                p.done.set()
+            except Exception as exc:
+                self._count("errors")
+                p.fail(str(exc))
 
         if decodes:
             outs = decode_corpus(
@@ -249,7 +268,20 @@ class _Handler(BaseHTTPRequestHandler):
             if fmt not in ("i16", "f32"):
                 self.send_error(400, "fmt must be i16 or f32")
                 return
-            p = _Pending(blob, "decode", {"fmt": fmt})
+            opts = {"fmt": fmt}
+            # optional sample range (sample-exact seek): only the pages
+            # covering [start, end) are decoded (runtime/batch.py)
+            for key in ("start", "end"):
+                if key in qs:
+                    try:
+                        opts[key] = int(qs[key])
+                    except ValueError:
+                        self.send_error(400, "bad %s value" % key)
+                        return
+            if "end" in opts and opts["end"] < opts.get("start", 0):
+                self.send_error(400, "end must be >= start")
+                return
+            p = _Pending(blob, "decode", opts)
         elif url.path == "/features":
             try:
                 dim = int(qs.get("dim", "64"))

@@ -211,3 +211,20 @@ def test_plan_headers_only():
     assert plan.empty
     got = decode_sample_range(data[:head_end], 0, None)
     assert got.pcm.shape == (2, 0)
+
+
+def test_chunked_range(monkeypatch):
+    """A long range decodes through launch_stream_decode's chunked path
+    (bounded device memory) with the spliced absolute accounting intact."""
+    from parseoggvorbis_tpu.runtime import device_decoder as dd
+
+    path = _FILES["long64s"]
+    if not os.path.exists(path):
+        pytest.skip("bench corpus not generated")
+    data = open(path, "rb").read()
+    full = decode_bytes(data).pcm
+    total = full.shape[1]
+    monkeypatch.setattr(dd, "_CHUNK_T", 24)  # force many chunks
+    s, e = total // 4, total // 4 + 200_000
+    got = decode_sample_range(data, s, e).pcm
+    assert np.array_equal(got, full[:, s:e])

@@ -292,3 +292,55 @@ def test_main_cli_mesh_flag():
     assert rc == 0
     assert got["channels"] == 1
     assert got["pcm_len"] == 63488 * 2
+
+
+def test_decode_range_endpoint(server):
+    """?start/&end decode only that sample range, bit-equal to slicing."""
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    blob = open(STEREO_OGG, "rb").read()
+    full = decode_bytes(blob, out_i16=True).pcm
+    s, e = 10_000, 14_000
+    status, headers, body = _post(
+        server.port, "/decode?fmt=i16&start=%d&end=%d" % (s, e), blob)
+    assert status == 200
+    c, n = int(headers["X-Channels"]), int(headers["X-Samples"])
+    assert (c, n) == (2, e - s)
+    pcm = np.frombuffer(body, dtype=np.int16).reshape(c, n)
+    np.testing.assert_array_equal(pcm, full[:, s:e])
+    # f32 range, open end
+    full32 = decode_bytes(blob).pcm
+    status, headers, body = _post(
+        server.port, "/decode?fmt=f32&start=%d" % (full32.shape[1] - 500,),
+        blob)
+    assert status == 200
+    pcm = np.frombuffer(body, dtype=np.float32).reshape(2, -1)
+    np.testing.assert_array_equal(pcm, full32[:, -500:])
+
+
+def test_decode_range_validation(server):
+    blob = open(STEREO_OGG, "rb").read()
+    status, _, _ = _post(server.port, "/decode?start=abc", blob)
+    assert status == 400
+    status, _, _ = _post(server.port, "/decode?start=100&end=50", blob)
+    assert status == 400
+
+
+def test_decode_range_bad_blob_fails_alone(server):
+    """A ranged poison request 422s; a concurrent good range succeeds."""
+    good = open(STEREO_OGG, "rb").read()
+    results = [None, None]
+
+    def hit(i, blob, q):
+        results[i] = _post(server.port, q, blob)
+
+    threads = [
+        threading.Thread(target=hit, args=(0, b"garbage", "/decode?start=0&end=10")),
+        threading.Thread(target=hit, args=(1, good, "/decode?start=0&end=10")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results[0][0] == 422
+    assert results[1][0] == 200
