@@ -502,6 +502,24 @@ def decode_sample_range(data: bytes, start: int, end: Optional[int] = None,
                         sample_rate=sf.sample_rate)
 
 
+def decode_file_range(path: str, start: int, end: Optional[int] = None,
+                      prefer_native: bool = True, out_i16: bool = False,
+                      serial: Optional[int] = None) -> DecodedAudio:
+    """:func:`decode_sample_range` over an mmapped file.
+
+    Only the page headers (for the index walk) and the pages covering the
+    range are ever faulted in — host memory and file IO stay O(range),
+    not O(file), however long the recording is.
+    """
+    import mmap
+
+    with open(path, "rb") as f:
+        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+            return decode_sample_range(mm, start, end,
+                                       prefer_native=prefer_native,
+                                       out_i16=out_i16, serial=serial)
+
+
 def decode_time_range(data: bytes, start_seconds: float,
                       end_seconds: Optional[float] = None,
                       prefer_native: bool = True, out_i16: bool = False,

@@ -228,3 +228,18 @@ def test_chunked_range(monkeypatch):
     s, e = total // 4, total // 4 + 200_000
     got = decode_sample_range(data, s, e).pcm
     assert np.array_equal(got, full[:, s:e])
+
+
+def test_decode_file_range_mmap():
+    """decode_file_range mmaps the file: O(range) IO, same exact output."""
+    from parseoggvorbis_tpu.runtime.batch import decode_file_range
+
+    path = _FILES["long64s"]
+    if not os.path.exists(path):
+        pytest.skip("bench corpus not generated")
+    full = decode_bytes(open(path, "rb").read()).pcm
+    s, e = 44100 * 20, 44100 * 20 + 5000
+    got = decode_file_range(path, s, e)
+    assert np.array_equal(got.pcm, full[:, s:e])
+    got = decode_file_range(path, s, e, prefer_native=False, out_i16=True)
+    assert got.pcm.dtype == np.int16
