@@ -252,8 +252,9 @@ static float inverse_db(int i) {
   return pov::inverse_db(i);
 }
 
-// Direct IMDCT with exact-phase double trig table.
-struct Imdct {
+// Direct IMDCT with exact-phase double trig table (debug/verification
+// path, POV_IMDCT_DIRECT=1; profiled at 99% of the decode wall).
+struct ImdctDirect {
   int n = 0;
   std::vector<double> cos_table;  // [4n]: cos(pi/(2n) * m)
   void init(int n_) {
@@ -279,6 +280,120 @@ struct Imdct {
       }
     }
     for (int j = 0; j < n; ++j) out[j] = (float)acc[j];
+  }
+};
+
+// O(n log n) IMDCT — the production path; same derivation as the device
+// path's imdct_via_rfft (runtime/jax_backend.py).  With a_j = 2j+1+n/2
+// and G the sign(+) length-2n DFT of the zero-padded spectrum,
+//     y[j] = Re( e^{i pi a_j/(2n)} * G[a_j mod 2n] ),
+// and only ODD bins of G are needed:
+//     G[2u+1] = FFT_n^{+}( X[k] * e^{i pi k / n} )[u],  u_j = (j + n/4) mod n
+// — ONE n-point complex FFT per frame (pre-twist + 2-MAC post gather),
+// ~n log2(n) flops vs the direct transform's (n^2)/2 MACs.  Float math
+// with double-precomputed tables: |err| vs the exact-phase transform is
+// ~1e-7 on unit-scale PCM (tests/test_native_capi.py drives the dump
+// through the 1e-5 differential harness bound).  Replaces the role of the
+// reference's vendored libvorbis split-radix mdct
+// (/root/reference/src/mdct.cpp) with an independent formulation.
+struct Imdct {
+  int n = 0, half = 0, levels = 0;
+  bool direct = false;
+  ImdctDirect direct_impl;
+  std::vector<int> rev;       // bit-reversal permutation [n]
+  std::vector<float> pre;     // [half*2] interleaved (re, im) of e^{i pi k/n}
+  std::vector<float> tw;      // per-level twiddles e^{+2 pi i j/len}, interleaved
+  std::vector<int> tw_off;    // [levels] offset of each level's table
+  std::vector<float> post;    // [n*2] (cr, ci): y[j] = cr*Ur[u] + ci*Ui[u]
+  std::vector<int> post_u;    // [n] FFT bin per output j
+  mutable std::vector<float> wr, wi;  // FFT work [n]
+
+  void init(int n_) {
+    n = n_;
+    half = n / 2;
+    const char* env = getenv("POV_IMDCT_DIRECT");
+    direct = env && env[0] == '1';
+    if (direct) {
+      direct_impl.init(n);
+      return;
+    }
+    levels = 0;
+    while ((1 << levels) < n) ++levels;
+    rev.resize(n);
+    rev[0] = 0;
+    for (int i = 1; i < n; ++i)
+      rev[i] = (rev[i >> 1] >> 1) | ((i & 1) << (levels - 1));
+    pre.resize(2 * half);
+    for (int k = 0; k < half; ++k) {
+      double ph = M_PI * k / n;
+      pre[2 * k] = (float)std::cos(ph);
+      pre[2 * k + 1] = (float)std::sin(ph);
+    }
+    tw_off.assign(levels, 0);
+    int total = 0;
+    for (int lv = 0; lv < levels; ++lv) total += (1 << lv);  // len/2 per level
+    tw.resize(2 * total);
+    total = 0;
+    for (int lv = 0; lv < levels; ++lv) {
+      int len = 2 << lv;
+      tw_off[lv] = 2 * total;
+      for (int j = 0; j < len / 2; ++j) {
+        double ph = 2.0 * M_PI * j / len;  // sign(+) kernel
+        tw[2 * total + 2 * j] = (float)std::cos(ph);
+        tw[2 * total + 2 * j + 1] = (float)std::sin(ph);
+      }
+      total += len / 2;
+    }
+    post.resize(2 * n);
+    post_u.resize(n);
+    for (int j = 0; j < n; ++j) {
+      int64_t a = 2 * (int64_t)j + 1 + n / 2;
+      double ph = M_PI * (double)a / (2.0 * n);
+      post[2 * j] = (float)std::cos(ph);        // Re(P)
+      post[2 * j + 1] = (float)-std::sin(ph);   // -Im(P): y = Pr*Ur - Pi*Ui
+      post_u[j] = (int)((j + n / 4) % n);
+    }
+    wr.resize(n);
+    wi.resize(n);
+  }
+
+  void backward(const float* in, float* out) const {
+    if (direct) {
+      direct_impl.backward(in, out);
+      return;
+    }
+    float* __restrict re = wr.data();
+    float* __restrict im = wi.data();
+    std::fill(re, re + n, 0.f);
+    std::fill(im, im + n, 0.f);
+    for (int k = 0; k < half; ++k) {
+      float x = in[k];
+      int r = rev[k];
+      re[r] = x * pre[2 * k];
+      im[r] = x * pre[2 * k + 1];
+    }
+    for (int lv = 0; lv < levels; ++lv) {
+      int len = 2 << lv;
+      int hl = len >> 1;
+      const float* __restrict w = &tw[tw_off[lv]];
+      for (int s = 0; s < n; s += len) {
+        for (int j = 0; j < hl; ++j) {
+          float wr_ = w[2 * j], wi_ = w[2 * j + 1];
+          int p = s + j, q = s + j + hl;
+          float vr = re[q] * wr_ - im[q] * wi_;
+          float vi = re[q] * wi_ + im[q] * wr_;
+          float ur = re[p], ui = im[p];
+          re[p] = ur + vr;
+          im[p] = ui + vi;
+          re[q] = ur - vr;
+          im[q] = ui - vi;
+        }
+      }
+    }
+    for (int j = 0; j < n; ++j) {
+      int u = post_u[j];
+      out[j] = post[2 * j] * re[u] + post[2 * j + 1] * im[u];
+    }
   }
 };
 
