@@ -97,3 +97,41 @@ def test_native_cli_binary(tmp_path, mono_ogg, golden_dumps):
 
     bad = subprocess.run([BIN], capture_output=True, text=True)
     assert bad.returncode == 1
+
+
+def test_fft_imdct_matches_exact_phase_transform(tmp_path, stereo_ogg,
+                                                 monkeypatch):
+    """The production O(n log n) IMDCT must agree with the exact-phase
+    direct transform (POV_IMDCT_DIRECT=1) to float precision on a real
+    decode — same frames, same taps, max abs diff ~1e-6 on unit-scale
+    PCM (the differential harness bound is 1e-5)."""
+    dumps = {}
+    for name, env in [("fft", "0"), ("direct", "1")]:
+        dump = str(tmp_path / (name + ".dump"))
+        # getenv is read at stream init, so flipping the env between
+        # decodes in-process exercises both transforms in one test
+        monkeypatch.setenv("POV_IMDCT_DIRECT", env)
+        subprocess.run([BIN, "--in", stereo_ogg, "--debug_out", dump],
+                       check=True, stdout=subprocess.DEVNULL,
+                       env=dict(os.environ))
+        dumps[name] = dump
+    from parseoggvorbis_tpu.callbacks.reader import DumpReader
+
+    r1, r2 = DumpReader(dumps["fft"]), DumpReader(dumps["direct"])
+    worst = 0.0
+    pcm_taps = 0
+    while True:
+        try:
+            n1, c1, d1 = r1.read_entry()
+            n2, c2, d2 = r2.read_entry()
+        except EOFError:
+            break
+        assert (n1, c1) == (n2, c2)
+        a1, a2 = np.asarray(d1), np.asarray(d2)
+        if a1.dtype == np.float32 and n1 in ("pcm_after_mdct", "pcm"):
+            worst = max(worst, float(np.max(np.abs(a1 - a2))) if a1.size else 0.0)
+            pcm_taps += 1
+        elif a1.dtype != np.float32:
+            assert np.array_equal(a1, a2), n1
+    assert pcm_taps > 100
+    assert worst < 2e-6, worst
