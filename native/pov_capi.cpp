@@ -302,10 +302,9 @@ struct Imdct {
   ImdctDirect direct_impl;
   std::vector<int> rev;       // bit-reversal permutation [n]
   std::vector<float> pre;     // [half*2] interleaved (re, im) of e^{i pi k/n}
-  std::vector<float> tw;      // per-level twiddles e^{+2 pi i j/len}, interleaved
+  std::vector<float> twr, twi;  // per-level twiddles e^{+2 pi i j/len}, SoA
   std::vector<int> tw_off;    // [levels] offset of each level's table
-  std::vector<float> post;    // [n*2] (cr, ci): y[j] = cr*Ur[u] + ci*Ui[u]
-  std::vector<int> post_u;    // [n] FFT bin per output j
+  std::vector<float> postr, posti;  // [n] (cr, ci): y[j] = cr*Ur[u] + ci*Ui[u]
   mutable std::vector<float> wr, wi;  // FFT work [n]
 
   void init(int n_) {
@@ -332,26 +331,26 @@ struct Imdct {
     tw_off.assign(levels, 0);
     int total = 0;
     for (int lv = 0; lv < levels; ++lv) total += (1 << lv);  // len/2 per level
-    tw.resize(2 * total);
+    twr.resize(total);
+    twi.resize(total);
     total = 0;
     for (int lv = 0; lv < levels; ++lv) {
       int len = 2 << lv;
-      tw_off[lv] = 2 * total;
+      tw_off[lv] = total;
       for (int j = 0; j < len / 2; ++j) {
         double ph = 2.0 * M_PI * j / len;  // sign(+) kernel
-        tw[2 * total + 2 * j] = (float)std::cos(ph);
-        tw[2 * total + 2 * j + 1] = (float)std::sin(ph);
+        twr[total + j] = (float)std::cos(ph);
+        twi[total + j] = (float)std::sin(ph);
       }
       total += len / 2;
     }
-    post.resize(2 * n);
-    post_u.resize(n);
+    postr.resize(n);
+    posti.resize(n);
     for (int j = 0; j < n; ++j) {
       int64_t a = 2 * (int64_t)j + 1 + n / 2;
       double ph = M_PI * (double)a / (2.0 * n);
-      post[2 * j] = (float)std::cos(ph);        // Re(P)
-      post[2 * j + 1] = (float)-std::sin(ph);   // -Im(P): y = Pr*Ur - Pi*Ui
-      post_u[j] = (int)((j + n / 4) % n);
+      postr[j] = (float)std::cos(ph);        // Re(P)
+      posti[j] = (float)-std::sin(ph);       // -Im(P): y = Pr*Ur - Pi*Ui
     }
     wr.resize(n);
     wi.resize(n);
@@ -372,27 +371,61 @@ struct Imdct {
       re[r] = x * pre[2 * k];
       im[r] = x * pre[2 * k + 1];
     }
-    for (int lv = 0; lv < levels; ++lv) {
+    // level 0 (len=2, w=1): add/sub only
+    for (int s = 0; s < n; s += 2) {
+      float ur = re[s], ui = im[s], vr = re[s + 1], vi = im[s + 1];
+      re[s] = ur + vr;
+      im[s] = ui + vi;
+      re[s + 1] = ur - vr;
+      im[s + 1] = ui - vi;
+    }
+    // level 1 (len=4, w in {1, +i}): multiply-free butterflies
+    for (int s = 0; s < n; s += 4) {
+      float ur = re[s], ui = im[s], vr = re[s + 2], vi = im[s + 2];
+      re[s] = ur + vr;
+      im[s] = ui + vi;
+      re[s + 2] = ur - vr;
+      im[s + 2] = ui - vi;
+      // j=1: v * (+i) = (-vi, vr)  [sign(+) kernel]
+      ur = re[s + 1];
+      ui = im[s + 1];
+      vr = -im[s + 3];
+      vi = re[s + 3];
+      re[s + 1] = ur + vr;
+      im[s + 1] = ui + vi;
+      re[s + 3] = ur - vr;
+      im[s + 3] = ui - vi;
+    }
+    for (int lv = 2; lv < levels; ++lv) {
       int len = 2 << lv;
       int hl = len >> 1;
-      const float* __restrict w = &tw[tw_off[lv]];
+      const float* __restrict wre = &twr[tw_off[lv]];
+      const float* __restrict wim = &twi[tw_off[lv]];
       for (int s = 0; s < n; s += len) {
+        float* __restrict rp = re + s;
+        float* __restrict ip = im + s;
+        float* __restrict rq = re + s + hl;
+        float* __restrict iq = im + s + hl;
         for (int j = 0; j < hl; ++j) {
-          float wr_ = w[2 * j], wi_ = w[2 * j + 1];
-          int p = s + j, q = s + j + hl;
-          float vr = re[q] * wr_ - im[q] * wi_;
-          float vi = re[q] * wi_ + im[q] * wr_;
-          float ur = re[p], ui = im[p];
-          re[p] = ur + vr;
-          im[p] = ui + vi;
-          re[q] = ur - vr;
-          im[q] = ui - vi;
+          float vr = rq[j] * wre[j] - iq[j] * wim[j];
+          float vi = rq[j] * wim[j] + iq[j] * wre[j];
+          float ur = rp[j], ui = ip[j];
+          rp[j] = ur + vr;
+          ip[j] = ui + vi;
+          rq[j] = ur - vr;
+          iq[j] = ui - vi;
         }
       }
     }
-    for (int j = 0; j < n; ++j) {
-      int u = post_u[j];
-      out[j] = post[2 * j] * re[u] + post[2 * j + 1] * im[u];
+    // post gather: u_j = (j + n/4) mod n — two contiguous spans
+    {
+      int q3 = n - n / 4;
+      const float* __restrict cr = postr.data();
+      const float* __restrict ci = posti.data();
+      for (int j = 0; j < q3; ++j)
+        out[j] = cr[j] * re[j + n / 4] + ci[j] * im[j + n / 4];
+      for (int j = q3; j < n; ++j)
+        out[j] = cr[j] * re[j - q3] + ci[j] * im[j - q3];
     }
   }
 };
