@@ -356,10 +356,22 @@ class StreamingDecode:
     """
 
     def __init__(self, data: bytes, out_i16: bool = False,
-                 chunk_frames: int = 0, max_in_flight: int = 2):
+                 chunk_frames: int = 0, max_in_flight: int = 2,
+                 start_sample: int = 0):
         from ..native import frontend as native
         from . import device_decoder as dd
 
+        self._seek_start = 0
+        self._solve_base = False
+        if start_sample > 0:
+            # stream from mid-file: parse only the pages from the seek
+            # anchor on (ogg/seek.py) — O(window) memory from any offset
+            from ..ogg.seek import plan_sample_range, walk_pages
+
+            plan = plan_sample_range(walk_pages(data), start_sample, None)
+            data = plan.splice(data)
+            self._seek_start = plan.start_sample
+            self._solve_base = not plan.empty
         self._inc = native.NativeIncremental(data)
         self._data = data
         self._out_i16 = out_i16
@@ -388,6 +400,13 @@ class StreamingDecode:
                 # the context frame's granule was consumed last window
                 sf.granules = sf.granules.copy()
                 sf.granules[0] = -1
+            if self._solve_base:
+                # spliced start: pin the absolute emission base from the
+                # first window's granules (seek semantics, ogg/seek.py)
+                abs_base = _solve_emission_base(sf)
+                self._skip = self._seek_start - abs_base
+                check(self._skip >= 0, "seek anchor past requested start")
+                self._solve_base = False
             nums = dd._compute_emission_nums(sf, abs_base=abs_base)
             abs_base += int(nums.sum())
             sf.emission_nums = nums
@@ -398,15 +417,30 @@ class StreamingDecode:
 
         dd = self._dd
         in_flight = deque()
+        self._skip = 0
+
+        def emit(chunk):
+            if self._skip:
+                if self._skip >= chunk.shape[1]:
+                    self._skip -= chunk.shape[1]
+                    return None
+                chunk = chunk[:, self._skip:]
+                self._skip = 0
+            return chunk
+
         try:
             for sf in self._windows():
                 # launch copies the window's tensors out synchronously, so
                 # the next parse may overwrite the native buffers
                 in_flight.append(dd._launch_one(sf, self._out_i16))
                 while len(in_flight) >= self._max_in_flight:
-                    yield in_flight.popleft().fetch()
+                    out = emit(in_flight.popleft().fetch())
+                    if out is not None:
+                        yield out
             while in_flight:
-                yield in_flight.popleft().fetch()
+                out = emit(in_flight.popleft().fetch())
+                if out is not None:
+                    yield out
         finally:
             self._inc.close()
 
@@ -426,10 +460,15 @@ class StreamingDecode:
 
 
 def decode_bytes_streaming(data: bytes, out_i16: bool = False,
-                           chunk_frames: int = 0) -> StreamingDecode:
+                           chunk_frames: int = 0,
+                           start_sample: int = 0) -> StreamingDecode:
     """Bounded-memory decode for arbitrarily long streams (see
-    :class:`StreamingDecode`).  Requires the native front-end."""
-    return StreamingDecode(data, out_i16=out_i16, chunk_frames=chunk_frames)
+    :class:`StreamingDecode`).  Requires the native front-end.
+    ``start_sample`` streams from mid-file via the seek splice — only the
+    pages from the anchor on are parsed, so both startup cost and memory
+    stay O(window) at any offset."""
+    return StreamingDecode(data, out_i16=out_i16, chunk_frames=chunk_frames,
+                           start_sample=start_sample)
 
 
 def decode_bytes(data: bytes, prefer_native: bool = True,

@@ -243,3 +243,30 @@ def test_decode_file_range_mmap():
     assert np.array_equal(got.pcm, full[:, s:e])
     got = decode_file_range(path, s, e, prefer_native=False, out_i16=True)
     assert got.pcm.dtype == np.int16
+
+
+def test_streaming_seek():
+    """StreamingDecode(start_sample=N): O(window) streaming from mid-file,
+    bit-identical to the tail of a full decode."""
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes_streaming
+
+    path = _FILES["long64s"]
+    if not os.path.exists(path):
+        pytest.skip("bench corpus not generated")
+    data = open(path, "rb").read()
+    full = decode_bytes(data).pcm
+    s = 44100 * 40 + 123
+    sd = decode_bytes_streaming(data, start_sample=s)
+    got = sd.read_all()
+    assert got.sample_rate == 44100
+    assert np.array_equal(got.pcm, full[:, s:])
+    # chunked iteration from an offset, i16
+    sd = decode_bytes_streaming(data, out_i16=True, start_sample=s,
+                                chunk_frames=64)
+    chunks = list(sd)
+    assert len(chunks) > 3
+    full16 = decode_bytes(data, out_i16=True).pcm
+    assert np.array_equal(np.concatenate(chunks, axis=1), full16[:, s:])
+    # past the end: empty
+    sd = decode_bytes_streaming(data, start_sample=full.shape[1] + 10)
+    assert sd.read_all().pcm.shape[1] == 0
