@@ -270,3 +270,38 @@ def test_streaming_seek():
     # past the end: empty
     sd = decode_bytes_streaming(data, start_sample=full.shape[1] + 10)
     assert sd.read_all().pcm.shape[1] == 0
+
+
+def test_walk_pages_error_branches():
+    data = open(STEREO_OGG, "rb").read()
+    # truncated mid page header
+    with pytest.raises(ParseError):
+        walk_pages(data[:len(data) // 2 + 3])
+    # valid framing but no Vorbis BOS: rewrite the id-header signature
+    idx = walk_pages(data)
+    from parseoggvorbis_tpu.utils.crc import ogg_page_crc
+    from parseoggvorbis_tpu.ogg.page import HEADER_SIZE
+
+    first = bytearray(data[:idx.pages[0].end])
+    nseg = first[26]
+    payload_off = HEADER_SIZE + nseg
+    assert first[payload_off:payload_off + 7] == b"\x01vorbis"
+    first[payload_off + 1:payload_off + 7] = b"norbis"
+    first[22:26] = b"\x00\x00\x00\x00"
+    crc = ogg_page_crc(bytes(first[:HEADER_SIZE]),
+                       bytes(first[HEADER_SIZE:payload_off]),
+                       bytes(first[payload_off:]))
+    struct.pack_into("<I", first, 22, crc)
+    with pytest.raises(ParseError, match="no Vorbis BOS"):
+        walk_pages(bytes(first) + data[idx.pages[0].end:])
+
+
+def test_solve_base_requires_granule():
+    from parseoggvorbis_tpu.runtime.batch import (
+        _solve_emission_base, parse_stream)
+
+    data = open(STEREO_OGG, "rb").read()
+    sf = parse_stream(data)
+    sf.granules = np.full_like(sf.granules, -1)
+    with pytest.raises(ParseError, match="no granule"):
+        _solve_emission_base(sf)
