@@ -290,3 +290,58 @@ def test_native_parse_requires_lib(monkeypatch):
     monkeypatch.setenv("POV_AUTOBUILD", "0")
     with pytest.raises(RuntimeError, match="not built"):
         fe.parse_streams_native(b"OggS")
+
+
+def test_per_stream_pipelined_flow_bit_equal(monkeypatch):
+    """POV_GROUP_STREAMS=1 (per-stream pipelined parse->launch->prefetch)
+    must be bit-equal to the stacked-group default path."""
+    from parseoggvorbis_tpu.runtime import device_decoder as dd
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
+
+    blobs = [open(MONO_OGG, "rb").read(), open(STEREO_OGG, "rb").read()]
+    want = decode_corpus(blobs)
+    monkeypatch.setattr(dd, "_GROUP_S", 1)
+    got = decode_corpus(blobs)
+    assert len(got) == len(want) == 2
+    for a, b in zip(want, got):
+        assert np.array_equal(a.pcm, b.pcm)
+
+
+def test_per_stream_launch_error_isolated(monkeypatch):
+    """Non-strict per-stream flow: a poisoned launch fails that stream
+    alone; batchmates decode."""
+    from parseoggvorbis_tpu.runtime import device_decoder as dd
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
+
+    monkeypatch.setattr(dd, "_GROUP_S", 1)
+    orig = dd.launch_stream_decode
+
+    def boom(sf, out_i16=False):
+        if sf.channels == 1:
+            raise RuntimeError("poisoned launch")
+        return orig(sf, out_i16=out_i16)
+
+    monkeypatch.setattr(dd, "launch_stream_decode", boom)
+    blobs = [open(MONO_OGG, "rb").read(), open(STEREO_OGG, "rb").read()]
+    outs = decode_corpus(blobs, strict=False)
+    assert not outs[0].ok and "poisoned" in outs[0].error
+    assert outs[1].ok and outs[1].pcm.shape[1] > 0
+
+
+def test_streaming_seek_near_page_skip():
+    """A seek landing one sample before a page granule maximizes the
+    leading-chunk trim (the incremental windows are page-granular, so the
+    skip never exceeds the first chunk; the whole-chunk-drop arm in
+    StreamingDecode.emit is defensive)."""
+    from parseoggvorbis_tpu.ogg.seek import walk_pages
+    from parseoggvorbis_tpu.runtime.batch import (
+        decode_bytes, decode_bytes_streaming)
+
+    data = open(STEREO_OGG, "rb").read()
+    idx = walk_pages(data)
+    gs = [p.granule for p in idx.audio_pages if p.granule >= 0]
+    s = gs[len(gs) // 2] - 1  # skip ~= one full page of samples
+    full = decode_bytes(data).pcm
+    sd = decode_bytes_streaming(data, start_sample=s, chunk_frames=4)
+    got = sd.read_all()
+    assert np.array_equal(got.pcm, full[:, s:])

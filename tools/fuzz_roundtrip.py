@@ -135,6 +135,21 @@ def main():
                     fails += 1
                     status = "FAIL(stream)"
                 extra += " +stream%d" % chunk
+            # random-range seek must equal slicing the full decode EXACTLY
+            # (bit-contract of decode_sample_range, ogg/seek.py)
+            if rng.rand() < 0.3:
+                from parseoggvorbis_tpu.runtime.batch import \
+                    decode_sample_range
+
+                total = ours.pcm.shape[1]
+                if total > 1:
+                    s = int(rng.randint(0, total))
+                    e = int(min(total, s + 1 + rng.randint(0, total)))
+                    got = decode_sample_range(ogg, s, e)
+                    if not np.array_equal(got.pcm, ours.pcm[:, s:e]):
+                        fails += 1
+                        status = "FAIL(seek)"
+                    extra += " +seek[%d:%d]" % (s, e)
             # CRC-resealed payload mutations must full-decode or reject
             # cleanly, never crash (see tests/tools/page_mutate.py)
             if args.mutate:
