@@ -152,6 +152,13 @@ class SplicePlan:
     start_sample: int  # clamped requested start
     end_sample: Optional[int]  # clamped requested end (None: to stream end)
     empty: bool = False
+    # True when the splice begins at the stream's first audio page: the
+    # decode must then use abs_base=0 and the standard emission accounting
+    # (which replicates the reference's initial/short-stream truncation
+    # semantics) instead of solving the base from the first granule — on a
+    # single-page stream that granule TRUNCATES, and solving from it
+    # underestimates the base (found by the roundtrip fuzzer's seek probe)
+    from_start: bool = False
 
     def splice(self, data: bytes) -> bytes:
         return b"".join(data[a:b] for a, b in self.spans)
@@ -198,4 +205,5 @@ def plan_sample_range(index: StreamPageIndex, start: int,
                 last = i
                 break
     spans = headers + [(audio[anchor].offset, audio[last].end)]
-    return SplicePlan(spans=spans, start_sample=start, end_sample=end)
+    return SplicePlan(spans=spans, start_sample=start, end_sample=end,
+                      from_start=(anchor == 0))

@@ -371,7 +371,10 @@ class StreamingDecode:
             plan = plan_sample_range(walk_pages(data), start_sample, None)
             data = plan.splice(data)
             self._seek_start = plan.start_sample
-            self._solve_base = not plan.empty
+            # from the stream start the base is 0 (truncating first
+            # granules are handled by the standard accounting); only
+            # mid-stream splices solve the base from the first window
+            self._solve_base = not plan.empty and not plan.from_start
         self._inc = native.NativeIncremental(data)
         self._data = data
         self._out_i16 = out_i16
@@ -417,7 +420,9 @@ class StreamingDecode:
 
         dd = self._dd
         in_flight = deque()
-        self._skip = 0
+        # from_start seeks skip in output space directly; mid-stream
+        # splices overwrite this once the first window pins the base
+        self._skip = 0 if self._solve_base else self._seek_start
 
         def emit(chunk):
             if self._skip:
@@ -529,7 +534,10 @@ def decode_sample_range(data: bytes, start: int, end: Optional[int] = None,
         return DecodedAudio(pcm=np.zeros((sf.channels, 0), dtype),
                             sample_rate=sf.sample_rate)
     sf = parse_stream(plan.splice(data), prefer_native=prefer_native)
-    base = _solve_emission_base(sf)
+    # from the stream start, abs_base=0 + the standard accounting handles
+    # initial/short-stream truncating granules exactly like a full decode;
+    # mid-stream splices pin the base from the anchor page's granule
+    base = 0 if plan.from_start else _solve_emission_base(sf)
     sf.emission_nums = dd._compute_emission_nums(sf, abs_base=base)
     # launch_stream_decode chunks very long ranges (bounded device memory)
     pcm = dd.launch_stream_decode(sf, out_i16).fetch()

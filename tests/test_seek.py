@@ -305,3 +305,28 @@ def test_solve_base_requires_granule():
     sf.granules = np.full_like(sf.granules, -1)
     with pytest.raises(ParseError, match="no granule"):
         _solve_emission_base(sf)
+
+
+def test_short_stream_truncating_first_granule():
+    """Seek in a stream whose ONLY audio page carries a truncating EOS
+    granule: the base must come from abs_base=0 accounting, not from
+    solving against the (truncating) first granule.  Regression for a
+    ParseError found by the roundtrip fuzzer's seek probe."""
+    import vorbis_oracle
+    if not vorbis_oracle.available():
+        pytest.skip("system libvorbis not installed")
+    from parseoggvorbis_tpu.ogg.seek import walk_pages as wp
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes_streaming
+
+    rng = np.random.RandomState(0)
+    pcm = (rng.randn(1, 700) * 0.3).astype(np.float32)
+    ogg = vorbis_oracle.encode_ogg(pcm, 8000, 0.2, serial=7)
+    idx = wp(ogg)
+    assert len(idx.audio_pages) == 1  # the regression precondition
+    full = decode_bytes(ogg).pcm
+    assert full.shape[1] == 700  # EOS granule truncates the lapped sum
+    for s, e in [(0, 100), (100, 400), (500, None), (699, None)]:
+        got = decode_sample_range(ogg, s, e).pcm
+        assert np.array_equal(got, full[:, s:e]), (s, e)
+    got = decode_bytes_streaming(ogg, start_sample=200).read_all()
+    assert np.array_equal(got.pcm, full[:, 200:])

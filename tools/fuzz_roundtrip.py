@@ -145,8 +145,13 @@ def main():
                 if total > 1:
                     s = int(rng.randint(0, total))
                     e = int(min(total, s + 1 + rng.randint(0, total)))
-                    got = decode_sample_range(ogg, s, e)
-                    if not np.array_equal(got.pcm, ours.pcm[:, s:e]):
+                    try:
+                        got = decode_sample_range(ogg, s, e)
+                        seek_ok = np.array_equal(got.pcm, ours.pcm[:, s:e])
+                    except Exception as exc:
+                        print("    seek[%d:%d] raised: %s" % (s, e, exc))
+                        seek_ok = False
+                    if not seek_ok:
                         fails += 1
                         status = "FAIL(seek)"
                     extra += " +seek[%d:%d]" % (s, e)
