@@ -363,21 +363,22 @@ struct Imdct {
     }
     float* __restrict re = wr.data();
     float* __restrict im = wi.data();
-    std::fill(re, re + n, 0.f);
-    std::fill(im, im + n, 0.f);
+    // The spectrum occupies k < n/2, whose bit-reversals are exactly the
+    // EVEN positions — so every level-0 butterfly pairs a loaded value
+    // with a zero and degenerates to duplication.  Scatter each input to
+    // both slots of its pair: level 0 (and any zero-fill) vanishes.
+    // (Measured ~neutral vs fill+scatter+level-0 on this host — the
+    // sequential passes it removes were already bandwidth-cheap — but
+    // it is fewer instructions and documents the support structure.)
     for (int k = 0; k < half; ++k) {
       float x = in[k];
-      int r = rev[k];
-      re[r] = x * pre[2 * k];
-      im[r] = x * pre[2 * k + 1];
-    }
-    // level 0 (len=2, w=1): add/sub only
-    for (int s = 0; s < n; s += 2) {
-      float ur = re[s], ui = im[s], vr = re[s + 1], vi = im[s + 1];
-      re[s] = ur + vr;
-      im[s] = ui + vi;
-      re[s + 1] = ur - vr;
-      im[s + 1] = ui - vi;
+      int r = rev[k];  // even
+      float vr = x * pre[2 * k];
+      float vi = x * pre[2 * k + 1];
+      re[r] = vr;
+      re[r + 1] = vr;
+      im[r] = vi;
+      im[r + 1] = vi;
     }
     // level 1 (len=4, w in {1, +i}): multiply-free butterflies
     for (int s = 0; s < n; s += 4) {
