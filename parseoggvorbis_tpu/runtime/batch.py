@@ -607,6 +607,7 @@ def decode_corpus(
     out_i16: bool = False,
     strict: bool = True,
     mesh=None,
+    ranges: Optional[Sequence[Optional[Tuple[int, Optional[int]]]]] = None,
 ) -> List[DecodedAudio]:
     """Decode a corpus of in-memory oggs.
 
@@ -633,16 +634,59 @@ def decode_corpus(
     ``mesh`` (a jax.sharding.Mesh with a 'data' axis) runs the device pass
     multi-chip: same-signature streams stack into dispatches whose stream
     axis is sharded over 'data' (see device_decoder.launch_corpus_decode_mesh).
+
+    ``ranges`` enables batched random access (ML crop sampling at scale):
+    one optional ``(start_sample, end_sample_or_None)`` per blob.  A
+    ranged blob decodes only the pages covering its range via the seek
+    splice (ogg/seek.py) — bit-identical to slicing its full decode — and
+    still batches/stacks with the rest of the corpus on device.  Ranged
+    blobs yield their first Vorbis stream (the splice is single-stream).
     """
     from . import device_decoder as dd
 
-    def safe_parse(b):
+    range_plans = {}
+    if ranges is not None:
+        from ..ogg.seek import plan_sample_range, walk_pages
+
+        check(len(ranges) == len(blobs),
+              "ranges must have one entry per blob")
+        spliced = []
+        for i, (b, rng) in enumerate(zip(blobs, ranges)):
+            if rng is None:
+                spliced.append(b)
+                continue
+            try:
+                plan = plan_sample_range(walk_pages(b), rng[0], rng[1])
+            except Exception:
+                if strict:
+                    raise
+                # leave the blob whole; parse will surface the error
+                spliced.append(b)
+                continue
+            range_plans[i] = plan
+            spliced.append(plan.splice(b))
+        blobs = spliced
+
+    def safe_parse(pos_blob):
         """-> list of StreamFrames (one per logical stream) or Exception."""
         import time
 
+        pos, b = pos_blob
         t0 = time.perf_counter()
         try:
-            return parse_streams(b, prefer_native=prefer_native)
+            sfs = parse_streams(b, prefer_native=prefer_native)
+            plan = range_plans.get(pos)
+            if plan is not None:
+                sfs = sfs[:1]  # a seek splice is single-stream
+                sf = sfs[0]
+                base = 0
+                if sf.num_frames and not plan.from_start:
+                    base = _solve_emission_base(sf)
+                if sf.num_frames:
+                    sf.emission_nums = dd._compute_emission_nums(
+                        sf, abs_base=base)
+                sf.range_slice = (plan.start_sample, plan.end_sample, base)
+            return sfs
         except Exception as exc:
             if strict:
                 raise
@@ -659,7 +703,7 @@ def decode_corpus(
     # ``launched`` mirrors the blob list: per blob either an Exception or a
     # list of (StreamFrames, pending-or-Exception), one per logical stream.
     if mesh is not None:
-        parsed = run(safe_parse, list(blobs))
+        parsed = run(safe_parse, list(enumerate(blobs)))
         flat = [sf for sfs in parsed if isinstance(sfs, list) for sf in sfs]
         pendings = dd.launch_corpus_decode_mesh(flat, mesh, out_i16=out_i16)
         it = iter(pendings)
@@ -669,8 +713,8 @@ def decode_corpus(
         # Fully pipelined per-stream flow: parse -> prepare -> dispatch ->
         # async output prefetch, all inside the thread pool, so one stream's
         # host symbol pass overlaps another's transfers and device compute.
-        def parse_and_launch(b):
-            sfs = safe_parse(b)
+        def parse_and_launch(pos_blob):
+            sfs = safe_parse(pos_blob)
             if not isinstance(sfs, list):
                 return sfs
             out = []
@@ -686,7 +730,7 @@ def decode_corpus(
                     out.append((sf, exc))
             return out
 
-        launched = run(parse_and_launch, list(blobs))
+        launched = run(parse_and_launch, list(enumerate(blobs)))
     else:
         # Stacked-group flow (POV_GROUP_STREAMS>1, the default): same-
         # signature streams share vmapped dispatches.  The launcher is fed
@@ -707,7 +751,7 @@ def decode_corpus(
 
         def parse_and_feed(pos_blob):
             pos, b = pos_blob
-            sfs = safe_parse(b)
+            sfs = safe_parse(pos_blob)
             # launcher.add is not thread-safe by design (dispatch order
             # = grouping determinism); serialize adds across the pool
             with _launch_lock:
@@ -762,6 +806,13 @@ def decode_corpus(
                                 blob_index=blob_i, stream_index=stream_i)
         try:
             pcm = pending.fetch()
+            rng = getattr(sf, "range_slice", None)
+            if rng is not None:
+                s, e, base = rng
+                n = pcm.shape[1]
+                lo = min(n, max(0, s - base))
+                hi = n if e is None else max(lo, min(n, e - base))
+                pcm = np.ascontiguousarray(pcm[:, lo:hi])
             return DecodedAudio(pcm=pcm, sample_rate=sf.sample_rate,
                                 blob_index=blob_i, stream_index=stream_i)
         except Exception as exc:
