@@ -82,6 +82,11 @@ class FeatureExtractorMixin:
         frame_num = 0
         offset_dim = 0
         recent: Optional[int] = None
+        # row -> 0-based audio-packet index (finish_audio_packet markers
+        # seen so far); consumed by the ranged/crop extraction
+        # (features/batched.get_features_range) — never affects the output
+        row_frames: List[int] = []
+        packet_num = 0
 
         def normalize(vals: np.ndarray) -> np.ndarray:
             if floor_always_positive:
@@ -93,6 +98,7 @@ class FeatureExtractorMixin:
             if frame_num >= res.shape[0]:
                 res = np.concatenate([res, np.zeros_like(res)], axis=0)
             res[frame_num] = frame_float
+            row_frames.append(packet_num)
             frame_num += 1
 
         while True:
@@ -100,6 +106,8 @@ class FeatureExtractorMixin:
                 name, channel, data = self.read_entry()
             except EOFError:
                 break
+            if name == "finish_audio_packet":
+                packet_num += 1
             if name == "floor_number":
                 recent = int(data[0])
                 assert 0 <= recent < num_floors
@@ -166,6 +174,7 @@ class FeatureExtractorMixin:
                 vals = vals[: output_dim - offset_dim]
                 res[frame_num - 1, offset_dim : offset_dim + vals.shape[0]] = vals
                 offset_dim = 0
+        self.row_frames = np.asarray(row_frames, dtype=np.int64)
         return res[:frame_num]
 
     def read_residue_ys(self, output_dim, scale=1.0, clip_abs_max=None,
@@ -181,11 +190,15 @@ class FeatureExtractorMixin:
         frame_num = 0
         recent: Optional[int] = None
         floor_base = None
+        row_frames: List[int] = []  # see read_floor_ys
+        packet_num = 0
         while True:
             try:
                 name, channel, data = self.read_entry()
             except EOFError:
                 break
+            if name == "finish_audio_packet":
+                packet_num += 1
             if name == "floor_number":
                 recent = int(data[0])
                 assert 0 <= recent < num_floors
@@ -226,7 +239,9 @@ class FeatureExtractorMixin:
                 if frame_num >= res.shape[0]:
                     res = np.concatenate([res, np.zeros_like(res)], axis=0)
                 res[frame_num] = frame
+                row_frames.append(packet_num)
                 frame_num += 1
+        self.row_frames = np.asarray(row_frames, dtype=np.int64)
         return res[:frame_num]
 
 

@@ -159,6 +159,12 @@ class SplicePlan:
     # single-page stream that granule TRUNCATES, and solving from it
     # underestimates the base (found by the roundtrip fuzzer's seek probe)
     from_start: bool = False
+    # 0-based index, among the stream's audio packets, of the first packet
+    # that STARTS on the anchor page (= packets completing on earlier audio
+    # pages; exact because nothing spans into a non-continued page).  Gives
+    # spliced decodes an absolute packet/row coordinate system — used by the
+    # ranged feature extraction (features/batched.get_features_range)
+    anchor_packet: int = 0
 
     def splice(self, data: bytes) -> bytes:
         return b"".join(data[a:b] for a, b in self.spans)
@@ -206,4 +212,6 @@ def plan_sample_range(index: StreamPageIndex, start: int,
                 break
     spans = headers + [(audio[anchor].offset, audio[last].end)]
     return SplicePlan(spans=spans, start_sample=start, end_sample=end,
-                      from_start=(anchor == 0))
+                      from_start=(anchor == 0),
+                      anchor_packet=sum(p.completions
+                                        for p in audio[:anchor]))
