@@ -15,8 +15,16 @@ Endpoints (stdlib http.server; no external dependencies):
          ([C, N] row-major, int16 LE or float32 LE); start/end select a
          sample range decoded via the seek path (only the pages covering
          the range are parsed — random access into long files)
-  POST /features?dim=64&kind=floor_final_ys[&device=1]   body: ogg bytes
-      -> 200, X-Rows/X-Dim headers, raw float32 [rows, dim]
+  POST /features?dim=64&kind=floor_final_ys[&device=1][&start=S&end=E]
+      body: ogg bytes
+      -> 200, X-Rows/X-Dim headers, raw float32 [rows, dim].
+      start/end crop to the feature rows of exactly the packets emitting
+      samples in [S, E) — only the covering pages are parsed, each row
+      bit-identical to the full extraction's (features/batched.
+      get_features_range).  Cropped responses append the rows' absolute
+      audio-packet indices (int64 LE, X-Row-Packets: i64) after the
+      matrix and carry X-First-Packet/X-Start-Sample/X-End-Sample/
+      X-Sample-Rate; crops always run the host extractor numerics.
   GET  /stats
       -> JSON: request/batch counters (batched > requests/batches proves
          admission batching engaged)
@@ -201,7 +209,25 @@ class _Batcher(threading.Thread):
                     p.done.set()
 
         if feats:
-            from .features.batched import get_features_batched
+            from .features.batched import get_features_batched, \
+                get_features_range
+
+            # cropped feature requests run per-request via the seek splice
+            # (only the covering pages parse; host extractor numerics),
+            # isolated like ranged decodes
+            ranged_f = [p for p in feats
+                        if "start" in p.opts or "end" in p.opts]
+            feats = [p for p in feats if p not in ranged_f]
+            for p in ranged_f:
+                try:
+                    p.result = get_features_range(
+                        p.blob, p.opts.get("dim", 64),
+                        p.opts.get("start", 0), p.opts.get("end"),
+                        kind=p.opts.get("kind", "floor_final_ys"))
+                    p.done.set()
+                except Exception as exc:
+                    self._count("errors")
+                    p.fail(str(exc))
 
             # group by (dim, kind, device): the device flag is part of the
             # numeric contract (residue kinds differ ~1e-6 between paths),
@@ -290,11 +316,24 @@ class _Handler(BaseHTTPRequestHandler):
             if dim <= 0:
                 self.send_error(400, "dim must be a positive integer")
                 return
-            p = _Pending(blob, "features", {
+            opts = {
                 "dim": dim,
                 "kind": qs.get("kind", "floor_final_ys"),
                 "device": qs.get("device") == "1",
-            })
+            }
+            # optional crop (see module docstring): rows of exactly the
+            # packets emitting samples in [start, end)
+            for key in ("start", "end"):
+                if key in qs:
+                    try:
+                        opts[key] = int(qs[key])
+                    except ValueError:
+                        self.send_error(400, "bad %s value" % key)
+                        return
+            if "end" in opts and opts["end"] < opts.get("start", 0):
+                self.send_error(400, "end must be >= start")
+                return
+            p = _Pending(blob, "features", opts)
         else:
             self.send_error(404)
             return
@@ -319,12 +358,22 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("X-Samples", str(pcm.shape[1]))
             self.send_header("X-Dtype", str(pcm.dtype))
         else:
-            mat = p.result
+            res, tail = p.result, b""
+            mat = res if isinstance(res, np.ndarray) else res.features
             body = np.ascontiguousarray(mat, dtype=np.float32).tobytes()
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("X-Rows", str(mat.shape[0]))
             self.send_header("X-Dim", str(mat.shape[1]))
+            if not isinstance(res, np.ndarray):  # RangedFeatures crop
+                tail = np.ascontiguousarray(res.row_packets,
+                                            dtype=np.int64).tobytes()
+                self.send_header("X-Row-Packets", "i64")
+                self.send_header("X-First-Packet", str(res.first_packet))
+                self.send_header("X-Start-Sample", str(res.start_sample))
+                self.send_header("X-End-Sample", str(res.end_sample))
+                self.send_header("X-Sample-Rate", str(res.sample_rate))
+            body += tail
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)

@@ -344,3 +344,63 @@ def test_decode_range_bad_blob_fails_alone(server):
         t.join()
     assert results[0][0] == 422
     assert results[1][0] == 200
+
+
+def test_features_range_endpoint(server):
+    """/features?start/&end returns the crop's rows (bit-equal to
+    get_features_range) plus the appended int64 row_packets tail."""
+    from parseoggvorbis_tpu.features.batched import get_features_range
+    from parseoggvorbis_tpu.native.frontend import available
+
+    if not available():
+        pytest.skip("native front-end not built")
+    blob = open(STEREO_OGG, "rb").read()
+    s, e = 20_000, 50_000
+    status, headers, body = _post(
+        server.port, "/features?dim=48&start=%d&end=%d" % (s, e), blob)
+    assert status == 200
+    want = get_features_range(blob, 48, s, e)
+    rows, dim = int(headers["X-Rows"]), int(headers["X-Dim"])
+    assert headers["X-Row-Packets"] == "i64"
+    assert (rows, dim) == want.features.shape
+    split = rows * dim * 4
+    mat = np.frombuffer(body[:split], np.float32).reshape(rows, dim)
+    pkts = np.frombuffer(body[split:], np.int64)
+    np.testing.assert_array_equal(mat, want.features)
+    np.testing.assert_array_equal(pkts, want.row_packets)
+    assert int(headers["X-First-Packet"]) == want.first_packet
+    assert int(headers["X-Start-Sample"]) == want.start_sample
+    assert int(headers["X-End-Sample"]) == want.end_sample
+    assert int(headers["X-Sample-Rate"]) == want.sample_rate
+    # validation mirrors /decode's
+    assert _post(server.port, "/features?start=abc", blob)[0] == 400
+    assert _post(server.port, "/features?start=9&end=5", blob)[0] == 400
+    # empty crop: 200 with zero rows
+    status, headers, body = _post(
+        server.port, "/features?dim=48&start=999999999", blob)
+    assert status == 200 and int(headers["X-Rows"]) == 0
+
+
+def test_features_range_bad_blob_fails_alone(server):
+    """A cropped poison feature request 422s; concurrent good requests
+    (one cropped, one full) succeed — per-request isolation."""
+    good = open(STEREO_OGG, "rb").read()
+    results = [None, None, None]
+
+    def hit(i, blob, q):
+        results[i] = _post(server.port, q, blob)
+
+    threads = [
+        threading.Thread(target=hit,
+                         args=(0, b"garbage", "/features?start=0&end=10")),
+        threading.Thread(target=hit,
+                         args=(1, good, "/features?dim=48&start=0&end=4000")),
+        threading.Thread(target=hit, args=(2, good, "/features?dim=48")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results[0][0] == 422
+    assert results[1][0] == 200
+    assert results[2][0] == 200
