@@ -155,6 +155,46 @@ def main():
                         fails += 1
                         status = "FAIL(seek)"
                     extra += " +seek[%d:%d]" % (s, e)
+            # ranged feature rows must equal the full extraction's rows at
+            # the same packets EXACTLY (features/batched.get_features_range)
+            if rng.rand() < 0.3:
+                from parseoggvorbis_tpu.features.batched import (
+                    get_features, get_features_range)
+
+                total = ours.pcm.shape[1]
+                if total > 1:
+                    s = int(rng.randint(0, total))
+                    e = int(min(total, s + 1 + rng.randint(0, total)))
+                    kind = ("floor_final_ys", "residue_ys")[
+                        int(rng.randint(0, 2))]
+                    try:
+                        try:
+                            full = get_features(ogg, 48, kind=kind)
+                        except AssertionError:
+                            # output_dim < len(floor xs): the extractors
+                            # refuse, identically to the reference (see
+                            # .claude/skills/verify gotchas) — skip probe
+                            full = None
+                        r = (get_features_range(ogg, 48, s, e, kind=kind)
+                             if full is not None else None)
+                        # crops are contiguous row windows of the full
+                        # matrix; locate by packet count (rows per packet
+                        # vary, but packets are nondecreasing)
+                        if full is None:
+                            frange_ok, n = True, -1
+                        else:
+                            n = r.features.shape[0]
+                            frange_ok = any(
+                                np.array_equal(full[o:o + n], r.features)
+                                for o in range(full.shape[0] - n + 1)
+                            ) if n else True
+                    except Exception as exc:
+                        print("    frange[%d:%d] raised: %s" % (s, e, exc))
+                        frange_ok = False
+                    if not frange_ok:
+                        fails += 1
+                        status = "FAIL(frange)"
+                    extra += " +frange[%d:%d]" % (s, e)
             # CRC-resealed payload mutations must full-decode or reject
             # cleanly, never crash (see tests/tools/page_mutate.py)
             if args.mutate:
