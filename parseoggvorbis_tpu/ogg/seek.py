@@ -62,6 +62,7 @@ class PageIndexEntry:
     serial: int
     flags: int
     completions: int  # number of packets completing on this page
+    seq: int = -1  # page sequence number (per serial; gap => lost pages)
 
     @property
     def is_continued(self) -> bool:
@@ -105,7 +106,7 @@ def walk_pages(data: bytes, serial: Optional[int] = None) -> StreamPageIndex:
     while off < n:
         if off + HEADER_SIZE > n:
             raise ParseError("truncated page header at offset %d" % off)
-        (capture, version, flags, granule, pserial, _seq, _crc,
+        (capture, version, flags, granule, pserial, seq, _crc,
          nseg) = _HEADER_STRUCT.unpack_from(data, off)
         check(capture == b"OggS", "bad capture pattern")
         check(version == 0, "bad stream structure version")
@@ -122,7 +123,8 @@ def walk_pages(data: bytes, serial: Optional[int] = None) -> StreamPageIndex:
             completions = sum(1 for lace in segment_table if lace < 255)
             pages.append(PageIndexEntry(
                 offset=off, end=data_off + data_len, granule=granule,
-                serial=pserial, flags=flags, completions=completions))
+                serial=pserial, flags=flags, completions=completions,
+                seq=seq))
         off = data_off + data_len
     if target is None:
         raise ParseError("no Vorbis BOS page found")

@@ -22,7 +22,7 @@ Flow:
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -584,6 +584,130 @@ def decode_time_range(data: bytes, start_seconds: float,
     end = None if end_seconds is None else int(round(end_seconds * rate))
     return decode_sample_range(data, start, end, prefer_native=prefer_native,
                                out_i16=out_i16, serial=serial)
+
+
+@dataclass
+class RecoveredAudio:
+    """Result of a corruption-tolerant decode (:func:`decode_bytes_recover`).
+
+    ``pcm`` spans the stream's nominal timeline (last intact granule);
+    sample ranges lost to damage are zero-filled and listed in ``holes``.
+    """
+
+    pcm: np.ndarray  # [C, total]; holes zero-filled
+    sample_rate: int
+    holes: List[Tuple[int, int]]  # sample ranges lost to damage
+    damage: List[Tuple[int, int]]  # byte ranges skipped while resyncing
+    spans_decoded: int
+    spans_dropped: int  # page spans that survived the scan but not decode
+    # sample ranges whose PLACEMENT is best-effort, not exact: the span's
+    # only granule anchor is the stream-final (potentially truncating)
+    # one, so its samples are end-aligned to it — correct audio, offset
+    # by up to the truncated tail (see decode_bytes_recover's caveat)
+    approximate: List[Tuple[int, int]] = field(default_factory=list)
+
+    @property
+    def intact(self) -> bool:
+        return not self.holes and not self.damage
+
+
+def decode_bytes_recover(data, prefer_native: bool = True,
+                         out_i16: bool = False,
+                         serial: Optional[int] = None) -> RecoveredAudio:
+    """Best-effort decode of a damaged stream (resync on corruption).
+
+    Capability beyond the reference, which fails the whole file on the
+    first bad CRC (our strict paths keep that contract — this is an
+    explicit opt-in); the ecosystem bar is libogg/vorbisfile's
+    ``ogg_sync_pageseek`` resync.  The tolerant scan (ogg/recover.py)
+    admits only CRC-verified pages and skips garbage; the surviving pages
+    split into seq-contiguous spans, and each span decodes independently
+    via the seek splice (headers + span pages — Vorbis packet decode is
+    stateless given setup, ogg/seek.py), its absolute position solved
+    from its first granule.  Samples in intact spans match the undamaged
+    decode (bit-exact for i16; f32 within the documented 2e-6 splice
+    retiling bound); lost ranges come back as zeros in ``holes``.
+
+    Caveat: a span whose ONLY granule anchor is the stream-final one
+    cannot be placed exactly when that granule truncates (the truncation
+    amount is unknowable once the preceding pages are lost) — its samples
+    are end-aligned to the granule (vorbisfile-style back-solve) and the
+    range is reported in ``approximate``; exact placement needs one
+    non-final granule, which any span of two or more pages has.
+    """
+    from ..ogg.recover import scan_pages_tolerant
+    from . import device_decoder as dd
+
+    scan = scan_pages_tolerant(data, serial=serial)
+    index = scan.index
+    headers = b"".join(bytes(data[p.offset:p.end])
+                       for p in index.pages[:index.header_end])
+    audio = index.audio_pages
+
+    spans: List[list] = []
+    for p in audio:
+        if spans and p.seq == spans[-1][-1].seq + 1:
+            spans[-1].append(p)
+        else:
+            spans.append([p])
+
+    hdr_sf = parse_stream(headers, prefer_native=prefer_native)
+    stream_first_seq = index.pages[index.header_end - 1].seq + 1
+    final_granule = index.total_samples
+    results: List[Tuple[int, np.ndarray, bool]] = []
+    dropped = 0
+    for k, span in enumerate(spans):
+        while span and span[0].is_continued:
+            span = span[1:]  # first packet incomplete: cannot anchor here
+        if not span:
+            dropped += 1
+            continue
+        blob = headers + b"".join(bytes(data[p.offset:p.end]) for p in span)
+        try:
+            sf = parse_stream(blob, prefer_native=prefer_native)
+            if sf.num_frames == 0:
+                dropped += 1
+                continue
+            from_start = (k == 0 and span[0].seq == stream_first_seq)
+            base = 0 if from_start else _solve_emission_base(sf)
+            sf.emission_nums = dd._compute_emission_nums(sf, abs_base=base)
+            pcm = dd.launch_stream_decode(sf, out_i16).fetch()
+        except (ParseError, ValueError):
+            dropped += 1
+            continue
+        # placement is ambiguous iff the only granule anchor is the
+        # stream-final one and the span had to be anchored from it (its
+        # truncation amount is unknowable; see the docstring caveat)
+        gvals = sf.granules[:sf.num_frames]
+        granules_seen = gvals[gvals >= 0]
+        approx = (not from_start and len(granules_seen) == 1
+                  and int(granules_seen[0]) == final_granule)
+        if pcm.shape[1]:
+            results.append((base, pcm, approx))
+
+    total = index.total_samples or 0
+    for base, pcm, _ in results:
+        total = max(total, base + pcm.shape[1])
+    dtype = np.int16 if out_i16 else np.float32
+    out = np.zeros((hdr_sf.channels, total), dtype)
+    covered = np.zeros(total, dtype=bool)
+    approximate: List[Tuple[int, int]] = []
+    for base, pcm, approx in results:
+        out[:, base:base + pcm.shape[1]] = pcm
+        covered[base:base + pcm.shape[1]] = True
+        if approx:
+            approximate.append((base, base + pcm.shape[1]))
+    holes: List[Tuple[int, int]] = []
+    gap = np.nonzero(~covered)[0]
+    if gap.size:
+        breaks = np.nonzero(np.diff(gap) > 1)[0]
+        starts = np.concatenate([gap[:1], gap[breaks + 1]])
+        ends = np.concatenate([gap[breaks], gap[-1:]]) + 1
+        holes = list(zip(starts.tolist(), ends.tolist()))
+    return RecoveredAudio(pcm=out, sample_rate=hdr_sf.sample_rate,
+                          holes=holes, damage=scan.damage,
+                          spans_decoded=len(results), spans_dropped=dropped,
+                          approximate=approximate)
 
 
 def decode_all_streams(data: bytes, prefer_native: bool = True,

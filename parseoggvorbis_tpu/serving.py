@@ -10,11 +10,15 @@ isolation keeps a poison request from failing its batchmates).
 
 Endpoints (stdlib http.server; no external dependencies):
 
-  POST /decode?fmt=i16|f32[&start=S&end=E]     body: ogg bytes
+  POST /decode?fmt=i16|f32[&start=S&end=E][&recover=1]   body: ogg bytes
       -> 200, X-Sample-Rate/X-Channels/X-Samples headers, raw PCM
          ([C, N] row-major, int16 LE or float32 LE); start/end select a
          sample range decoded via the seek path (only the pages covering
-         the range are parsed — random access into long files)
+         the range are parsed — random access into long files);
+         recover=1 opts into the corruption-tolerant decode (resync past
+         damage; X-Holes/X-Approximate carry JSON sample ranges that
+         were zero-filled / best-effort placed, X-Damage-Bytes the
+         skipped byte count — runtime/batch.decode_bytes_recover)
   POST /features?dim=64&kind=floor_final_ys[&device=1][&start=S&end=E]
       body: ogg bytes
       -> 200, X-Rows/X-Dim headers, raw float32 [rows, dim].
@@ -182,6 +186,20 @@ class _Batcher(threading.Thread):
                 self._count("errors")
                 p.fail(str(exc))
 
+        # recovery decodes run per-request isolated, like ranged ones
+        recovers = [p for p in batch if p.kind == "recover"]
+        for p in recovers:
+            from .runtime.batch import decode_bytes_recover
+
+            try:
+                rec = decode_bytes_recover(
+                    p.blob, out_i16=p.opts.get("fmt", "i16") == "i16")
+                p.result = rec
+                p.done.set()
+            except Exception as exc:
+                self._count("errors")
+                p.fail(str(exc))
+
         if decodes:
             outs = decode_corpus(
                 [p.blob for p in decodes], strict=False,
@@ -307,7 +325,14 @@ class _Handler(BaseHTTPRequestHandler):
             if "end" in opts and opts["end"] < opts.get("start", 0):
                 self.send_error(400, "end must be >= start")
                 return
-            p = _Pending(blob, "decode", opts)
+            if qs.get("recover") == "1":
+                if "start" in opts or "end" in opts:
+                    self.send_error(
+                        400, "recover does not combine with start/end")
+                    return
+                p = _Pending(blob, "recover", opts)
+            else:
+                p = _Pending(blob, "decode", opts)
         elif url.path == "/features":
             try:
                 dim = int(qs.get("dim", "64"))
@@ -348,7 +373,20 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(body)
             return
-        if p.kind == "decode":
+        if p.kind == "recover":
+            rec = p.result
+            body = np.ascontiguousarray(rec.pcm).tobytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("X-Sample-Rate", str(rec.sample_rate))
+            self.send_header("X-Channels", str(rec.pcm.shape[0]))
+            self.send_header("X-Samples", str(rec.pcm.shape[1]))
+            self.send_header("X-Dtype", str(rec.pcm.dtype))
+            self.send_header("X-Holes", json.dumps(rec.holes))
+            self.send_header("X-Approximate", json.dumps(rec.approximate))
+            self.send_header("X-Damage-Bytes",
+                             str(sum(b - a for a, b in rec.damage)))
+        elif p.kind == "decode":
             pcm, rate = p.result
             body = np.ascontiguousarray(pcm).tobytes()
             self.send_response(200)

@@ -404,3 +404,42 @@ def test_features_range_bad_blob_fails_alone(server):
     assert results[0][0] == 422
     assert results[1][0] == 200
     assert results[2][0] == 200
+
+
+def test_decode_recover_endpoint(server):
+    """?recover=1 decodes damaged blobs: intact regions match, holes are
+    reported as JSON headers; validation rejects recover+range."""
+    import json as _json
+
+    from parseoggvorbis_tpu.ogg.seek import walk_pages
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    blob = open(STEREO_OGG, "rb").read()
+    full = decode_bytes(blob, out_i16=True).pcm
+    victim = walk_pages(blob).audio_pages[2]
+    bad = bytearray(blob)
+    bad[victim.offset + 99] ^= 0x40
+    status, headers, body = _post(server.port, "/decode?recover=1",
+                                  bytes(bad))
+    assert status == 200
+    c, n = int(headers["X-Channels"]), int(headers["X-Samples"])
+    assert (c, n) == full.shape
+    assert int(headers["X-Damage-Bytes"]) == victim.end - victim.offset
+    holes = _json.loads(headers["X-Holes"])
+    approx = _json.loads(headers["X-Approximate"])
+    assert len(holes) == 1
+    pcm = np.frombuffer(body, np.int16).reshape(c, n)
+    mask = np.ones(n, bool)
+    for a, b in holes + approx:
+        mask[a:b] = False
+    np.testing.assert_array_equal(pcm[:, mask], full[:, mask])
+    # a clean blob recovers to the exact decode with no holes
+    status, headers, body = _post(server.port, "/decode?recover=1", blob)
+    assert status == 200 and _json.loads(headers["X-Holes"]) == []
+    np.testing.assert_array_equal(
+        np.frombuffer(body, np.int16).reshape(full.shape), full)
+    # recover does not combine with ranges; garbage 422s alone
+    status, _, _ = _post(server.port, "/decode?recover=1&start=5", blob)
+    assert status == 400
+    status, _, _ = _post(server.port, "/decode?recover=1", b"junk" * 999)
+    assert status == 422

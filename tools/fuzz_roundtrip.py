@@ -195,6 +195,38 @@ def main():
                         fails += 1
                         status = "FAIL(frange)"
                     extra += " +frange[%d:%d]" % (s, e)
+            # recovery decode: flip a raw byte in one audio page (CRC NOT
+            # resealed) — the page must be skipped, intact regions must
+            # match the clean decode outside holes/approximate ranges
+            if rng.rand() < 0.3:
+                from parseoggvorbis_tpu.ogg.seek import walk_pages
+                from parseoggvorbis_tpu.runtime.batch import \
+                    decode_bytes_recover
+
+                audio_pages = walk_pages(ogg).audio_pages
+                if audio_pages:
+                    v = audio_pages[int(rng.randint(0, len(audio_pages)))]
+                    blob = bytearray(ogg)
+                    pos = v.offset + int(rng.randint(0, v.end - v.offset))
+                    blob[pos] ^= 1 << int(rng.randint(0, 8))
+                    try:
+                        rec = decode_bytes_recover(bytes(blob))
+                        mask = np.ones(
+                            min(rec.pcm.shape[1], ours.pcm.shape[1]), bool)
+                        for a, b in rec.holes + rec.approximate:
+                            mask[a:min(b, len(mask))] = False
+                        d = rec.pcm[:, :len(mask)][:, mask] \
+                            - ours.pcm[:, :len(mask)][:, mask]
+                        rec_ok = (rec.damage == [(v.offset, v.end)]
+                                  and (d.size == 0
+                                       or float(np.abs(d).max()) <= 2e-6))
+                    except Exception as exc:
+                        print("    recover raised: %s" % (exc,))
+                        rec_ok = False
+                    if not rec_ok:
+                        fails += 1
+                        status = "FAIL(recover)"
+                    extra += " +recover@p%d" % v.seq
             # CRC-resealed payload mutations must full-decode or reject
             # cleanly, never crash (see tests/tools/page_mutate.py)
             if args.mutate:
