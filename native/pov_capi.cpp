@@ -848,6 +848,14 @@ int ogg_vorbis_full_read_from_memory(const char* data, size_t data_len,
   }
 }
 
+// Raw Ogg CRC-32 (poly 0x04c11db7, non-reflected, init/xorout 0) over a
+// buffer, chainable via `crc`.  Exported for the Python side's hot CRC
+// consumers (the recovery scanner verifies every page; utils/crc.py is
+// the portable per-byte fallback).
+uint32_t pov_crc32(const uint8_t* data, int64_t len, uint32_t crc) {
+  return pov::crc_update(crc, data, (size_t)len);
+}
+
 int ogg_vorbis_full_read(const char* filename, const char** error_out) {
   FILE* f = fopen(filename, "rb");
   if (!f) {

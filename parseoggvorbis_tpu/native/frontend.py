@@ -132,12 +132,30 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        try:  # absent from pre-r4 builds; crc32() then returns None
+            lib.pov_crc32.restype = ctypes.c_uint32
+            lib.pov_crc32.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint32,
+            ]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def crc32(data, crc: int = 0):
+    """Ogg CRC-32 over ``data`` chained from ``crc`` (C++ table loop;
+    ~100x the pure-Python utils/crc.py, which stays the canonical
+    reference).  None when the native library (or symbol) is absent."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pov_crc32"):
+        return None
+    data = bytes(data)
+    return int(lib.pov_crc32(data, len(data), crc))
 
 
 #: sentinel returned by :func:`factorize_f32` when the distinct-value count

@@ -42,6 +42,19 @@ class TolerantScan:
         return sum(b - a for a, b in self.damage)
 
 
+def _crc_page(header_zero_crc: bytes, segment_table: bytes,
+              payload: bytes) -> int:
+    """Page CRC via the native table loop when built (the scan verifies
+    EVERY page, so this is recovery's hot spot on long files); the pure-
+    Python utils/crc.py stays the canonical reference implementation."""
+    from ..native import frontend as native
+
+    c = native.crc32(header_zero_crc, 0)
+    if c is None:
+        return ogg_page_crc(header_zero_crc, segment_table, payload)
+    return native.crc32(payload, native.crc32(segment_table, c))
+
+
 def _try_page(data, off: int):
     """Parse+verify one page at ``off``; None if not a valid page here."""
     n = len(data)
@@ -61,8 +74,8 @@ def _try_page(data, off: int):
         return None
     header_zero_crc = bytearray(data[off:off + HEADER_SIZE])
     header_zero_crc[22:26] = b"\x00\x00\x00\x00"
-    calc = ogg_page_crc(bytes(header_zero_crc), segment_table,
-                        bytes(data[data_off:data_off + data_len]))
+    payload = bytes(data[data_off:data_off + data_len])
+    calc = _crc_page(bytes(header_zero_crc), segment_table, payload)
     if calc != crc:
         return None
     completions = sum(1 for lace in segment_table if lace < 255)
