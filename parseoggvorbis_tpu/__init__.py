@@ -10,7 +10,12 @@ A ground-up rebuild of the capabilities of albertz/ParseOggVorbis for TPU:
 * the reference's debug-callback observability layer (bit-compatible binary
   dump format) so every intermediate stage diffs against patched libvorbis;
 * corpus-scale batched feature extraction (RETURNN-style floor/residue
-  features) with device-mesh data parallelism.
+  features) with device-mesh data parallelism;
+* production surfaces beyond the reference: sample-exact random access
+  (ogg/seek.py) incl. batched crops and ranged feature extraction, a
+  deterministic training input pipeline (data.CropLoader), a
+  corruption-tolerant recovery decode (ogg/recover.py), a batching HTTP
+  decode/feature server (serving.py), and bounded-memory streaming.
 """
 
 from .runtime.decoder import OggReader, ParseCallbacks, VorbisStream  # noqa: F401

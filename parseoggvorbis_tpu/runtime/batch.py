@@ -710,6 +710,19 @@ def decode_bytes_recover(data, prefer_native: bool = True,
                           approximate=approximate)
 
 
+def decode_file_recover(path: str, prefer_native: bool = True,
+                        out_i16: bool = False,
+                        serial: Optional[int] = None) -> RecoveredAudio:
+    """:func:`decode_bytes_recover` over an mmapped file (the scan touches
+    every page once; only the surviving spans' bytes are copied)."""
+    import mmap
+
+    with open(path, "rb") as f:
+        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+            return decode_bytes_recover(mm, prefer_native=prefer_native,
+                                        out_i16=out_i16, serial=serial)
+
+
 def decode_all_streams(data: bytes, prefer_native: bool = True,
                        out_i16: bool = False) -> List[DecodedAudio]:
     """Decode every logical stream of a chained/multiplexed Ogg file."""

@@ -174,3 +174,77 @@ def test_mono_roundtrip_with_damage():
     rec = decode_bytes_recover(bytes(bad))
     assert rec.pcm.shape[0] == 1 and rec.spans_decoded >= 1
     _assert_outside_holes(rec, full)
+
+
+def test_multiplexed_damage_isolated_per_stream(stereo):
+    """Two multiplexed streams; one byte flipped in a stereo-stream page:
+    recovering the mono serial is hole-free (damage recorded), recovering
+    the stereo serial has the hole."""
+    import struct
+
+    from parseoggvorbis_tpu.ogg.page import HEADER_SIZE, read_page
+    from parseoggvorbis_tpu.utils.crc import ogg_page_crc
+
+    def pages_of(data):
+        out, off = [], 0
+        while off < len(data):
+            page, nxt = read_page(data, off)
+            if page is None:
+                break
+            out.append(data[off:nxt])
+            off = nxt
+        return out
+
+    def set_serial(pb, serial):
+        buf = bytearray(pb)
+        struct.pack_into("<I", buf, 14, serial)
+        buf[22:26] = b"\x00\x00\x00\x00"
+        nseg = buf[26]
+        crc = ogg_page_crc(bytes(buf[:HEADER_SIZE]),
+                           bytes(buf[HEADER_SIZE:HEADER_SIZE + nseg]),
+                           bytes(buf[HEADER_SIZE + nseg:]))
+        struct.pack_into("<I", buf, 22, crc)
+        return bytes(buf)
+
+    data_s, full_s = stereo
+    data_m = open(MONO_OGG, "rb").read()
+    full_m = decode_bytes(data_m).pcm
+    pm = pages_of(data_m)
+    ps = [set_serial(p, 0x5EEE) for p in pages_of(data_s)]
+    # grouped BOS pages first (RFC 3533), then interleave
+    mux = [pm[0], ps[0]]
+    a, b = pm[1:], ps[1:]
+    while a or b:
+        if a:
+            mux.append(a.pop(0))
+        if b:
+            mux.append(b.pop(0))
+    blob = b"".join(mux)
+    # flip a byte inside a stereo AUDIO page (headers must stay intact)
+    victim = walk_pages(blob, serial=0x5EEE).audio_pages[1]
+    bad = bytearray(blob)
+    bad[victim.offset + 123] ^= 0x08
+    bad = bytes(bad)
+
+    rec_m = decode_bytes_recover(bad)  # default: first Vorbis BOS = mono
+    assert rec_m.holes == [] and rec_m.damage == [(victim.offset,
+                                                   victim.end)]
+    np.testing.assert_array_equal(rec_m.pcm, full_m)
+    rec_s = decode_bytes_recover(bad, serial=0x5EEE)
+    assert len(rec_s.holes) == 1
+    _assert_outside_holes(rec_s, full_s)
+
+
+def test_decode_file_recover(tmp_path, stereo):
+    from parseoggvorbis_tpu.runtime.batch import decode_file_recover
+
+    data, full = stereo
+    idx = walk_pages(data)
+    v = idx.audio_pages[3]
+    bad = bytearray(data)
+    bad[v.offset + 77] ^= 0x20
+    p = tmp_path / "damaged.ogg"
+    p.write_bytes(bytes(bad))
+    rec = decode_file_recover(str(p))
+    assert rec.damage == [(v.offset, v.end)] and len(rec.holes) == 1
+    _assert_outside_holes(rec, full)
