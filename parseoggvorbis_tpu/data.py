@@ -224,9 +224,22 @@ class CropLoader:
                             continue
                     step += 1
             except Exception as exc:  # surfaced on the consumer side
-                q.put(("error", exc))
+                while not stop.is_set():
+                    try:
+                        q.put(("error", exc), timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
             finally:
-                q.put(None)
+                # deliver the end sentinel; a consumer that broke early
+                # sets `stop` and drains, so this can never block forever
+                while True:
+                    try:
+                        q.put(None, timeout=0.25)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
