@@ -21,6 +21,7 @@
 #include <cstdio>
 #include <cstring>
 #include <map>
+#include <memory>
 #include <mutex>
 #include <set>
 #include <string>
@@ -524,10 +525,20 @@ struct OlaState {
   }
 };
 
+// Collects a stream's emitted PCM when the decode was started through
+// pov_decode_pcm — the direct PCM consumer API (the callback/dump path
+// is unaffected; this is the native host route the Python side exposes
+// as decode_corpus(route="native")).
+struct PcmSink {
+  uint32_t sample_rate = 0;
+  std::vector<std::vector<float>> chans;
+};
+
 struct ScalarStream {
   pov::Setup setup;
   uint32_t sample_rate = 0;
   int channels = 0;
+  PcmSink* sink = nullptr;
   int bs0 = 0, bs1 = 0;
   int packet_count = 0;
   Imdct mdct[2];
@@ -551,6 +562,10 @@ struct ScalarStream {
       bs1 = 1 << (bs >> 4);
       POV_CHECK(bs0 >= 64 && bs1 <= 8192 && bs0 <= bs1, "blocksize range");
       POV_CHECK(pkt[29] == 1, "id framing");
+      if (sink) {
+        sink->sample_rate = sample_rate;
+        sink->chans.resize(channels);
+      }
     } else if (packet_count == 1) {
       POV_CHECK(len >= 7 && pkt[0] == 3, "bad comment header");
     } else {
@@ -706,13 +721,20 @@ struct ScalarStream {
     push_data_u8(this, "finish_audio_packet", -1, nullptr, 0);
     auto em = state.ready();
     POV_CHECK(em.second >= 0, "granule position error");
-    if (em.second > 0)
+    if (em.second > 0) {
       for (int ch = 0; ch < C; ++ch)
         push_data_float(this, "pcm", ch, &state.buf[ch][em.first], em.second);
+      if (sink)
+        for (int ch = 0; ch < C; ++ch)
+          sink->chans[ch].insert(sink->chans[ch].end(),
+                                 &state.buf[ch][em.first],
+                                 &state.buf[ch][em.first] + em.second);
+    }
   }
 };
 
-static void full_read(const uint8_t* data, size_t len) {
+static void full_read(const uint8_t* data, size_t len,
+                      std::vector<std::unique_ptr<PcmSink>>* sinks = nullptr) {
   std::map<uint32_t, ScalarStream> streams;
   size_t off = 0;
   while (off < len) {
@@ -745,7 +767,11 @@ static void full_read(const uint8_t* data, size_t len) {
 
     if (flags & 0x2) {  // BOS
       POV_CHECK(!streams.count(serial), "duplicate BOS");
-      streams[serial];
+      ScalarStream& ns = streams[serial];
+      if (sinks) {  // one sink per logical stream, BOS order
+        sinks->emplace_back(new PcmSink);
+        ns.sink = sinks->back().get();
+      }
     }
     POV_CHECK(streams.count(serial), "page for unknown stream");
     ScalarStream& st = streams[serial];
@@ -847,6 +873,57 @@ int ogg_vorbis_full_read_from_memory(const char* data, size_t data_len,
     return 1;
   }
 }
+
+// ----- direct PCM consumer API (native host decode route) -----
+// Decode a whole buffer and hand the PCM back as arrays — the product
+// face of the scalar decoder (the dump path above is the debugging
+// face).  One result handle per call; streams in BOS order.
+
+struct PovPcmResult {
+  std::vector<std::unique_ptr<povsc::PcmSink>> sinks;
+};
+
+void* pov_decode_pcm(const char* data, size_t data_len, char* err,
+                     size_t err_len) {
+  auto* res = new PovPcmResult;
+  try {
+    povsc::full_read((const uint8_t*)data, data_len, &res->sinks);
+    return res;
+  } catch (const pov::ParseError& e) {
+    if (err && err_len) {
+      strncpy(err, e.msg.c_str(), err_len - 1);
+      err[err_len - 1] = 0;
+    }
+  } catch (const std::exception& e) {
+    if (err && err_len) {
+      strncpy(err, e.what(), err_len - 1);
+      err[err_len - 1] = 0;
+    }
+  }
+  delete res;
+  return nullptr;
+}
+
+int32_t pov_pcm_num_streams(void* h) {
+  return (int32_t)((PovPcmResult*)h)->sinks.size();
+}
+
+void pov_pcm_info(void* h, int32_t stream, int32_t* channels,
+                  int64_t* samples, int32_t* rate) {
+  const povsc::PcmSink& sk = *((PovPcmResult*)h)->sinks[stream];
+  *channels = (int32_t)sk.chans.size();
+  *samples = sk.chans.empty() ? 0 : (int64_t)sk.chans[0].size();
+  *rate = (int32_t)sk.sample_rate;
+}
+
+void pov_pcm_get(void* h, int32_t stream, float* out) {
+  const povsc::PcmSink& sk = *((PovPcmResult*)h)->sinks[stream];
+  const int64_t n = sk.chans.empty() ? 0 : (int64_t)sk.chans[0].size();
+  for (size_t c = 0; c < sk.chans.size(); ++c)
+    memcpy(out + (int64_t)c * n, sk.chans[c].data(), sizeof(float) * n);
+}
+
+void pov_pcm_free(void* h) { delete (PovPcmResult*)h; }
 
 // Raw Ogg CRC-32 (poly 0x04c11db7, non-reflected, init/xorout 0) over a
 // buffer, chainable via `crc`.  Exported for the Python side's hot CRC

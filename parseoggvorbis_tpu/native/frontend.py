@@ -139,12 +139,71 @@ def _load():
             ]
         except AttributeError:
             pass
+        try:  # direct PCM consumer API (decode_corpus route="native")
+            lib.pov_decode_pcm.restype = ctypes.c_void_p
+            lib.pov_decode_pcm.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+                ctypes.c_size_t,
+            ]
+            lib.pov_pcm_num_streams.restype = ctypes.c_int32
+            lib.pov_pcm_num_streams.argtypes = [ctypes.c_void_p]
+            lib.pov_pcm_info.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.pov_pcm_get.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ]
+            lib.pov_pcm_free.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def decode_pcm_native(data):
+    """Full native (C++) host decode straight to PCM arrays.
+
+    Returns ``[(pcm [C, N] float32, sample_rate), ...]`` — one entry per
+    logical stream in BOS order — or None when the native library (or the
+    symbol, on stale builds) is unavailable.  Raises ParseError on
+    malformed input (strict contract, same as the reference decoder:
+    ogg_vorbis_full_read at ParseOggVorbis.hpp:1488, which only dumps
+    taps; this surface hands the PCM back).  The scalar pipeline is the
+    same one the dump path runs — O(n log n) FFT IMDCT, measured faster
+    than the reference binary head-to-head (ROUND4.md §12)."""
+    import numpy as np
+
+    from ..utils.errors import ParseError
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "pov_decode_pcm"):
+        return None
+    data = bytes(data)
+    err = ctypes.create_string_buffer(256)
+    h = lib.pov_decode_pcm(data, len(data), err, 256)
+    if not h:
+        raise ParseError(err.value.decode("utf-8", "replace")
+                         or "native decode failed")
+    try:
+        out = []
+        for s in range(lib.pov_pcm_num_streams(h)):
+            c = ctypes.c_int32()
+            n = ctypes.c_int64()
+            rate = ctypes.c_int32()
+            lib.pov_pcm_info(h, s, ctypes.byref(c), ctypes.byref(n),
+                             ctypes.byref(rate))
+            pcm = np.empty((c.value, n.value), dtype=np.float32)
+            if pcm.size:
+                lib.pov_pcm_get(h, s, pcm.ctypes.data_as(ctypes.c_void_p))
+            out.append((pcm, rate.value))
+        return out
+    finally:
+        lib.pov_pcm_free(h)
 
 
 def crc32(data, crc: int = 0):

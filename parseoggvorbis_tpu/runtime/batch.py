@@ -737,6 +737,49 @@ def decode_file(path: str, prefer_native: bool = True,
                             out_i16=out_i16)
 
 
+def _decode_corpus_native(blobs, out_i16: bool, strict: bool,
+                          host_threads: int):
+    """decode_corpus's route="native": whole-corpus C++ host decode.
+
+    Returns None when the native front-end (or its pov_decode_pcm
+    symbol) is unavailable, so the caller can fall back to the device
+    path.  Thread-parallel across blobs (the C++ decode releases the
+    GIL); per-blob error isolation under strict=False, same contract as
+    the device path's."""
+    from ..native.frontend import decode_pcm_native
+
+    def one(i_b):
+        i, b = i_b
+        try:
+            outs = decode_pcm_native(b)
+        except ParseError as exc:
+            if strict:
+                raise
+            return [DecodedAudio(pcm=np.zeros((0, 0), np.float32),
+                                 sample_rate=0, error=str(exc),
+                                 blob_index=i)]
+        if outs is None:
+            return None  # native unavailable
+        res = []
+        for si, (pcm, rate) in enumerate(outs):
+            if out_i16:
+                pcm = np.clip(np.round(pcm * 32767.0),
+                              -32768, 32767).astype(np.int16)
+            res.append(DecodedAudio(pcm=pcm, sample_rate=rate,
+                                    blob_index=i, stream_index=si))
+        return res
+
+    items = list(enumerate(blobs))
+    if host_threads > 1 and len(blobs) > 1:
+        with ThreadPoolExecutor(max_workers=host_threads) as ex:
+            per_blob = list(ex.map(one, items))
+    else:
+        per_blob = [one(it) for it in items]
+    if any(p is None for p in per_blob):
+        return None
+    return [d for p in per_blob for d in p]
+
+
 def decode_corpus(
     blobs: Sequence[bytes],
     prefer_native: bool = True,
@@ -745,6 +788,7 @@ def decode_corpus(
     strict: bool = True,
     mesh=None,
     ranges: Optional[Sequence[Optional[Tuple[int, Optional[int]]]]] = None,
+    route: Optional[str] = None,
 ) -> List[DecodedAudio]:
     """Decode a corpus of in-memory oggs.
 
@@ -778,8 +822,39 @@ def decode_corpus(
     splice (ogg/seek.py) — bit-identical to slicing its full decode — and
     still batches/stacks with the rest of the corpus on device.  Ranged
     blobs yield their first Vorbis stream (the splice is single-stream).
+
+    ``route`` picks the compute backend (default from ``POV_ROUTE``, else
+    "device"): "device" is the TPU batch pipeline; "native" decodes
+    entirely in the C++ host decoder (the head-to-head winner over the
+    reference binary, ROUND4.md §12) — the right route for CPU-only
+    hosts or when the accelerator link is degraded; "auto" picks
+    "device" when a non-CPU jax backend is present, else "native".
+    The native route supports neither ``ranges`` (splices need the
+    granule-anchored device accounting) nor ``mesh``.
     """
+    import os as _os
+
     from . import device_decoder as dd
+
+    route = route or _os.environ.get("POV_ROUTE", "device")
+    check(route in ("device", "native", "auto"),
+          "route must be device|native|auto")
+    if route == "auto":
+        try:
+            import jax
+
+            route = ("device" if any(d.platform != "cpu"
+                                     for d in jax.devices()) else "native")
+        except Exception:
+            route = "native"
+    if route == "native":
+        check(ranges is None, "route='native' does not support ranges")
+        check(mesh is None, "route='native' does not support mesh")
+        outs = _decode_corpus_native(blobs, out_i16=out_i16, strict=strict,
+                                     host_threads=host_threads)
+        if outs is not None:
+            return outs
+        # native front-end unavailable: fall through to the device path
 
     range_plans = {}
     if ranges is not None:

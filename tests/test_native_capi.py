@@ -135,3 +135,63 @@ def test_fft_imdct_matches_exact_phase_transform(tmp_path, stereo_ogg,
             assert np.array_equal(a1, a2), n1
     assert pcm_taps > 100
     assert worst < 2e-6, worst
+
+
+def test_native_pcm_route_matches_device():
+    """decode_corpus(route='native') — the C++ host decode straight to
+    PCM — matches the device path within the project eps (both are
+    independently ~1e-7 of libvorbis); i16 within 1 LSB (rounding of
+    1e-7-different floats can flip at .5 boundaries)."""
+    from conftest import DATA_DIR, MONO_OGG, STEREO_OGG
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
+
+    blobs = [open(p, "rb").read()
+             for p in (STEREO_OGG, MONO_OGG,
+                       os.path.join(DATA_DIR, "quad4s.4ch.32k.q5.ogg"))]
+    nat = decode_corpus(blobs, route="native")
+    dev = decode_corpus(blobs, route="device")
+    assert [(o.blob_index, o.stream_index) for o in nat] == \
+        [(o.blob_index, o.stream_index) for o in dev]
+    for a, b in zip(nat, dev):
+        assert a.pcm.shape == b.pcm.shape and a.sample_rate == b.sample_rate
+        assert float(np.abs(a.pcm - b.pcm).max()) <= 1e-5
+    ni = decode_corpus(blobs[:1], route="native", out_i16=True)[0]
+    di = decode_corpus(blobs[:1], route="device", out_i16=True)[0]
+    assert ni.pcm.dtype == np.int16
+    assert int(np.abs(ni.pcm.astype(np.int32)
+                      - di.pcm.astype(np.int32)).max()) <= 1
+
+
+def test_native_route_chained_isolation_and_validation():
+    from conftest import MONO_OGG, STEREO_OGG
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
+    from parseoggvorbis_tpu.utils.errors import ParseError
+
+    m = open(MONO_OGG, "rb").read()
+    s = open(STEREO_OGG, "rb").read()
+    # chained blob expands to two streams, BOS order
+    outs = decode_corpus([m + s], route="native")
+    assert [(o.stream_index, o.pcm.shape[0]) for o in outs] == \
+        [(0, 1), (1, 2)]
+    # per-blob isolation under strict=False; strict raises
+    outs = decode_corpus([b"junk" * 99, m], route="native", strict=False)
+    assert outs[0].error and outs[1].ok and outs[1].pcm.shape[0] == 1
+    with pytest.raises(ParseError):
+        decode_corpus([b"junk" * 99], route="native")
+    with pytest.raises(ParseError):
+        decode_corpus([m], route="native", ranges=[(0, 100)])
+    with pytest.raises(ParseError):
+        decode_corpus([m], route="nope")
+
+
+def test_route_auto_picks_native_on_cpu_only_hosts():
+    """The test env forces JAX_PLATFORMS=cpu, so auto must resolve to the
+    native host route (no accelerator to feed)."""
+    from conftest import MONO_OGG
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes, decode_corpus
+
+    m = open(MONO_OGG, "rb").read()
+    out = decode_corpus([m], route="auto")[0]
+    want = decode_bytes(m)
+    assert out.pcm.shape == want.pcm.shape
+    assert float(np.abs(out.pcm - want.pcm).max()) <= 1e-5
