@@ -78,12 +78,14 @@ class _Batcher(threading.Thread):
     coalesce into large device batches.
     """
 
-    def __init__(self, max_batch: int, max_wait_ms: float, mesh=None):
+    def __init__(self, max_batch: int, max_wait_ms: float, mesh=None,
+                 route=None):
         super().__init__(daemon=True, name="pov-serving-batcher")
         self.q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.mesh = mesh  # jax.sharding.Mesh: shard decode batches over it
+        self.route = route  # decode_corpus backend (None = POV_ROUTE env)
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "batched": 0,
                        "errors": 0}
@@ -205,7 +207,7 @@ class _Batcher(threading.Thread):
                 [p.blob for p in decodes], strict=False,
                 out_i16=all(p.opts.get("fmt", "i16") == "i16"
                             for p in decodes),
-                mesh=self.mesh,
+                mesh=self.mesh, route=self.route,
             )
             # chained files expand to multiple streams; serve the first
             # stream of each blob (blob_index maps outputs back)
@@ -426,9 +428,11 @@ class DecodeServer:
     """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 max_batch: int = 64, max_wait_ms: float = 20.0, mesh=None):
+                 max_batch: int = 64, max_wait_ms: float = 20.0, mesh=None,
+                 route=None):
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
-        self.batcher = _Batcher(max_batch, max_wait_ms, mesh=mesh)
+        self.batcher = _Batcher(max_batch, max_wait_ms, mesh=mesh,
+                                route=route)
         self.httpd.batcher = self.batcher  # type: ignore[attr-defined]
         self._thread: Optional[threading.Thread] = None
 
@@ -463,6 +467,10 @@ def main(argv=None, ready=None) -> int:
     ap.add_argument("--max_wait_ms", type=float, default=20.0)
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard decode batches over an N-device mesh")
+    ap.add_argument("--route", default=None,
+                    choices=("device", "native", "auto"),
+                    help="decode backend: TPU batch pipeline (device), "
+                         "C++ host decoder (native), or auto")
     args = ap.parse_args(argv)
     mesh = None
     if args.mesh:
@@ -470,7 +478,7 @@ def main(argv=None, ready=None) -> int:
 
         mesh = make_mesh(args.mesh)
     server = DecodeServer(args.host, args.port, args.max_batch,
-                          args.max_wait_ms, mesh=mesh)
+                          args.max_wait_ms, mesh=mesh, route=args.route)
     port = server.start()
     print("serving on %s:%d (POST /decode, POST /features, GET /stats)"
           % (args.host, port))

@@ -443,3 +443,27 @@ def test_decode_recover_endpoint(server):
     assert status == 400
     status, _, _ = _post(server.port, "/decode?recover=1", b"junk" * 999)
     assert status == 422
+
+
+def test_server_native_route():
+    """A server constructed with route='native' serves PCM decoded by the
+    C++ host route, matching the device-route server's output."""
+    from parseoggvorbis_tpu.native.frontend import available
+    from parseoggvorbis_tpu.serving import DecodeServer
+
+    if not available():
+        pytest.skip("native front-end not built")
+    blob = open(STEREO_OGG, "rb").read()
+    s = DecodeServer(max_batch=8, max_wait_ms=30.0, route="native")
+    s.start()
+    try:
+        status, headers, body = _post(s.port, "/decode?fmt=i16", blob)
+    finally:
+        s.stop()
+    assert status == 200
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
+
+    want = decode_corpus([blob], route="native", out_i16=True)[0].pcm
+    pcm = np.frombuffer(body, np.int16).reshape(
+        int(headers["X-Channels"]), int(headers["X-Samples"]))
+    np.testing.assert_array_equal(pcm, want)
