@@ -1047,6 +1047,7 @@ def decode_corpus(
 
 
 def decode_files(paths: Sequence[str], prefer_native: bool = True,
-                 out_i16: bool = False) -> List[DecodedAudio]:
+                 out_i16: bool = False, **kwargs) -> List[DecodedAudio]:
     return decode_corpus([open(p, "rb").read() for p in paths],
-                         prefer_native=prefer_native, out_i16=out_i16)
+                         prefer_native=prefer_native, out_i16=out_i16,
+                         **kwargs)

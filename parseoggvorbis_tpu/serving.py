@@ -59,7 +59,7 @@ class _Pending:
 
     def __init__(self, blob: bytes, kind: str, opts: dict):
         self.blob = blob
-        self.kind = kind  # "decode" | "features"
+        self.kind = kind  # "decode" | "features" | "recover"
         self.opts = opts
         self.done = threading.Event()
         self.result = None
