@@ -140,3 +140,20 @@ def test_close_releases_mmaps():
     with CropLoader([MONO_OGG], CROP, 1) as ld:
         assert ld._sources[0]._mmap is not None
     assert ld._closed
+
+
+def test_bytes_sources_and_worker_error_surfaces():
+    blob = open(MONO_OGG, "rb").read()
+    # in-memory bytes sources work like paths
+    ld = CropLoader([blob], CROP, 1, seed=2, steps=1)
+    (b,) = list(ld)
+    assert b.shape == (1, 1, CROP)
+    ld.close()  # no mmap to release; close is a no-op + idempotent
+    ld.close()
+    # an exception inside the prefetch worker surfaces on the consumer
+    bad = CropLoader([blob], CROP, 1, out="features", feature_kind="nope")
+    with pytest.raises(Exception):
+        next(iter(bad))
+    # take() past the end yields only what exists
+    short = CropLoader([blob], CROP, 1, seed=2, steps=1)
+    assert len(list(short.take(5))) == 1

@@ -248,3 +248,27 @@ def test_decode_file_recover(tmp_path, stereo):
     rec = decode_file_recover(str(p))
     assert rec.damage == [(v.offset, v.end)] and len(rec.holes) == 1
     _assert_outside_holes(rec, full)
+
+
+def test_huge_junk_region_resyncs_in_bounded_hops(stereo):
+    """>64 KiB of OggS-free garbage between pages: the scanner hops one
+    max-page window at a time (O(n) total) and loses no samples."""
+    data, full = stereo
+    idx = walk_pages(data)
+    cut = idx.audio_pages[3].offset
+    junk = b"\xaa" * (3 * 65536 + 12345)
+    rec = decode_bytes_recover(data[:cut] + junk + data[cut:])
+    assert rec.damage == [(cut, cut + len(junk))]
+    assert rec.holes == [] and rec.spans_decoded == 1
+    np.testing.assert_array_equal(rec.pcm, full)
+
+
+def test_truncated_mid_header(stereo):
+    """A file cut 10 bytes into a page header: clean tail damage."""
+    data, full = stereo
+    idx = walk_pages(data)
+    last = idx.audio_pages[-1]
+    cut = last.offset + 10
+    rec = decode_bytes_recover(data[:cut])
+    assert rec.damage == [(last.offset, cut)]
+    _assert_outside_holes(rec, full)
