@@ -83,3 +83,64 @@ def test_compare_zip_sweep(golden_dumps, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Compared 2 OGG files." in out
+
+
+def test_to_wav_tool(tmp_path):
+    """to_wav: full decode, seek range, and recover all produce valid WAVs
+    whose samples equal the library decode's."""
+    import wave
+
+    import numpy as np
+
+    from conftest import STEREO_OGG
+    from parseoggvorbis_tpu.ogg.seek import walk_pages
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+    from parseoggvorbis_tpu.tools.to_wav import main as to_wav
+
+    data = open(STEREO_OGG, "rb").read()
+    full = decode_bytes(data, out_i16=True).pcm
+
+    def read_wav(p):
+        with wave.open(str(p), "rb") as w:
+            c, n, rate = w.getnchannels(), w.getnframes(), w.getframerate()
+            pcm = np.frombuffer(w.readframes(n), np.int16)
+        return pcm.reshape(n, c).T, rate
+
+    out = tmp_path / "full.wav"
+    assert to_wav([STEREO_OGG, str(out)]) == 0
+    pcm, rate = read_wav(out)
+    assert rate == 44100
+    np.testing.assert_array_equal(pcm, full)
+
+    out = tmp_path / "range.wav"
+    assert to_wav([STEREO_OGG, str(out), "--start", "1000",
+                   "--end", "5000"]) == 0
+    pcm, _ = read_wav(out)
+    np.testing.assert_array_equal(pcm, full[:, 1000:5000])
+
+    out = tmp_path / "sec.wav"
+    assert to_wav([STEREO_OGG, str(out), "--seconds", "--start", "0.25",
+                   "--end", "0.5"]) == 0
+    pcm, _ = read_wav(out)
+    assert pcm.shape == (2, 11025)
+
+    # recover a damaged copy
+    v = walk_pages(data).audio_pages[2]
+    bad = bytearray(data)
+    bad[v.offset + 99] ^= 0x40
+    src = tmp_path / "damaged.ogg"
+    src.write_bytes(bytes(bad))
+    out = tmp_path / "rec.wav"
+    assert to_wav([str(src), str(out), "--recover"]) == 0
+    pcm, _ = read_wav(out)
+    assert pcm.shape == full.shape
+
+    # native route
+    out = tmp_path / "native.wav"
+    assert to_wav([STEREO_OGG, str(out), "--route", "native"]) == 0
+    pcm, _ = read_wav(out)
+    assert int(np.abs(pcm.astype(np.int32)
+                      - full.astype(np.int32)).max()) <= 1
+
+    with pytest.raises(SystemExit):
+        to_wav([STEREO_OGG, str(out), "--recover", "--start", "5"])
