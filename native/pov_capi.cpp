@@ -17,6 +17,7 @@
 // accumulated in double — O(n^2/4) but this surface is the debugging /
 // feature-extraction channel, not the TPU fast path.
 
+#include <atomic>
 #include <cmath>
 #include <cstdio>
 #include <cstring>
@@ -93,6 +94,10 @@ struct Info {
 
 std::map<const void*, Info> g_decoders;
 std::map<const void*, const void*> g_alias_map;
+// lock-free tap fast path: when nothing is registered (the PCM consumer
+// route never registers), every push_data returns before g_mutex —
+// otherwise 8 decode threads serialize on one global lock per tap
+std::atomic<int> g_decoder_count{0};
 
 Info* get_decoder(const void* ref) {
   std::lock_guard<std::mutex> lock(g_mutex);
@@ -105,6 +110,7 @@ Info* get_decoder(const void* ref) {
 template <typename T>
 void push_data(const void* ref, const char* name, int channel, const T* data,
                size_t len, uint8_t type_id, const char* kindname) {
+  if (g_decoder_count.load(std::memory_order_relaxed) == 0) return;
   Info* info = get_decoder(ref);
   if (!info) return;
   if (info->use_filter && !info->filter.count(name)) return;
@@ -144,6 +150,7 @@ void register_decoder_ref(const void* ref, const char* decoder_name,
   using namespace povcb;
   std::lock_guard<std::mutex> lock(g_mutex);
   Info& info = g_decoders[ref];
+  g_decoder_count.store((int)g_decoders.size(), std::memory_order_relaxed);
   if (!info.idx) info.idx = g_unique_idx++;
   info.ref = ref;
   info.name = decoder_name;
@@ -176,6 +183,7 @@ void unregister_decoder_ref(const void* ref) {
   if (it == g_decoders.end()) return;
   for (const void* al : it->second.aliases) g_alias_map.erase(al);
   g_decoders.erase(it);
+  g_decoder_count.store((int)g_decoders.size(), std::memory_order_relaxed);
 }
 
 void set_data_output_null(void) { povcb::g_pending_output = povcb::OT_null; }
@@ -581,12 +589,14 @@ struct ScalarStream {
         windows[m].init(lb ? bs1 : bs0, lb, bs0, bs1);
       }
       state.init(channels);
-      register_decoder_ref(this, "ParseOggVorbis", sample_rate, channels);
-      register_decoder_alias(this, &state);
+      if (!sink) {  // the PCM route never touches the dump subsystem
+        register_decoder_ref(this, "ParseOggVorbis", sample_rate, channels);
+        register_decoder_alias(this, &state);
+      }
       for (size_t fi = 0; fi < setup.floors.size(); ++fi) {
         if (setup.floor_types[fi] != 1) continue;
         const pov::Floor1& f1 = setup.floors[fi];
-        register_decoder_alias(this, &f1);
+        if (!sink) register_decoder_alias(this, &f1);
         uint8_t mult = (uint8_t)f1.multiplier;
         push_data_u8(this, "floor1_unpack multiplier", -1, &mult, 1);
         push_data_u32(this, "floor1_unpack xs", -1, f1.xs.data(), f1.xs.size());

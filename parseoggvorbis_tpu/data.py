@@ -47,6 +47,7 @@ class _Source:
     total: int  # total samples (stream-final granule)
     channels: int
     sample_rate: int
+    blocksize0: int  # short blocksize (bounds rows/crop for features)
     _mmap: object = None  # keepalive for mmapped files
 
 
@@ -70,7 +71,8 @@ def _open_source(src) -> _Source:
                     for p in index.pages[:index.header_end])
     sf = parse_stream(head)
     return _Source(blob=blob, total=total, channels=sf.channels,
-                   sample_rate=sf.sample_rate, _mmap=mm)
+                   sample_rate=sf.sample_rate, blocksize0=sf.blocksize0,
+                   _mmap=mm)
 
 
 class CropLoader:
@@ -78,9 +80,12 @@ class CropLoader:
 
     ``out="pcm"`` yields ``[B, C, crop_samples]`` float32 (or int16 with
     ``out_i16=True``); ``out="features"`` yields ``[B, crop_rows, dim]``
-    float32 feature matrices (rows beyond the crop's coverage are
-    zero-padded; extraction is bit-identical to the full extraction's
-    rows, features/batched.get_features_range).
+    float32 feature matrices — rows past the crop's actual coverage are
+    zero-padded, and the default ``crop_rows`` is a guaranteed upper
+    bound derived from the corpus's smallest blocksize (a caller-given
+    smaller ``crop_rows`` truncates the tail rows; extraction itself is
+    bit-identical to the full extraction's rows,
+    features/batched.get_features_range).
 
     ``weight_by_duration=True`` (default) samples files proportionally to
     their length, so every audio second is equally likely — the unbiased
@@ -123,12 +128,16 @@ class CropLoader:
         self.out_i16 = bool(out_i16)
         self.feature_dim = int(feature_dim)
         self.feature_kind = feature_kind
-        # default feature row budget: rows per crop is bounded by
-        # channels * ceil(crop / smallest half-window) and varies with
-        # mode sequencing; a fixed budget keeps batch shapes static
+        # default feature row budget: a frame emits at least
+        # blocksize0/2 samples (short-short lap), so a crop covers at
+        # most crop/(bs0/2) (+ anchor/boundary) frames, each emitting at
+        # most `channels` rows — a guaranteed upper bound derived from
+        # the corpus's actual smallest blocksize; a fixed budget keeps
+        # batch shapes static
+        min_lap = min(s.blocksize0 for s in self._sources) // 2
         self.crop_rows = (int(crop_rows) if crop_rows is not None
-                          else max(1, 2 * self.channels
-                                   * (self.crop_samples // 256 + 2)))
+                          else max(1, self.channels
+                                   * (self.crop_samples // min_lap + 3)))
         self.steps = steps
         self.start_step = int(start_step)
         self.prefetch = max(1, int(prefetch))

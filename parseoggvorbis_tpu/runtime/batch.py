@@ -737,6 +737,45 @@ def decode_file(path: str, prefer_native: bool = True,
                             out_i16=out_i16)
 
 
+def _split_vorbis_serials(data) -> Optional[List[bytes]]:
+    """Per-serial byte splices of a blob's Vorbis streams, BOS order.
+
+    Returns None when every BOS page is a Vorbis id header — the plain
+    single/chained case the native decoder handles directly.  Otherwise
+    (e.g. the video track of an .ogv) returns one spliced blob per
+    Vorbis stream, so the native route matches the device front-ends'
+    skip-non-Vorbis behavior (parse_streams_python)."""
+    from ..ogg.page import HEADER_SIZE, _HEADER_STRUCT
+
+    spans: dict = {}
+    order: List[int] = []
+    all_vorbis = True
+    off, n = 0, len(data)
+    while off < n:
+        if off + HEADER_SIZE > n:
+            raise ParseError("truncated page header at offset %d" % off)
+        (capture, version, flags, _g, serial, _s, _c,
+         nseg) = _HEADER_STRUCT.unpack_from(data, off)
+        check(capture == b"OggS", "bad capture pattern")
+        seg_off = off + HEADER_SIZE
+        check(seg_off + nseg <= n, "truncated segment table")
+        data_off = seg_off + nseg
+        end = data_off + sum(data[seg_off:seg_off + nseg])
+        check(end <= n, "truncated page payload")
+        if flags & 0x2:  # BOS
+            if bytes(data[data_off:data_off + 7]) == b"\x01vorbis":
+                order.append(serial)
+                spans[serial] = []
+            else:
+                all_vorbis = False
+        if serial in spans:
+            spans[serial].append((off, end))
+        off = end
+    if all_vorbis:
+        return None
+    return [b"".join(data[a:b] for a, b in spans[s]) for s in order]
+
+
 def _decode_corpus_native(blobs, out_i16: bool, strict: bool,
                           host_threads: int):
     """decode_corpus's route="native": whole-corpus C++ host decode.
@@ -745,13 +784,28 @@ def _decode_corpus_native(blobs, out_i16: bool, strict: bool,
     symbol) is unavailable, so the caller can fall back to the device
     path.  Thread-parallel across blobs (the C++ decode releases the
     GIL); per-blob error isolation under strict=False, same contract as
-    the device path's."""
+    the device path's.  Blobs multiplexing non-Vorbis streams are
+    pre-demuxed so only the Vorbis tracks reach the strict native
+    decoder (matching the device front-ends' skip behavior)."""
     from ..native.frontend import decode_pcm_native
 
     def one(i_b):
         i, b = i_b
         try:
-            outs = decode_pcm_native(b)
+            try:
+                outs = decode_pcm_native(b)
+            except ParseError:
+                # the native consumer is strict about non-Vorbis BOS
+                # packets; demux and retry with only the Vorbis tracks
+                parts = _split_vorbis_serials(b)
+                if parts is None:
+                    raise
+                outs = []
+                for part in parts:
+                    got = decode_pcm_native(part)
+                    if got is None:
+                        return None
+                    outs.extend(got)
         except ParseError as exc:
             if strict:
                 raise
@@ -836,10 +890,12 @@ def decode_corpus(
 
     from . import device_decoder as dd
 
+    explicit = route is not None
     route = route or _os.environ.get("POV_ROUTE", "device")
     check(route in ("device", "native", "auto"),
           "route must be device|native|auto")
     if route == "auto":
+        explicit = False
         try:
             import jax
 
@@ -847,14 +903,25 @@ def decode_corpus(
                                      for d in jax.devices()) else "native")
         except Exception:
             route = "native"
+    if route == "native" and (ranges is not None or mesh is not None):
+        # the native route can decode neither seek splices (its granule
+        # accounting assumes decode-from-start) nor shard a mesh.  An
+        # ambient preference (POV_ROUTE env / auto) falls back to the
+        # device path for such calls; an explicit request is an error.
+        check(not explicit, "route='native' does not support %s"
+              % ("ranges" if ranges is not None else "mesh"))
+        route = "device"
     if route == "native":
-        check(ranges is None, "route='native' does not support ranges")
-        check(mesh is None, "route='native' does not support mesh")
         outs = _decode_corpus_native(blobs, out_i16=out_i16, strict=strict,
                                      host_threads=host_threads)
         if outs is not None:
             return outs
-        # native front-end unavailable: fall through to the device path
+        # unavailable: an ambient preference falls back to the device
+        # path; an explicit route='native' must not silently change
+        # numerics/perf characteristics (e.g. bench head-to-heads)
+        check(not explicit,
+              "route='native' requires the native front-end "
+              "(pov_decode_pcm; rebuild with native/build.py)")
 
     range_plans = {}
     if ranges is not None:

@@ -86,6 +86,13 @@ class _Batcher(threading.Thread):
         self.max_wait = max_wait_ms / 1000.0
         self.mesh = mesh  # jax.sharding.Mesh: shard decode batches over it
         self.route = route  # decode_corpus backend (None = POV_ROUTE env)
+        # ranged/recover requests run per-request (isolated); dispatching
+        # them to a pool keeps one slow full-file recover from stalling
+        # the batcher thread (each pending has its own done event)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=4,
+                                        thread_name_prefix="pov-serving-pr")
         self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "batched": 0,
                        "errors": 0}
@@ -127,6 +134,9 @@ class _Batcher(threading.Thread):
         # wake the run loop AFTER the drain (draining first could consume
         # the sentinel and leave the thread blocked in q.get forever)
         self.q.put(None)
+        # in-flight per-request work (ranged/recover/feature crops)
+        # completes and answers its own pendings; no new work after this
+        self._pool.shutdown(wait=False)
 
     def run(self) -> None:
         import time
@@ -177,7 +187,7 @@ class _Batcher(threading.Thread):
         decodes = [p for p in all_decodes if p not in ranged]
         feats = [p for p in batch if p.kind == "features"]
 
-        for p in ranged:
+        def run_ranged(p):
             try:
                 out = decode_sample_range(
                     p.blob, p.opts.get("start", 0), p.opts.get("end"),
@@ -188,19 +198,22 @@ class _Batcher(threading.Thread):
                 self._count("errors")
                 p.fail(str(exc))
 
-        # recovery decodes run per-request isolated, like ranged ones
-        recovers = [p for p in batch if p.kind == "recover"]
-        for p in recovers:
+        def run_recover(p):
             from .runtime.batch import decode_bytes_recover
 
             try:
-                rec = decode_bytes_recover(
+                p.result = decode_bytes_recover(
                     p.blob, out_i16=p.opts.get("fmt", "i16") == "i16")
-                p.result = rec
                 p.done.set()
             except Exception as exc:
                 self._count("errors")
                 p.fail(str(exc))
+
+        for p in ranged:
+            self._pool.submit(run_ranged, p)
+        for p in batch:  # recovery decodes, per-request isolated too
+            if p.kind == "recover":
+                self._pool.submit(run_recover, p)
 
         if decodes:
             outs = decode_corpus(
@@ -238,7 +251,8 @@ class _Batcher(threading.Thread):
             ranged_f = [p for p in feats
                         if "start" in p.opts or "end" in p.opts]
             feats = [p for p in feats if p not in ranged_f]
-            for p in ranged_f:
+
+            def run_feature_crop(p):
                 try:
                     p.result = get_features_range(
                         p.blob, p.opts.get("dim", 64),
@@ -248,6 +262,9 @@ class _Batcher(threading.Thread):
                 except Exception as exc:
                     self._count("errors")
                     p.fail(str(exc))
+
+            for p in ranged_f:
+                self._pool.submit(run_feature_crop, p)
 
             # group by (dim, kind, device): the device flag is part of the
             # numeric contract (residue kinds differ ~1e-6 between paths),
@@ -430,6 +447,9 @@ class DecodeServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 64, max_wait_ms: float = 20.0, mesh=None,
                  route=None):
+        if route == "native" and mesh is not None:
+            # fail at startup, not as blanket 'batch failed' responses
+            raise ValueError("route='native' does not support mesh")
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
         self.batcher = _Batcher(max_batch, max_wait_ms, mesh=mesh,
                                 route=route)

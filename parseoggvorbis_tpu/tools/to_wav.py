@@ -38,6 +38,10 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if args.recover and (args.start is not None or args.end is not None):
         ap.error("--recover does not combine with --start/--end")
+    if args.route and (args.start is not None or args.end is not None
+                       or args.serial is not None or args.recover):
+        # ranged/serial/recover decodes run on their own fixed paths
+        ap.error("--route applies only to the plain full decode")
 
     from ..runtime.batch import (
         decode_corpus,
@@ -62,6 +66,13 @@ def main(argv=None) -> int:
         out = fn(data, s if args.seconds else int(s),
                  args.end if args.seconds or args.end is None
                  else int(args.end), out_i16=True, serial=args.serial)
+        pcm, rate = out.pcm, out.sample_rate
+    elif args.serial is not None:
+        # full decode of one selected logical stream (seek path with the
+        # whole range — bit-identical to a full decode of that stream)
+        data = open(args.input, "rb").read()
+        out = decode_sample_range(data, 0, None, out_i16=True,
+                                  serial=args.serial)
         pcm, rate = out.pcm, out.sample_rate
     else:
         data = open(args.input, "rb").read()

@@ -180,3 +180,24 @@ def test_native_chain_beyond_handle_buffer(mono):
     parsed = native.parse_streams_native(mono * 70)
     assert len(parsed) == 70
     assert all(p.channels == 1 and len(p.mode_idx) == 67 for p in parsed)
+
+
+def test_non_vorbis_streams_skipped_native_route(mono):
+    """The native PCM route matches the skip-non-Vorbis behavior: the
+    strict C++ consumer rejects the raw blob, so the route pre-demuxes
+    and decodes only the Vorbis tracks (batch._split_vorbis_serials)."""
+    pm = [_set_serial(p, 0x0AAA) for p in _raw_pages(mono)]
+    pv = _fake_video_stream(0x0BBB)
+    inter = [pm[0], pv[0]]
+    a, b = pm[1:], pv[1:]
+    rest = []
+    while a or b:
+        if a:
+            rest.append(a.pop(0))
+        if b:
+            rest.append(b.pop(0))
+    data = b"".join(inter + rest)
+    out = decode_corpus([data], route="native")
+    assert len(out) == 1 and out[0].num_samples == 63488
+    want = decode_corpus([data])[0]
+    assert float(np.abs(out[0].pcm - want.pcm).max()) <= 1e-5

@@ -195,3 +195,26 @@ def test_route_auto_picks_native_on_cpu_only_hosts():
     want = decode_bytes(m)
     assert out.pcm.shape == want.pcm.shape
     assert float(np.abs(out.pcm - want.pcm).max()) <= 1e-5
+
+
+def test_route_env_preference_vs_explicit():
+    """POV_ROUTE=native is an ambient preference: range-incompatible
+    calls silently use the device path.  An explicit route='native' with
+    ranges is a caller error (and never silently changes backend)."""
+    from conftest import MONO_OGG
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
+    from parseoggvorbis_tpu.utils.errors import ParseError
+
+    m = open(MONO_OGG, "rb").read()
+    old = os.environ.get("POV_ROUTE")
+    os.environ["POV_ROUTE"] = "native"
+    try:
+        outs = decode_corpus([m], ranges=[(0, 1000)])
+        assert outs[0].pcm.shape[1] == 1000  # fell back to device path
+    finally:
+        if old is None:
+            os.environ.pop("POV_ROUTE", None)
+        else:
+            os.environ["POV_ROUTE"] = old
+    with pytest.raises(ParseError):
+        decode_corpus([m], route="native", ranges=[(0, 1000)])

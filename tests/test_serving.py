@@ -467,3 +467,6 @@ def test_server_native_route():
     pcm = np.frombuffer(body, np.int16).reshape(
         int(headers["X-Channels"]), int(headers["X-Samples"]))
     np.testing.assert_array_equal(pcm, want)
+    # native route + mesh is a startup error, not blanket 422s
+    with pytest.raises(ValueError):
+        DecodeServer(route="native", mesh=object())
