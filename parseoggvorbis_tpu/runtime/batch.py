@@ -747,8 +747,9 @@ def _split_vorbis_serials(data) -> Optional[List[bytes]]:
     skip-non-Vorbis behavior (parse_streams_python)."""
     from ..ogg.page import HEADER_SIZE, _HEADER_STRUCT
 
-    spans: dict = {}
-    order: List[int] = []
+    spans: List[List[Tuple[int, int]]] = []  # one list per Vorbis stream
+    current: dict = {}  # serial -> index into spans (latest BOS wins:
+    # chained files may legally reuse a serial after its EOS)
     all_vorbis = True
     off, n = 0, len(data)
     while off < n:
@@ -764,16 +765,17 @@ def _split_vorbis_serials(data) -> Optional[List[bytes]]:
         check(end <= n, "truncated page payload")
         if flags & 0x2:  # BOS
             if bytes(data[data_off:data_off + 7]) == b"\x01vorbis":
-                order.append(serial)
-                spans[serial] = []
+                current[serial] = len(spans)
+                spans.append([])
             else:
                 all_vorbis = False
-        if serial in spans:
-            spans[serial].append((off, end))
+                current.pop(serial, None)
+        if serial in current:
+            spans[current[serial]].append((off, end))
         off = end
     if all_vorbis:
         return None
-    return [b"".join(data[a:b] for a, b in spans[s]) for s in order]
+    return [b"".join(data[a:b] for a, b in s) for s in spans]
 
 
 def _decode_corpus_native(blobs, out_i16: bool, strict: bool,

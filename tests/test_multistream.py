@@ -201,3 +201,16 @@ def test_non_vorbis_streams_skipped_native_route(mono):
     assert len(out) == 1 and out[0].num_samples == 63488
     want = decode_corpus([data])[0]
     assert float(np.abs(out[0].pcm - want.pcm).max()) <= 1e-5
+
+
+def test_native_route_demux_chained_serial_reuse(mono):
+    """A chained file reusing a serial after EOS, multiplexed with a
+    non-Vorbis track: the native route's demux keys streams by BOS
+    occurrence, not serial, so both links decode."""
+    pm1 = [_set_serial(p, 0x0CCC) for p in _raw_pages(mono)]
+    pv = _fake_video_stream(0x0DDD)
+    pm2 = [_set_serial(p, 0x0CCC) for p in _raw_pages(mono)]  # reuse!
+    data = b"".join([pm1[0], pv[0]] + pm1[1:] + pv[1:] + pm2)
+    outs = decode_corpus([data], route="native")
+    assert [(o.stream_index, o.num_samples) for o in outs] == \
+        [(0, 63488), (1, 63488)]
