@@ -48,6 +48,8 @@ class _Source:
     channels: int
     sample_rate: int
     blocksize0: int  # short blocksize (bounds rows/crop for features)
+    index: object  # StreamPageIndex — walked ONCE; every step plans
+    # its splices from this cache (per-step IO stays O(crop))
     _mmap: object = None  # keepalive for mmapped files
 
 
@@ -72,7 +74,7 @@ def _open_source(src) -> _Source:
     sf = parse_stream(head)
     return _Source(blob=blob, total=total, channels=sf.channels,
                    sample_rate=sf.sample_rate, blocksize0=sf.blocksize0,
-                   _mmap=mm)
+                   index=index, _mmap=mm)
 
 
 class CropLoader:
@@ -169,9 +171,14 @@ class CropLoader:
         return plans
 
     def _materialize(self, step: int) -> np.ndarray:
+        from .ogg.seek import plan_sample_range
+
         plans = self._plan_step(step)
         blobs = [self._sources[i].blob for i, _ in plans]
-        ranges = [rng for _, rng in plans]
+        # plan from each source's cached page index: per-step IO is the
+        # crop's covering pages only, never a fresh O(file) index walk
+        ranges = [plan_sample_range(self._sources[i].index, s, e)
+                  for i, (s, e) in plans]
         if self.out == "pcm":
             from .runtime.batch import decode_corpus
 

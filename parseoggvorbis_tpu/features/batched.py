@@ -296,19 +296,9 @@ def get_features_batched(blobs: Sequence[bytes], output_dim: int,
 
     plans: List[Optional[object]] = [None] * len(blobs)
     if ranges is not None:
-        from ..ogg.seek import plan_sample_range, walk_pages
+        from ..ogg.seek import splice_corpus
 
-        if len(ranges) != len(blobs):
-            raise ValueError("ranges must have one entry per blob")
-        spliced = []
-        for b, rng in zip(blobs, ranges):
-            if rng is None:
-                spliced.append(b)
-                continue
-            plan = plan_sample_range(walk_pages(b), rng[0], rng[1])
-            plans[len(spliced)] = plan
-            spliced.append(plan.splice(b))
-        blobs = spliced
+        blobs, plans = splice_corpus(blobs, ranges)
     only_big = bool(kwargs.get("only_biggest_floor", False))
 
     def trim(i, parsed, mat, rf=None):

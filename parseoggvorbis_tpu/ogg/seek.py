@@ -49,6 +49,7 @@ __all__ = [
     "walk_pages",
     "plan_sample_range",
     "SplicePlan",
+    "splice_corpus",
 ]
 
 
@@ -217,3 +218,41 @@ def plan_sample_range(index: StreamPageIndex, start: int,
                       from_start=(anchor == 0),
                       anchor_packet=sum(p.completions
                                         for p in audio[:anchor]))
+
+
+def splice_corpus(blobs, ranges, on_plan_error: str = "raise"):
+    """Shared range->splice resolution for the batched callers
+    (runtime/batch.decode_corpus, features/batched.get_features_batched).
+
+    Returns ``(spliced_blobs, plans)``: ``plans[i]`` is the
+    :class:`SplicePlan` for ranged blobs and None for pass-through
+    entries.  A ``ranges`` entry may be ``None`` (whole blob),
+    ``(start, end_or_None)``, or a prebuilt :class:`SplicePlan` — the
+    latter skips the per-call page walk entirely (callers that decode
+    the same sources repeatedly, e.g. data.CropLoader, plan from a
+    cached index).  ``on_plan_error="keep"`` leaves an unplannable blob
+    whole so the downstream parse surfaces the error per-stream instead
+    of failing the whole batch.
+    """
+    if len(ranges) != len(blobs):  # caller usage error, not a parse error
+        raise ValueError("ranges must have one entry per blob")
+    spliced, plans = [], []
+    for b, rng in zip(blobs, ranges):
+        if rng is None:
+            spliced.append(b)
+            plans.append(None)
+            continue
+        if isinstance(rng, SplicePlan):
+            plan = rng
+        else:
+            try:
+                plan = plan_sample_range(walk_pages(b), rng[0], rng[1])
+            except Exception:
+                if on_plan_error != "keep":
+                    raise
+                spliced.append(b)
+                plans.append(None)
+                continue
+        spliced.append(plan.splice(b))
+        plans.append(plan)
+    return spliced, plans

@@ -692,7 +692,10 @@ def decode_bytes_recover(data, prefer_native: bool = True,
     out = np.zeros((hdr_sf.channels, total), dtype)
     covered = np.zeros(total, dtype=bool)
     approximate: List[Tuple[int, int]] = []
-    for base, pcm, approx in results:
+    # approximate (end-aligned) spans write FIRST: their underestimated
+    # base may overlap a preceding exact span, and exact placement must
+    # win the overlap
+    for base, pcm, approx in sorted(results, key=lambda r: not r[2]):
         out[:, base:base + pcm.shape[1]] = pcm
         covered[base:base + pcm.shape[1]] = True
         if approx:
@@ -735,6 +738,12 @@ def decode_file(path: str, prefer_native: bool = True,
     with open(path, "rb") as f:
         return decode_bytes(f.read(), prefer_native=prefer_native,
                             out_i16=out_i16)
+
+
+def pcm_f32_to_i16(pcm: np.ndarray) -> np.ndarray:
+    """The framework's float->int16 PCM contract (host side; the device
+    path computes the identical formula in jnp, device_decoder.py)."""
+    return np.clip(np.round(pcm * 32767.0), -32768, 32767).astype(np.int16)
 
 
 def _split_vorbis_serials(data) -> Optional[List[bytes]]:
@@ -794,20 +803,24 @@ def _decode_corpus_native(blobs, out_i16: bool, strict: bool,
     def one(i_b):
         i, b = i_b
         try:
-            try:
+            # the native consumer is strict about non-Vorbis BOS packets;
+            # a cheap header walk finds them up front (cost ~0.1% of the
+            # decode) so such blobs demux to their Vorbis tracks instead
+            # of being rejected — or worse, decoded twice via a retry
+            parts = _split_vorbis_serials(b)
+            if parts is None:
                 outs = decode_pcm_native(b)
-            except ParseError:
-                # the native consumer is strict about non-Vorbis BOS
-                # packets; demux and retry with only the Vorbis tracks
-                parts = _split_vorbis_serials(b)
-                if parts is None:
-                    raise
+            else:
                 outs = []
                 for part in parts:
                     got = decode_pcm_native(part)
                     if got is None:
                         return None
                     outs.extend(got)
+            if outs is not None and not outs:
+                # device-route contract: a blob with no Vorbis stream is
+                # a parse error, never a silently missing output
+                raise ParseError("no vorbis stream found")
         except ParseError as exc:
             if strict:
                 raise
@@ -819,8 +832,7 @@ def _decode_corpus_native(blobs, out_i16: bool, strict: bool,
         res = []
         for si, (pcm, rate) in enumerate(outs):
             if out_i16:
-                pcm = np.clip(np.round(pcm * 32767.0),
-                              -32768, 32767).astype(np.int16)
+                pcm = pcm_f32_to_i16(pcm)
             res.append(DecodedAudio(pcm=pcm, sample_rate=rate,
                                     blob_index=i, stream_index=si))
         return res
@@ -927,26 +939,11 @@ def decode_corpus(
 
     range_plans = {}
     if ranges is not None:
-        from ..ogg.seek import plan_sample_range, walk_pages
+        from ..ogg.seek import splice_corpus
 
-        check(len(ranges) == len(blobs),
-              "ranges must have one entry per blob")
-        spliced = []
-        for i, (b, rng) in enumerate(zip(blobs, ranges)):
-            if rng is None:
-                spliced.append(b)
-                continue
-            try:
-                plan = plan_sample_range(walk_pages(b), rng[0], rng[1])
-            except Exception:
-                if strict:
-                    raise
-                # leave the blob whole; parse will surface the error
-                spliced.append(b)
-                continue
-            range_plans[i] = plan
-            spliced.append(plan.splice(b))
-        blobs = spliced
+        blobs, plans = splice_corpus(
+            blobs, ranges, on_plan_error="raise" if strict else "keep")
+        range_plans = {i: p for i, p in enumerate(plans) if p is not None}
 
     def safe_parse(pos_blob):
         """-> list of StreamFrames (one per logical stream) or Exception."""

@@ -163,8 +163,13 @@ class _Batcher(threading.Thread):
             try:
                 self._run_batch(batch)
             except Exception as exc:  # defensive: never kill the thread
-                self._count("errors", len(batch))
-                for p in batch:
+                # pool-dispatched pendings (ranged/recover/crops) answer
+                # for themselves; failing them here would override their
+                # isolated success/failure
+                owned = [p for p in batch
+                         if not getattr(p, "detached", False)]
+                self._count("errors", len(owned))
+                for p in owned:
                     p.fail("batch failed: %s" % exc)
         # drain on exit: fail anything that raced past stop()
         while True:
@@ -210,9 +215,12 @@ class _Batcher(threading.Thread):
                 p.fail(str(exc))
 
         for p in ranged:
+            p.detached = True  # owned by the pool: exempt from the
+            # batch-level defensive fail in run()
             self._pool.submit(run_ranged, p)
         for p in batch:  # recovery decodes, per-request isolated too
             if p.kind == "recover":
+                p.detached = True
                 self._pool.submit(run_recover, p)
 
         if decodes:
@@ -236,8 +244,9 @@ class _Batcher(threading.Thread):
                     pcm = o.pcm
                     if p.opts.get("fmt", "i16") == "i16" \
                             and pcm.dtype != np.int16:
-                        pcm = np.clip(np.round(pcm * 32767.0),
-                                      -32768, 32767).astype(np.int16)
+                        from .runtime.batch import pcm_f32_to_i16
+
+                        pcm = pcm_f32_to_i16(pcm)
                     p.result = (pcm, o.sample_rate)
                     p.done.set()
 
@@ -264,6 +273,7 @@ class _Batcher(threading.Thread):
                     p.fail(str(exc))
 
             for p in ranged_f:
+                p.detached = True
                 self._pool.submit(run_feature_crop, p)
 
             # group by (dim, kind, device): the device flag is part of the

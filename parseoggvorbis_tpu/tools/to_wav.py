@@ -27,8 +27,8 @@ def main(argv=None) -> int:
         description="Decode Ogg Vorbis to 16-bit WAV")
     ap.add_argument("input")
     ap.add_argument("output")
-    ap.add_argument("--start", type=float, default=None)
-    ap.add_argument("--end", type=float, default=None)
+    ap.add_argument("--start", default=None)
+    ap.add_argument("--end", default=None)
     ap.add_argument("--seconds", action="store_true",
                     help="--start/--end are seconds, not samples")
     ap.add_argument("--recover", action="store_true")
@@ -36,6 +36,18 @@ def main(argv=None) -> int:
                     choices=("device", "native", "auto"))
     ap.add_argument("--serial", type=int, default=None)
     args = ap.parse_args(argv)
+    # seconds are floats; sample indices must be exact integers (a float
+    # round-trip would silently truncate / lose precision)
+    for key in ("start", "end"):
+        v = getattr(args, key)
+        if v is None:
+            continue
+        try:
+            setattr(args, key, float(v) if args.seconds else int(v))
+        except ValueError:
+            ap.error("--%s must be an %s" % (
+                key, "number of seconds" if args.seconds
+                else "integer sample index"))
     if args.recover and (args.start is not None or args.end is not None):
         ap.error("--recover does not combine with --start/--end")
     if args.route and (args.start is not None or args.end is not None
@@ -62,10 +74,8 @@ def main(argv=None) -> int:
     elif args.start is not None or args.end is not None:
         data = open(args.input, "rb").read()
         fn = decode_time_range if args.seconds else decode_sample_range
-        s = args.start or 0
-        out = fn(data, s if args.seconds else int(s),
-                 args.end if args.seconds or args.end is None
-                 else int(args.end), out_i16=True, serial=args.serial)
+        out = fn(data, args.start or 0, args.end, out_i16=True,
+                 serial=args.serial)
         pcm, rate = out.pcm, out.sample_rate
     elif args.serial is not None:
         # full decode of one selected logical stream (seek path with the

@@ -144,3 +144,15 @@ def test_to_wav_tool(tmp_path):
 
     with pytest.raises(SystemExit):
         to_wav([STEREO_OGG, str(out), "--recover", "--start", "5"])
+
+
+def test_to_wav_rejects_fractional_samples(tmp_path):
+    from parseoggvorbis_tpu.tools.to_wav import main as to_wav
+
+    from conftest import STEREO_OGG
+
+    out = tmp_path / "x.wav"
+    with pytest.raises(SystemExit):
+        to_wav([STEREO_OGG, str(out), "--start", "44100.9"])
+    # the same value is fine as seconds
+    assert to_wav([STEREO_OGG, str(out), "--seconds", "--start", "1.5"]) == 0

@@ -218,3 +218,29 @@ def test_route_env_preference_vs_explicit():
             os.environ["POV_ROUTE"] = old
     with pytest.raises(ParseError):
         decode_corpus([m], route="native", ranges=[(0, 1000)])
+
+
+def test_native_route_no_vorbis_stream_is_a_parse_error():
+    """Device-route contract: a blob with no decodable Vorbis stream
+    raises (strict) / isolates (non-strict) — never a silently missing
+    output that misaligns outs[i] with blobs[i]."""
+    import struct
+
+    from conftest import MONO_OGG
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
+    from parseoggvorbis_tpu.utils.crc import ogg_page_crc
+    from parseoggvorbis_tpu.utils.errors import ParseError
+
+    # a single valid non-Vorbis stream (theora-style BOS)
+    payload = b"\x80theora" + bytes(20)
+    header = struct.pack("<4sBBqIIIB", b"OggS", 0, 0x06, 0, 7, 0, 0, 1)
+    seg = bytes([len(payload)])
+    crc = ogg_page_crc(header, seg, payload)
+    page = header[:22] + struct.pack("<I", crc) + header[26:] + seg + payload
+    for blob in (page, b""):
+        with pytest.raises(ParseError):
+            decode_corpus([blob], route="native")
+    m = open(MONO_OGG, "rb").read()
+    outs = decode_corpus([page, m], route="native", strict=False)
+    assert not outs[0].ok and "vorbis" in outs[0].error
+    assert outs[1].ok and outs[1].blob_index == 1
