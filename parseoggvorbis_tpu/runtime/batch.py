@@ -605,15 +605,41 @@ class RecoveredAudio:
     # one, so its samples are end-aligned to it — correct audio, offset
     # by up to the truncated tail (see decode_bytes_recover's caveat)
     approximate: List[Tuple[int, int]] = field(default_factory=list)
+    # absolute sample index of pcm[:, 0] (nonzero for windowed recovery;
+    # holes/approximate stay in absolute coordinates)
+    start_sample: int = 0
 
     @property
     def intact(self) -> bool:
         return not self.holes and not self.damage
 
 
+def _trim_span_to_window(span, start: int, end: Optional[int]):
+    """Trim an intact span's pages to the ones covering [start, end) —
+    the seek planner's anchor rule applied within the span (the span is
+    seq-contiguous, so the non-continued-anchor guarantee holds)."""
+    anchor = 0
+    for i, p in enumerate(span):
+        if 0 <= p.granule <= start:
+            anchor = i
+        elif p.granule > start:
+            break
+    while anchor > 0 and span[anchor].is_continued:
+        anchor -= 1
+    last = len(span) - 1
+    if end is not None:
+        for i in range(anchor, len(span)):
+            if span[i].granule >= end:
+                last = i
+                break
+    return span[anchor:last + 1]
+
+
 def decode_bytes_recover(data, prefer_native: bool = True,
                          out_i16: bool = False,
-                         serial: Optional[int] = None) -> RecoveredAudio:
+                         serial: Optional[int] = None,
+                         start: int = 0,
+                         end: Optional[int] = None) -> RecoveredAudio:
     """Best-effort decode of a damaged stream (resync on corruption).
 
     Capability beyond the reference, which fails the whole file on the
@@ -634,10 +660,19 @@ def decode_bytes_recover(data, prefer_native: bool = True,
     are end-aligned to the granule (vorbisfile-style back-solve) and the
     range is reported in ``approximate``; exact placement needs one
     non-final granule, which any span of two or more pages has.
+
+    ``start``/``end`` window the recovery to a sample range (random
+    access into damaged files): only spans overlapping [start, end)
+    decode, each trimmed to its covering pages via the seek anchor rule
+    — O(range) decode cost even when the file is mostly intact.  The
+    returned ``pcm`` then covers [start_sample, start_sample + width);
+    holes/approximate stay in absolute sample coordinates.
     """
     from ..ogg.recover import scan_pages_tolerant
     from . import device_decoder as dd
 
+    start = max(0, int(start))
+    windowed = end is not None or start > 0
     scan = scan_pages_tolerant(data, serial=serial)
     index = scan.index
     headers = b"".join(bytes(data[p.offset:p.end])
@@ -656,7 +691,22 @@ def decode_bytes_recover(data, prefer_native: bool = True,
     final_granule = index.total_samples
     results: List[Tuple[int, np.ndarray, bool]] = []
     dropped = 0
+    prev_granule = 0  # emission lower bound for the next span
     for k, span in enumerate(spans):
+        if windowed:
+            # span emission ⊆ [prev_granule, last granule in span]: skip
+            # spans provably outside the window, trim the rest to their
+            # covering pages (keeps the decode O(range))
+            g_last = max((p.granule for p in span if p.granule >= 0),
+                         default=-1)
+            g_before = prev_granule
+            if g_last >= 0:
+                prev_granule = max(prev_granule, g_last)
+            if g_last >= 0 and g_last <= start:
+                continue  # entirely before the window: not damage
+            if end is not None and g_before >= end:
+                continue  # entirely after the window
+            span = _trim_span_to_window(span, start, end)
         while span and span[0].is_continued:
             span = span[1:]  # first packet incomplete: cannot anchor here
         if not span:
@@ -688,34 +738,42 @@ def decode_bytes_recover(data, prefer_native: bool = True,
     total = index.total_samples or 0
     for base, pcm, _ in results:
         total = max(total, base + pcm.shape[1])
+    lo = min(start, total)
+    hi = total if end is None else max(lo, min(end, total))
     dtype = np.int16 if out_i16 else np.float32
-    out = np.zeros((hdr_sf.channels, total), dtype)
-    covered = np.zeros(total, dtype=bool)
+    out = np.zeros((hdr_sf.channels, hi - lo), dtype)
+    covered = np.zeros(hi - lo, dtype=bool)
     approximate: List[Tuple[int, int]] = []
     # approximate (end-aligned) spans write FIRST: their underestimated
     # base may overlap a preceding exact span, and exact placement must
     # win the overlap
     for base, pcm, approx in sorted(results, key=lambda r: not r[2]):
-        out[:, base:base + pcm.shape[1]] = pcm
-        covered[base:base + pcm.shape[1]] = True
-        if approx:
-            approximate.append((base, base + pcm.shape[1]))
+        a = max(base, lo)
+        b = min(base + pcm.shape[1], hi)
+        if b > a:
+            out[:, a - lo:b - lo] = pcm[:, a - base:b - base]
+            covered[a - lo:b - lo] = True
+        if approx and b > a:
+            approximate.append((a, b))
     holes: List[Tuple[int, int]] = []
     gap = np.nonzero(~covered)[0]
     if gap.size:
         breaks = np.nonzero(np.diff(gap) > 1)[0]
         starts = np.concatenate([gap[:1], gap[breaks + 1]])
         ends = np.concatenate([gap[breaks], gap[-1:]]) + 1
-        holes = list(zip(starts.tolist(), ends.tolist()))
+        holes = [(lo + a, lo + b)
+                 for a, b in zip(starts.tolist(), ends.tolist())]
     return RecoveredAudio(pcm=out, sample_rate=hdr_sf.sample_rate,
                           holes=holes, damage=scan.damage,
                           spans_decoded=len(results), spans_dropped=dropped,
-                          approximate=approximate)
+                          approximate=approximate, start_sample=lo)
 
 
 def decode_file_recover(path: str, prefer_native: bool = True,
                         out_i16: bool = False,
-                        serial: Optional[int] = None) -> RecoveredAudio:
+                        serial: Optional[int] = None,
+                        start: int = 0,
+                        end: Optional[int] = None) -> RecoveredAudio:
     """:func:`decode_bytes_recover` over an mmapped file (the scan touches
     every page once; only the surviving spans' bytes are copied)."""
     import mmap
@@ -723,7 +781,8 @@ def decode_file_recover(path: str, prefer_native: bool = True,
     with open(path, "rb") as f:
         with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
             return decode_bytes_recover(mm, prefer_native=prefer_native,
-                                        out_i16=out_i16, serial=serial)
+                                        out_i16=out_i16, serial=serial,
+                                        start=start, end=end)
 
 
 def decode_all_streams(data: bytes, prefer_native: bool = True,

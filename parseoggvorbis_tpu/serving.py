@@ -16,9 +16,11 @@ Endpoints (stdlib http.server; no external dependencies):
          sample range decoded via the seek path (only the pages covering
          the range are parsed — random access into long files);
          recover=1 opts into the corruption-tolerant decode (resync past
-         damage; X-Holes/X-Approximate carry JSON sample ranges that
-         were zero-filled / best-effort placed, X-Damage-Bytes the
-         skipped byte count — runtime/batch.decode_bytes_recover)
+         damage; X-Holes/X-Approximate carry JSON absolute sample ranges
+         that were zero-filled / best-effort placed, X-Damage-Bytes the
+         skipped byte count, X-Start-Sample the window origin —
+         runtime/batch.decode_bytes_recover).  recover composes with
+         start/end: random access into damaged files at O(range) cost
   POST /features?dim=64&kind=floor_final_ys[&device=1][&start=S&end=E]
       body: ogg bytes
       -> 200, X-Rows/X-Dim headers, raw float32 [rows, dim].
@@ -208,7 +210,8 @@ class _Batcher(threading.Thread):
 
             try:
                 p.result = decode_bytes_recover(
-                    p.blob, out_i16=p.opts.get("fmt", "i16") == "i16")
+                    p.blob, out_i16=p.opts.get("fmt", "i16") == "i16",
+                    start=p.opts.get("start", 0), end=p.opts.get("end"))
                 p.done.set()
             except Exception as exc:
                 self._count("errors")
@@ -355,10 +358,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self.send_error(400, "end must be >= start")
                 return
             if qs.get("recover") == "1":
-                if "start" in opts or "end" in opts:
-                    self.send_error(
-                        400, "recover does not combine with start/end")
-                    return
+                # start/end window the recovery (random access into
+                # damaged files, O(range) — runtime/batch.py)
                 p = _Pending(blob, "recover", opts)
             else:
                 p = _Pending(blob, "decode", opts)
@@ -415,6 +416,7 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("X-Approximate", json.dumps(rec.approximate))
             self.send_header("X-Damage-Bytes",
                              str(sum(b - a for a, b in rec.damage)))
+            self.send_header("X-Start-Sample", str(rec.start_sample))
         elif p.kind == "decode":
             pcm, rate = p.result
             body = np.ascontiguousarray(pcm).tobytes()

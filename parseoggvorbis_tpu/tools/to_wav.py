@@ -48,8 +48,8 @@ def main(argv=None) -> int:
             ap.error("--%s must be an %s" % (
                 key, "number of seconds" if args.seconds
                 else "integer sample index"))
-    if args.recover and (args.start is not None or args.end is not None):
-        ap.error("--recover does not combine with --start/--end")
+    if args.recover and args.seconds:
+        ap.error("--recover takes sample --start/--end, not --seconds")
     if args.route and (args.start is not None or args.end is not None
                        or args.serial is not None or args.recover):
         # ranged/serial/recover decodes run on their own fixed paths
@@ -64,7 +64,8 @@ def main(argv=None) -> int:
 
     if args.recover:
         rec = decode_file_recover(args.input, out_i16=True,
-                                  serial=args.serial)
+                                  serial=args.serial,
+                                  start=args.start or 0, end=args.end)
         if rec.damage:
             print("recovered: %d bytes of damage skipped; holes=%s "
                   "approximate=%s" % (sum(b - a for a, b in rec.damage),

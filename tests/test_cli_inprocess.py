@@ -142,8 +142,15 @@ def test_to_wav_tool(tmp_path):
     assert int(np.abs(pcm.astype(np.int32)
                       - full.astype(np.int32)).max()) <= 1
 
+    # recover composes with sample ranges (windowed recovery)
+    out = tmp_path / "recrange.wav"
+    assert to_wav([str(src), str(out), "--recover", "--start", "1000",
+                   "--end", "5000"]) == 0
+    pcm, _ = read_wav(out)
+    np.testing.assert_array_equal(pcm, full[:, 1000:5000])
     with pytest.raises(SystemExit):
-        to_wav([STEREO_OGG, str(out), "--recover", "--start", "5"])
+        to_wav([STEREO_OGG, str(out), "--recover", "--seconds",
+                "--start", "1"])
 
 
 def test_to_wav_rejects_fractional_samples(tmp_path):

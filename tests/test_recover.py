@@ -272,3 +272,49 @@ def test_truncated_mid_header(stereo):
     rec = decode_bytes_recover(data[:cut])
     assert rec.damage == [(last.offset, cut)]
     _assert_outside_holes(rec, full)
+
+
+def test_windowed_recovery(stereo):
+    """start/end window the recovery: only overlapping spans decode,
+    trimmed to their covering pages (O(range)); pcm covers the window
+    with holes/approximate in absolute coordinates."""
+    data, full = stereo
+    idx = walk_pages(data)
+    v = idx.audio_pages[2]
+    bad = bytearray(data)
+    bad[v.offset + 200] ^= 0xFF
+    bad = bytes(bad)
+    whole = decode_bytes_recover(bad)
+
+    # window inside the intact tail: one trimmed span, no holes
+    w = decode_bytes_recover(bad, start=70000, end=80000)
+    assert w.start_sample == 70000 and w.pcm.shape == (2, 10000)
+    assert w.holes == [] and w.spans_decoded == 1
+    got, want = w.pcm, full[:, 70000:80000]
+    assert np.array_equal(got, want) or \
+        float(np.abs(got - want).max()) <= 2e-6
+
+    # window straddling the hole: hole reported absolute, clipped
+    a, b = whole.holes[0]
+    w2 = decode_bytes_recover(bad, start=a - 2000, end=b + 2000)
+    assert w2.holes == [(a, b)]
+    assert not w2.pcm[:, a - w2.start_sample:b - w2.start_sample].any()
+    mask = np.ones(w2.pcm.shape[1], bool)
+    mask[a - w2.start_sample:b - w2.start_sample] = False
+    got = w2.pcm[:, mask]
+    want = full[:, a - 2000:b + 2000][:, mask]
+    assert np.array_equal(got, want) or \
+        float(np.abs(got - want).max()) <= 2e-6
+
+    # window entirely inside the hole: all zeros, one hole
+    w3 = decode_bytes_recover(bad, start=a + 100, end=b - 100)
+    assert not w3.pcm.any() and w3.holes == [(a + 100, b - 100)]
+
+    # clean file: windowed recovery == seek slice, past-end clamps
+    w4 = decode_bytes_recover(data, start=20000, end=30000)
+    assert w4.intact and w4.start_sample == 20000
+    got, want = w4.pcm, full[:, 20000:30000]
+    assert np.array_equal(got, want) or \
+        float(np.abs(got - want).max()) <= 2e-6
+    w5 = decode_bytes_recover(data, start=full.shape[1] + 5)
+    assert w5.pcm.shape[1] == 0

@@ -438,9 +438,12 @@ def test_decode_recover_endpoint(server):
     assert status == 200 and _json.loads(headers["X-Holes"]) == []
     np.testing.assert_array_equal(
         np.frombuffer(body, np.int16).reshape(full.shape), full)
-    # recover does not combine with ranges; garbage 422s alone
-    status, _, _ = _post(server.port, "/decode?recover=1&start=5", blob)
-    assert status == 400
+    # recover composes with ranges: windowed recovery (O(range))
+    status, headers, body = _post(
+        server.port, "/decode?recover=1&start=1000&end=5000", bytes(bad))
+    assert status == 200 and int(headers["X-Start-Sample"]) == 1000
+    pcm = np.frombuffer(body, np.int16).reshape(2, -1)
+    np.testing.assert_array_equal(pcm, full[:, 1000:5000])
     status, _, _ = _post(server.port, "/decode?recover=1", b"junk" * 999)
     assert status == 422
 
