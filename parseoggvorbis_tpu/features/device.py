@@ -1353,7 +1353,54 @@ class StreamingFeatures:
 def stream_features_device(data: bytes, output_dim: int,
                            kind: str = "floor_final_ys",
                            window_frames: int = 4096,
-                           **kwargs) -> StreamingFeatures:
-    """Windowed device feature extraction (see StreamingFeatures)."""
-    return StreamingFeatures(data, output_dim, kind,
-                             window_frames=window_frames, **kwargs)
+                           start_sample: int = 0,
+                           **kwargs):
+    """Windowed device feature extraction (see StreamingFeatures).
+
+    ``start_sample`` streams feature rows from mid-file: the seek splice
+    (ogg/seek.py) anchors the stream so only the pages from the covering
+    page onward are ever parsed — startup cost and memory stay O(window)
+    at any offset — and the rows of frames emitting no sample at or
+    after ``start_sample`` are dropped.  Every yielded row is
+    bit-identical to the corresponding row of the full extraction (the
+    ranged-extraction argument, features/batched.get_features_range);
+    the dropped-row count comes from a cheap prefix parse of the
+    splice's first audio pages (frame decode is stateless given setup,
+    so prefix frame metadata is exact)."""
+    if not start_sample:
+        return StreamingFeatures(data, output_dim, kind,
+                                 window_frames=window_frames, **kwargs)
+
+    from ..ogg.seek import plan_sample_range, walk_pages
+    from ..native import frontend as native
+    from .batched import _emission_window, _row_frames_from_parsed
+
+    plan = plan_sample_range(walk_pages(data), int(start_sample), None)
+    if plan.empty:
+        return iter(())
+    spliced = plan.splice(data)
+    sidx = walk_pages(spliced)
+    # prefix = headers + the first two audio pages: contains the anchor
+    # frames AND at least one granule, enough to solve the emission base
+    # and locate the first frame overlapping start_sample
+    cut = sidx.audio_pages[min(1, len(sidx.audio_pages) - 1)].end
+    prefix = native.parse_stream_native(spliced[:cut])
+    f0 = _emission_window(prefix, plan)[0]
+    rf = _row_frames_from_parsed(
+        prefix, kind,
+        only_biggest_floor=bool(kwargs.get("only_biggest_floor", False)))
+    drop = int((rf < f0).sum())
+    inner = StreamingFeatures(spliced, output_dim, kind,
+                              window_frames=window_frames, **kwargs)
+
+    def gen():
+        todrop = drop
+        for mat in inner:
+            if todrop:
+                take = min(todrop, mat.shape[0])
+                mat = mat[take:]
+                todrop -= take
+            if mat.shape[0]:
+                yield mat
+
+    return gen()

@@ -206,3 +206,25 @@ def test_range_rows_on_singlethread_host_path():
     assert np.array_equal(
         outs[0], get_features_range(mono, 64, 0, 20000).features)
     assert np.array_equal(outs[1], get_features(mono, 64))
+
+
+@pytest.mark.parametrize("kind", ["floor_final_ys", "residue_ys"])
+def test_stream_features_from_offset(kind):
+    """stream_features_device(start_sample=N): windowed streaming from
+    mid-file — concatenated rows equal the ranged extraction's (which are
+    bit-identical to the full extraction's), at O(window) startup cost."""
+    from parseoggvorbis_tpu.features.device import stream_features_device
+
+    data = _load("stereo")
+    for s in (20000, 89000):
+        mats = list(stream_features_device(data, 48, kind,
+                                           window_frames=16,
+                                           start_sample=s))
+        got = (np.concatenate(mats) if mats
+               else np.zeros((0, 48), np.float32))
+        want = get_features_range(data, 48, s, None, kind=kind).features
+        assert got.shape == want.shape
+        if not np.array_equal(got, want):
+            assert float(np.abs(got - want).max()) <= 1e-5
+    assert list(stream_features_device(data, 48, kind,
+                                       start_sample=10**9)) == []
