@@ -1350,6 +1350,25 @@ class StreamingFeatures:
         return np.concatenate(mats, axis=0)
 
 
+class _RowStream:
+    """StreamingFeatures-compatible facade over a row-matrix iterator
+    (the offset-streaming path yields through a dropping generator but
+    callers expect the same iterate/read_all surface)."""
+
+    def __init__(self, it, output_dim: int):
+        self._it = it
+        self.output_dim = output_dim
+
+    def __iter__(self):
+        return self._it
+
+    def read_all(self) -> np.ndarray:
+        mats = list(self._it)
+        if not mats:
+            return np.zeros((0, self.output_dim), np.float32)
+        return np.concatenate(mats)
+
+
 def stream_features_device(data: bytes, output_dim: int,
                            kind: str = "floor_final_ys",
                            window_frames: int = 4096,
@@ -1358,15 +1377,19 @@ def stream_features_device(data: bytes, output_dim: int,
     """Windowed device feature extraction (see StreamingFeatures).
 
     ``start_sample`` streams feature rows from mid-file: the seek splice
-    (ogg/seek.py) anchors the stream so only the pages from the covering
-    page onward are ever parsed — startup cost and memory stay O(window)
-    at any offset — and the rows of frames emitting no sample at or
-    after ``start_sample`` are dropped.  Every yielded row is
-    bit-identical to the corresponding row of the full extraction (the
-    ranged-extraction argument, features/batched.get_features_range);
-    the dropped-row count comes from a cheap prefix parse of the
-    splice's first audio pages (frame decode is stateless given setup,
-    so prefix frame metadata is exact)."""
+    (ogg/seek.py) anchors the stream so the decode only ever parses
+    pages from the covering page onward (decode state stays O(window);
+    the splice itself is one byte-copy of the tail), and the rows of
+    frames emitting strictly before ``start_sample`` are dropped — the
+    yield is the SUFFIX of the full extraction from the first frame
+    emitting at/after the offset, each row bit-identical (the
+    ranged-extraction argument, features/batched.get_features_range;
+    unlike a closed range, the suffix keeps any zero-emission fully
+    granule-truncated tail frames, exactly like the full extraction).
+    The dropped-row count comes from a prefix parse of the splice's
+    first audio pages (frame decode is stateless given setup, so prefix
+    frame metadata is exact), extended until it provably covers the
+    offset."""
     if not start_sample:
         return StreamingFeatures(data, output_dim, kind,
                                  window_frames=window_frames, **kwargs)
@@ -1375,21 +1398,34 @@ def stream_features_device(data: bytes, output_dim: int,
     from ..native import frontend as native
     from .batched import _emission_window, _row_frames_from_parsed
 
-    plan = plan_sample_range(walk_pages(data), int(start_sample), None)
+    index = walk_pages(data)
+    plan = plan_sample_range(index, int(start_sample), None)
     if plan.empty:
-        return iter(())
+        return _RowStream(iter(()), output_dim)
     spliced = plan.splice(data)
-    sidx = walk_pages(spliced)
-    # prefix = headers + the first two audio pages: contains the anchor
-    # frames AND at least one granule, enough to solve the emission base
-    # and locate the first frame overlapping start_sample
-    cut = sidx.audio_pages[min(1, len(sidx.audio_pages) - 1)].end
-    prefix = native.parse_stream_native(spliced[:cut])
-    f0 = _emission_window(prefix, plan)[0]
+    # locate prefix cut points from the index already in hand (no
+    # re-walk): spliced = headers + bytes from the anchor page on
+    headers_len = sum(b - a for a, b in plan.spans[:-1])
+    anchor_off = plan.spans[-1][0]
+    audio = index.audio_pages
+    a0 = next(i for i, p in enumerate(audio) if p.offset == anchor_off)
+    # prefix = headers + the first k audio pages; k grows until the
+    # prefix contains a frame emitting at/after the offset (a covering
+    # page completing no packet would otherwise leave f0 undecidable —
+    # 'nothing to drop' must be provable, not a fallback)
+    k = 2
+    while True:
+        last = min(a0 + k - 1, len(audio) - 1)
+        cut = headers_len + (audio[last].end - anchor_off)
+        prefix = native.parse_stream_native(spliced[:cut])
+        f0, f1 = _emission_window(prefix, plan)[:2]
+        if f1 > f0 or last == len(audio) - 1:
+            break
+        k *= 2
     rf = _row_frames_from_parsed(
         prefix, kind,
         only_biggest_floor=bool(kwargs.get("only_biggest_floor", False)))
-    drop = int((rf < f0).sum())
+    drop = int((rf < f0).sum()) if f1 > f0 else int(rf.size)
     inner = StreamingFeatures(spliced, output_dim, kind,
                               window_frames=window_frames, **kwargs)
 
@@ -1403,4 +1439,4 @@ def stream_features_device(data: bytes, output_dim: int,
             if mat.shape[0]:
                 yield mat
 
-    return gen()
+    return _RowStream(gen(), output_dim)

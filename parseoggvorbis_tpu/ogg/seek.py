@@ -173,6 +173,31 @@ class SplicePlan:
         return b"".join(data[a:b] for a, b in self.spans)
 
 
+def anchor_window(pages, start: int, end: Optional[int]):
+    """(anchor, last) page indices covering samples [start, end) of a
+    run of pages — THE anchor rule (module docstring): the nearest
+    non-continued page at or before the last page with granule <= start,
+    through the first page whose granule reaches ``end``.  Shared by the
+    seek planner and the recovery decoder's span trimming (spans are
+    seq-contiguous, so the non-continued-anchor guarantee holds there
+    too)."""
+    anchor = 0
+    for i, p in enumerate(pages):
+        if 0 <= p.granule <= start:
+            anchor = i
+        elif p.granule > start:
+            break
+    while anchor > 0 and pages[anchor].is_continued:
+        anchor -= 1
+    last = len(pages) - 1
+    if end is not None:
+        for i in range(anchor, len(pages)):
+            if pages[i].granule >= end:
+                last = i
+                break
+    return anchor, last
+
+
 def plan_sample_range(index: StreamPageIndex, start: int,
                       end: Optional[int]) -> SplicePlan:
     """Plan the byte splice covering samples [start, end) of the stream.
@@ -193,26 +218,9 @@ def plan_sample_range(index: StreamPageIndex, start: int,
         return SplicePlan(spans=headers, start_sample=start,
                           end_sample=end, empty=True)
 
-    # Anchor: nearest non-continued page at or before the last page with
-    # granule <= start (no such page => the first audio page).
-    anchor = 0
-    for i, p in enumerate(audio):
-        if 0 <= p.granule <= start:
-            anchor = i
-        elif p.granule > start:
-            break
-    while anchor > 0 and audio[anchor].is_continued:
-        anchor -= 1
+    anchor, last = anchor_window(audio, start, end)
     check(not audio[anchor].is_continued,
           "first audio page continues an unseen packet")
-
-    # End page: first page whose granule covers `end`; else the last page.
-    last = len(audio) - 1
-    if end is not None:
-        for i in range(anchor, len(audio)):
-            if audio[i].granule >= end:
-                last = i
-                break
     spans = headers + [(audio[anchor].offset, audio[last].end)]
     return SplicePlan(spans=spans, start_sample=start, end_sample=end,
                       from_start=(anchor == 0),

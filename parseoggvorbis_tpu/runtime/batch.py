@@ -618,20 +618,9 @@ def _trim_span_to_window(span, start: int, end: Optional[int]):
     """Trim an intact span's pages to the ones covering [start, end) —
     the seek planner's anchor rule applied within the span (the span is
     seq-contiguous, so the non-continued-anchor guarantee holds)."""
-    anchor = 0
-    for i, p in enumerate(span):
-        if 0 <= p.granule <= start:
-            anchor = i
-        elif p.granule > start:
-            break
-    while anchor > 0 and span[anchor].is_continued:
-        anchor -= 1
-    last = len(span) - 1
-    if end is not None:
-        for i in range(anchor, len(span)):
-            if span[i].granule >= end:
-                last = i
-                break
+    from ..ogg.seek import anchor_window
+
+    anchor, last = anchor_window(span, start, end)
     return span[anchor:last + 1]
 
 
@@ -674,6 +663,14 @@ def decode_bytes_recover(data, prefer_native: bool = True,
     start = max(0, int(start))
     windowed = end is not None or start > 0
     scan = scan_pages_tolerant(data, serial=serial)
+    if windowed:
+        # the span-skip/trim optimizations trust granule monotonicity; a
+        # hostile CRC-valid page with a bogus granule must degrade the
+        # WINDOWED decode to slow-but-correct (decode everything, slice),
+        # never to a different answer than the unwindowed decode
+        g = [p.granule for p in scan.index.audio_pages if p.granule >= 0]
+        if any(b < a for a, b in zip(g, g[1:])):
+            windowed = False
     index = scan.index
     headers = b"".join(bytes(data[p.offset:p.end])
                        for p in index.pages[:index.header_end])
