@@ -261,6 +261,18 @@ def dryrun_multichip(n_devices: int) -> None:
         print("dryrun_multichip: mesh corpus decode OK "
               "(2 streams x 63488 samples)")
 
+        # random access through the same mesh path (r4): per-blob sample
+        # ranges splice via the seek planner and decode data-parallel,
+        # sample-exact vs slicing the full mesh decode
+        ranged = decode_corpus([data] * 2, prefer_native=False, mesh=mesh,
+                               ranges=[(1000, 3000), (60000, None)])
+        assert ranged[0].pcm.shape[1] == 2000
+        assert ranged[1].pcm.shape[1] == 63488 - 60000
+        full = audios[0].pcm
+        assert np.allclose(ranged[0].pcm, full[:, 1000:3000], atol=2e-6)
+        assert np.allclose(ranged[1].pcm, full[:, 60000:], atol=2e-6)
+        print("dryrun_multichip: mesh ranged decode OK")
+
         # the ML headline path sharded the same way: same-plan feature
         # stacks over 'data' (python front-end keeps this hermetic too)
         from ..features.device import launch_features_mesh
