@@ -236,10 +236,14 @@ void push_data_int(const void* ref, const char* name, int channel,
 }
 
 const char* generic_itoa(uint32_t val, int base, int len) {
-  // utility kept for C-ABI parity with the reference (Callbacks.h:79)
+  // utility kept for C-ABI parity with the reference (Callbacks.h:79);
+  // clamp caller-supplied len/base so hostile values cannot write below
+  // the buffer or read past the digit table
   static const char rep[] = "0123456789abcdef";
   static thread_local char buf[33];
-  if (len < 0) len = 32;
+  if (len < 0 || len > 32) len = 32;
+  if (base < 2) base = 2;
+  if (base > 16) base = 16;
   char* ptr = &buf[32];
   *ptr = 0;
   if (val == 0) *--ptr = rep[0];
@@ -564,6 +568,7 @@ struct ScalarStream {
       memcpy(&version, pkt + 7, 4);
       POV_CHECK(version == 0, "vorbis version");
       channels = pkt[11];
+      POV_CHECK(channels >= 1, "channel count");
       memcpy(&sample_rate, pkt + 12, 4);
       uint8_t bs = pkt[28];
       bs0 = 1 << (bs & 0xf);
@@ -607,6 +612,9 @@ struct ScalarStream {
   }
 
   void parse_audio(const uint8_t* pkt, size_t len) {
+    if (len == 0) return;  // legal framing, undecodable audio: skipped
+    // (spec 4.3.1 EOP; libvorbis OV_ENOTAUDIO) — never fabricate a
+    // frame from the over-end BitReader's zero bits
     push_data_u8(this, "start_audio_packet", -1, nullptr, 0);
     uint64_t atp = state.abs_total;
     push_data_u64(this, "abs_total_pos", -1, &atp, 1);
@@ -616,6 +624,7 @@ struct ScalarStream {
     pov::BitReader br(pkt, len);
     POV_CHECK(br.read(1) == 0, "audio packet type bit");
     int mode_idx = (int)br.read(pov::ilog((uint32_t)setup.modes.size() - 1));
+    POV_CHECK(mode_idx < (int)setup.modes.size(), "mode number out of range");
     const pov::Mode& mode = setup.modes[mode_idx];
     const pov::Mapping& mapping = setup.mappings[mode.mapping];
     int prev_flag = 0, next_flag = 0;
@@ -743,9 +752,24 @@ struct ScalarStream {
   }
 };
 
+// NOTE: this page walk intentionally duplicates the strict reference
+// semantics (fail on bad CRC, fail on non-Vorbis BOS) rather than
+// reusing the batch front-end's tolerant demux — it IS the reference-
+// parity surface (ogg_vorbis_full_read).  The Python native route
+// pre-demuxes non-Vorbis multiplexes before calling pov_decode_pcm
+// (runtime/batch._split_vorbis_serials).
 static void full_read(const uint8_t* data, size_t len,
                       std::vector<std::unique_ptr<PcmSink>>* sinks = nullptr) {
   std::map<uint32_t, ScalarStream> streams;
+  // decode errors must not leak registry entries keyed by the dying
+  // ScalarStreams (dangling refs + open dump FILE*s + a permanently
+  // nonzero fast-path counter)
+  struct Unregister {
+    std::map<uint32_t, ScalarStream>* s;
+    ~Unregister() {
+      for (auto& kv : *s) unregister_decoder_ref(&kv.second);
+    }
+  } cleanup{&streams};
   size_t off = 0;
   while (off < len) {
     POV_CHECK(off + 27 <= len, "truncated page header");
@@ -853,7 +877,7 @@ static void full_read(const uint8_t* data, size_t len,
     }
     off += 27 + nseg + data_len;
   }
-  for (auto& kv : streams) unregister_decoder_ref(&kv.second);
+  // remaining (non-EOS) streams unregister via the RAII cleanup
 }
 
 }  // namespace povsc
@@ -955,7 +979,27 @@ int ogg_vorbis_full_read(const char* filename, const char** error_out) {
   fseek(f, 0, SEEK_END);
   long size = ftell(f);
   fseek(f, 0, SEEK_SET);
-  std::vector<char> buf(size);
+  if (size < 0) {  // unseekable input (pipe/FIFO): ftell returns -1 and
+    // vector<char>(-1) would throw length_error across the C ABI
+    fclose(f);
+    if (error_out) {
+      snprintf(g_error_buf, sizeof(g_error_buf), "cannot size %s", filename);
+      *error_out = g_error_buf;
+    }
+    return 1;
+  }
+  std::vector<char> buf;
+  try {
+    buf.resize((size_t)size);
+  } catch (const std::exception&) {
+    fclose(f);
+    if (error_out) {
+      snprintf(g_error_buf, sizeof(g_error_buf), "cannot buffer %s",
+               filename);
+      *error_out = g_error_buf;
+    }
+    return 1;
+  }
   size_t got = fread(buf.data(), 1, size, f);
   fclose(f);
   if ((long)got != size) {

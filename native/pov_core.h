@@ -708,6 +708,10 @@ struct Residue {
               int type_override = -1) const {
     int t = type_override >= 0 ? type_override : type;
     if (t == 2) {
+      bool any_used = false;
+      for (int j = 0; j < num_channel; ++j)
+        any_used = any_used || channel_used[j];
+      if (!any_used) return;  // spec 8.6.4: all vectors unused -> skip
       std::vector<float> tmp((size_t)num_channel * decode_len, 0.f);
       uint8_t used = 1;
       decode(br, cbs, 1, &used, num_channel * decode_len, tmp.data(), 1);
@@ -719,6 +723,7 @@ struct Residue {
     uint32_t limit_begin = std::min(begin, decode_len);
     uint32_t limit_end = std::min(end, decode_len);
     POV_CHECK(limit_begin <= limit_end, "residue limits");
+    POV_CHECK(classbook < cbs.size(), "residue classbook out of range");
     const Codebook& class_cb = cbs[classbook];
     uint32_t cw_per = class_cb.dims;
     uint32_t n_to_read = limit_end - limit_begin;
@@ -753,6 +758,8 @@ struct Residue {
               uint8_t vq_class = cls[(size_t)j * count_per_ch + pcount];
               int16_t book = books[(size_t)vq_class * 8 + pass];
               if (book >= 0) {
+                POV_CHECK((size_t)book < cbs.size(),
+                          "residue book out of range");
                 const Codebook& vq = cbs[book];
                 POV_CHECK(vq.lookup_type != 0, "residue VQ book has no lookup");
                 float* v = out + (size_t)j * decode_len;
@@ -772,7 +779,13 @@ struct Residue {
                     uint32_t idx = vq.decode_scalar(br);
                     POV_CHECK(idx < vq.entries, "residue VQ entry");
                     const float* row = &vq.vq[(size_t)idx * dims];
-                    for (uint16_t l = 0; l < dims; ++l, ++k) v[offset + k] += row[l];
+                    // k-bound INSIDE the dims loop: when dims does not
+                    // divide partition_size the last codeword must not
+                    // write past the partition (heap overflow otherwise;
+                    // same clamp libvorbis res1/res2 use)
+                    for (uint16_t l = 0; l < dims && k < partition_size;
+                         ++l, ++k)
+                      v[offset + k] += row[l];
                   }
                 }
               }
@@ -865,6 +878,17 @@ struct Setup {
       floor_types[i] = (int)br.read(16);
       if (floor_types[i] == 1) {
         floors[i].parse(br);
+        // book indices come from 8-bit fields; validate against the
+        // actual codebook count at setup time (libvorbis does the same —
+        // crafted headers must reject cleanly, never index out of range)
+        for (const auto& cl : floors[i].classes) {
+          if (cl.subclass)
+            POV_CHECK(cl.masterbook < codebooks.size(),
+                      "floor1 masterbook out of range");
+          for (int b : cl.subclass_books)
+            POV_CHECK(b < (int)codebooks.size(),
+                      "floor1 subclass book out of range");
+        }
       } else if (floor_types[i] == 0) {
         floor0s[i].parse(br, (int)codebooks.size());
       } else {
@@ -875,7 +899,14 @@ struct Setup {
 
     count = (int)br.read(6) + 1;
     residues.resize(count);
-    for (auto& r : residues) r.parse(br);
+    for (auto& r : residues) {
+      r.parse(br);
+      POV_CHECK(r.classbook < codebooks.size(),
+                "residue classbook out of range");
+      for (int16_t b : r.books)
+        POV_CHECK(b < (int16_t)codebooks.size(),
+                  "residue book out of range");
+    }
     POV_CHECK(!br.reached_end, "setup truncated in residues");
 
     count = (int)br.read(6) + 1;
@@ -950,6 +981,9 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
   Setup& su = pf.setup;
   int mode_bits = ilog((uint32_t)su.modes.size() - 1);
   int mode_idx = (int)br.read(mode_bits);
+  // when the mode count is not a power of two, a hostile packet can
+  // encode an out-of-range number in mode_bits bits (spec: undecodable)
+  POV_CHECK(mode_idx < (int)su.modes.size(), "mode number out of range");
   const Mode& mode = su.modes[mode_idx];
   const Mapping& mapping = su.mappings[mode.mapping];
   int prev_flag = 0, next_flag = 0;
@@ -1072,6 +1106,7 @@ static void dispatch_packet(StreamAccum& sa, const uint8_t* pkt, size_t plen,
     memcpy(&version, pkt + 7, 4);
     POV_CHECK(version == 0, "vorbis version");
     pf.channels = pkt[11];
+    POV_CHECK(pf.channels >= 1, "channel count");
     memcpy(&pf.sample_rate, pkt + 12, 4);
     uint8_t bs = pkt[28];
     pf.blocksize0 = 1 << (bs & 0xf);
@@ -1087,6 +1122,11 @@ static void dispatch_packet(StreamAccum& sa, const uint8_t* pkt, size_t plen,
               "bad setup header");
     BitReader sbr(pkt + 7, plen - 7);
     pf.setup.parse(sbr, pf.channels);
+  } else if (plen == 0) {
+    // zero-length packet: legal framing (RFC 3533), undecodable audio
+    // (spec 4.3.1: EOP during the header fields) — skipped, exactly as
+    // libvorbis returns OV_ENOTAUDIO and continues.  Without this, the
+    // over-end BitReader would fabricate a mode-0 frame from zero bits.
   } else {
     parse_audio_packet(pf, pkt, plen, pkt_granule);
   }

@@ -150,6 +150,8 @@ def parse_streams_python(data: bytes) -> List[StreamFrames]:
                     parse_comment_header(packet)
                 elif stream.packet_count == 2:
                     stream.setup = Setup.parse_packet(packet, stream.header)
+                elif len(packet) == 0:
+                    pass  # undecodable (spec 4.3.1 EOP): skipped
                 else:
                     frames.append(stream.decode_packet_symbols(packet))
                     granules.append(granule)

@@ -154,9 +154,13 @@ class VorbisStream:
         br = BitReader(data)
 
         # 4.3.1 packet type, mode and window decode
+        check(len(data) > 0, "empty audio packet")  # callers skip these
         check(br.read_bits(1) == 0, "audio packet type bit")
         check(len(setup.modes) > 0, "no modes")
         mode_idx = br.read_bits(ilog(len(setup.modes) - 1))
+        # non-power-of-two mode counts leave encodable out-of-range
+        # numbers (spec: the packet is undecodable)
+        check(mode_idx < len(setup.modes), "mode number out of range")
         mode = setup.modes[mode_idx]
         mapping = setup.mappings[mode.mapping]
         prev_flag = next_flag = False
@@ -347,6 +351,11 @@ class OggReader:
                 stream.parse_comment(packet, self.callbacks)
             elif stream.packet_count == 2:
                 stream.parse_setup(packet, self.callbacks)
+            elif len(packet) == 0:
+                # zero-length packet: legal framing (RFC 3533), undecodable
+                # audio (spec 4.3.1 EOP) — skipped like libvorbis's
+                # OV_ENOTAUDIO, never fabricated into a frame
+                pass
             else:
                 stream.parse_audio(packet, self.callbacks)
                 stream.audio_packet_count += 1

@@ -224,7 +224,7 @@ class Floor1:
         self._neighbors: List[Tuple[int, int]] = []
 
     @classmethod
-    def parse(cls, br: BitReader) -> "Floor1":
+    def parse(cls, br: BitReader, num_codebooks: int) -> "Floor1":
         self = cls()
         num_partitions = br.read_bits(5)
         self.partition_classes = [br.read_bits(4) for _ in range(num_partitions)]
@@ -236,7 +236,14 @@ class Floor1:
             fc.subclass = br.read_bits(2)
             if fc.subclass > 0:
                 fc.masterbook = br.read_bits(8)
+                # 8-bit fields: validate against the actual codebook
+                # count (crafted headers must reject cleanly, never
+                # index out of range — libvorbis does the same)
+                check(fc.masterbook < num_codebooks,
+                      "floor1 masterbook out of range")
             fc.subclass_books = [br.read_bits(8) - 1 for _ in range(1 << fc.subclass)]
+            check(all(b < num_codebooks for b in fc.subclass_books),
+                  "floor1 subclass book out of range")
             self.classes.append(fc)
 
         self.multiplier = br.read_bits(2) + 1
@@ -304,7 +311,11 @@ class Floor1:
                 xs[low_idx], final_ys[low_idx], xs[high_idx], final_ys[high_idx], xs[i]
             )
             val = ys[i]
-            check(predicted <= rng, "floor1 predicted out of range")
+            # both bounds: a hostile val >= room on the high_room<=low_room
+            # branch drives final_ys negative, and a negative prediction
+            # later would index value tables out of range (native path
+            # checks identically)
+            check(0 <= predicted <= rng, "floor1 predicted out of range")
             high_room = rng - predicted
             low_room = predicted
             room = min(high_room, low_room) * 2
@@ -386,5 +397,5 @@ class Floor:
         if floor_type == 0:
             return cls(floor_type=0, floor0=Floor0.parse(br, num_codebooks))
         if floor_type == 1:
-            return cls(floor_type=1, floor1=Floor1.parse(br))
+            return cls(floor_type=1, floor1=Floor1.parse(br, num_codebooks))
         raise ParseError("invalid floor type %d" % floor_type)

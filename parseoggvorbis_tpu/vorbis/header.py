@@ -38,6 +38,7 @@ def parse_id_header(data: bytes) -> IdHeader:
     )
     check(framing == 1, "id header framing")
     check(version == 0, "vorbis version")
+    check(channels >= 1, "channel count")
     bs0 = 1 << (bs_exp & 0x0F)
     bs1 = 1 << ((bs_exp & 0xF0) >> 4)
     check(64 <= bs0 <= 8192, "blocksize_0 range")

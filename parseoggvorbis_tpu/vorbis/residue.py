@@ -76,6 +76,8 @@ class Residue:
         rtype = self.residue_type if residue_type is None else residue_type
         num_channel = len(channel_used)
         if rtype == 2:
+            if not any(channel_used):  # spec 8.6.4: all unused -> skip
+                return np.zeros((num_channel, decode_len), dtype=np.float32)
             flat = self.decode(
                 br, codebooks, [True], num_channel * decode_len, residue_type=1
             )
@@ -85,6 +87,7 @@ class Residue:
         limit_begin = min(self.begin, decode_len)
         limit_end = min(self.end, decode_len)
         check(limit_begin <= limit_end, "residue limits")
+        check(self.classbook < len(codebooks), "residue classbook out of range")
         class_codebook = codebooks[self.classbook]
         cw_per_codeword = class_codebook.dimensions
         n_to_read = limit_end - limit_begin
@@ -145,10 +148,14 @@ def _accumulate_partition(br, vq_codebook, v, offset, partition_size, rtype):
             check(table is not None and idx < len(table), "residue VQ entry")
             v[offset + k : offset + k + dims * step : step] += table[idx]
     else:
-        # format 1: contiguous add (spec 8.6.4)
+        # format 1: contiguous add (spec 8.6.4).  The last codeword is
+        # clamped to the partition when dims does not divide
+        # partition_size (libvorbis res1/res2 clamp identically; the
+        # unclamped add would spill into the next partition)
         k = 0
         while k < partition_size:
             idx = vq_codebook.decode_scalar(br)
             check(table is not None and idx < len(table), "residue VQ entry")
-            v[offset + k : offset + k + dims] += table[idx]
-            k += dims
+            n = min(dims, partition_size - k)
+            v[offset + k : offset + k + n] += table[idx][:n]
+            k += n

@@ -60,7 +60,14 @@ class Setup:
 
         count = br.read_bits(6) + 1
         for _ in range(count):
-            self.residues.append(Residue.parse(br))
+            r = Residue.parse(br)
+            # 8-bit book fields: bound against the actual codebook count
+            # so crafted headers reject cleanly (mirrors the native path)
+            check(r.classbook < len(self.codebooks),
+                  "residue classbook out of range")
+            check(int(r.books.max()) < len(self.codebooks),
+                  "residue book out of range")
+            self.residues.append(r)
         check(not br.reached_end, "setup truncated in residues")
 
         count = br.read_bits(6) + 1
