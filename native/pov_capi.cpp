@@ -94,10 +94,17 @@ struct Info {
 
 std::map<const void*, Info> g_decoders;
 std::map<const void*, const void*> g_alias_map;
-// lock-free tap fast path: when nothing is registered (the PCM consumer
+// lock-free tap fast paths: when nothing is registered (the PCM consumer
 // route never registers), every push_data returns before g_mutex —
-// otherwise 8 decode threads serialize on one global lock per tap
+// otherwise 8 decode threads serialize on one global lock per tap.
+// g_active_count additionally counts decoders whose sink is not OT_null:
+// a decoder's output config is fixed at registration (the thread-local
+// pending config is consumed there) and filters only ever reduce output,
+// so active==0 proves every push is a drop — the no-dump CLI/full_read
+// case pays one relaxed load per tap instead of a locked map lookup
+// (~350k locked lookups per 64 s mono stream before this).
 std::atomic<int> g_decoder_count{0};
+std::atomic<int> g_active_count{0};
 
 Info* get_decoder(const void* ref) {
   std::lock_guard<std::mutex> lock(g_mutex);
@@ -111,6 +118,7 @@ template <typename T>
 void push_data(const void* ref, const char* name, int channel, const T* data,
                size_t len, uint8_t type_id, const char* kindname) {
   if (g_decoder_count.load(std::memory_order_relaxed) == 0) return;
+  if (g_active_count.load(std::memory_order_relaxed) == 0) return;
   Info* info = get_decoder(ref);
   if (!info) return;
   if (info->use_filter && !info->filter.count(name)) return;
@@ -161,6 +169,10 @@ void register_decoder_ref(const void* ref, const char* decoder_name,
   info.filter.swap(g_pending_filter);
   g_pending_use_filter = false;
   g_pending_output = OT_null;
+  int active = 0;
+  for (auto& kv : g_decoders)
+    if (kv.second.output_type != OT_null) ++active;
+  g_active_count.store(active, std::memory_order_relaxed);
 }
 
 void register_decoder_alias(const void* orig_ref, const void* alias_ref) {
@@ -184,6 +196,10 @@ void unregister_decoder_ref(const void* ref) {
   for (const void* al : it->second.aliases) g_alias_map.erase(al);
   g_decoders.erase(it);
   g_decoder_count.store((int)g_decoders.size(), std::memory_order_relaxed);
+  int active = 0;
+  for (auto& kv : g_decoders)
+    if (kv.second.output_type != OT_null) ++active;
+  g_active_count.store(active, std::memory_order_relaxed);
 }
 
 void set_data_output_null(void) { povcb::g_pending_output = povcb::OT_null; }
@@ -296,50 +312,57 @@ struct ImdctDirect {
   }
 };
 
-// O(n log n) IMDCT — the production path; same derivation as the device
-// path's imdct_via_rfft (runtime/jax_backend.py).  With a_j = 2j+1+n/2
-// and G the sign(+) length-2n DFT of the zero-padded spectrum,
-//     y[j] = Re( e^{i pi a_j/(2n)} * G[a_j mod 2n] ),
-// and only ODD bins of G are needed:
-//     G[2u+1] = FFT_n^{+}( X[k] * e^{i pi k / n} )[u],  u_j = (j + n/4) mod n
-// — ONE n-point complex FFT per frame (pre-twist + 2-MAC post gather),
-// ~n log2(n) flops vs the direct transform's (n^2)/2 MACs.  Float math
-// with double-precomputed tables: |err| vs the exact-phase transform is
-// ~1e-7 on unit-scale PCM (tests/test_native_capi.py drives the dump
-// through the 1e-5 differential harness bound).  Replaces the role of the
-// reference's vendored libvorbis split-radix mdct
-// (/root/reference/src/mdct.cpp) with an independent formulation.
+// O(n log n) IMDCT — the production path, via the standard DCT-IV folding
+// down to ONE n/4-point complex FFT (the same collapse the reference gets
+// by vendoring libvorbis' split-radix mdct — /root/reference/src/mdct.cpp —
+// derived independently here).  With N = n/2, M = n/4:
+//   y[j] = c[j + n/4] folded by DCT-IV symmetry (c[m+2N] = -c[m],
+//          c[2N-1-m] = -c[m]), where
+//   c[m] = sum_k X[k] cos(pi/N (k+1/2)(m+1/2))          (DCT-IV, size N)
+// and splitting k into even / mirrored-odd halves gives
+//   z[p]   = (X[2p] - i X[N-1-2p]) * e^{i pi p/N},      p in [0, M)
+//   Z      = FFT_M^{+}(z)                               (sign(+) kernel)
+//   t_q    = e^{i pi (q+1/4)/N} * Z[q]
+//   c[2q]  = Re(t_q),   c[N-1-2q] = Im(t_q).
+// Validated exact (float64 ~1e-10 at n=8192) against the direct transform;
+// float math with double-precomputed tables keeps |err| ~1e-7 on unit-scale
+// PCM (tests/test_native_capi.py drives the dump through the 1e-5
+// differential harness bound).  vs the previous n-point-FFT formulation
+// this is 4x fewer FFT points (2 fewer levels, quarter-size passes).
 struct Imdct {
-  int n = 0, half = 0, levels = 0;
+  int n = 0, half = 0, quarter = 0, levels = 0;  // levels = log2(n/4)
   bool direct = false;
   ImdctDirect direct_impl;
-  std::vector<int> rev;       // bit-reversal permutation [n]
-  std::vector<float> pre;     // [half*2] interleaved (re, im) of e^{i pi k/n}
+  std::vector<int> rev;       // bit-reversal permutation [M]
+  std::vector<float> pre;     // [M*2] interleaved (re, im) of e^{i pi p/N}
   std::vector<float> twr, twi;  // per-level twiddles e^{+2 pi i j/len}, SoA
   std::vector<int> tw_off;    // [levels] offset of each level's table
-  std::vector<float> postr, posti;  // [n] (cr, ci): y[j] = cr*Ur[u] + ci*Ui[u]
-  mutable std::vector<float> wr, wi;  // FFT work [n]
+  std::vector<float> postr, posti;  // [M] (re, im) of e^{i pi (q+1/4)/N}
+  mutable std::vector<float> wr, wi;  // FFT work [M]
+  mutable std::vector<float> cbuf;    // DCT-IV result [N]
 
   void init(int n_) {
     n = n_;
     half = n / 2;
+    quarter = n / 4;
     const char* env = getenv("POV_IMDCT_DIRECT");
     direct = env && env[0] == '1';
     if (direct) {
       direct_impl.init(n);
       return;
     }
+    const int M = quarter, N = half;
     levels = 0;
-    while ((1 << levels) < n) ++levels;
-    rev.resize(n);
+    while ((1 << levels) < M) ++levels;
+    rev.resize(M);
     rev[0] = 0;
-    for (int i = 1; i < n; ++i)
+    for (int i = 1; i < M; ++i)
       rev[i] = (rev[i >> 1] >> 1) | ((i & 1) << (levels - 1));
-    pre.resize(2 * half);
-    for (int k = 0; k < half; ++k) {
-      double ph = M_PI * k / n;
-      pre[2 * k] = (float)std::cos(ph);
-      pre[2 * k + 1] = (float)std::sin(ph);
+    pre.resize(2 * M);
+    for (int p = 0; p < M; ++p) {
+      double ph = M_PI * p / N;
+      pre[2 * p] = (float)std::cos(ph);
+      pre[2 * p + 1] = (float)std::sin(ph);
     }
     tw_off.assign(levels, 0);
     int total = 0;
@@ -357,16 +380,16 @@ struct Imdct {
       }
       total += len / 2;
     }
-    postr.resize(n);
-    posti.resize(n);
-    for (int j = 0; j < n; ++j) {
-      int64_t a = 2 * (int64_t)j + 1 + n / 2;
-      double ph = M_PI * (double)a / (2.0 * n);
-      postr[j] = (float)std::cos(ph);        // Re(P)
-      posti[j] = (float)-std::sin(ph);       // -Im(P): y = Pr*Ur - Pi*Ui
+    postr.resize(M);
+    posti.resize(M);
+    for (int q = 0; q < M; ++q) {
+      double ph = M_PI * (q + 0.25) / N;
+      postr[q] = (float)std::cos(ph);
+      posti[q] = (float)std::sin(ph);
     }
-    wr.resize(n);
-    wi.resize(n);
+    wr.resize(M);
+    wi.resize(M);
+    cbuf.resize(N);
   }
 
   void backward(const float* in, float* out) const {
@@ -374,27 +397,28 @@ struct Imdct {
       direct_impl.backward(in, out);
       return;
     }
+    const int M = quarter, N = half;
     float* __restrict re = wr.data();
     float* __restrict im = wi.data();
-    // The spectrum occupies k < n/2, whose bit-reversals are exactly the
-    // EVEN positions — so every level-0 butterfly pairs a loaded value
-    // with a zero and degenerates to duplication.  Scatter each input to
-    // both slots of its pair: level 0 (and any zero-fill) vanishes.
-    // (Measured ~neutral vs fill+scatter+level-0 on this host — the
-    // sequential passes it removes were already bandwidth-cheap — but
-    // it is fewer instructions and documents the support structure.)
-    for (int k = 0; k < half; ++k) {
-      float x = in[k];
-      int r = rev[k];  // even
-      float vr = x * pre[2 * k];
-      float vi = x * pre[2 * k + 1];
-      re[r] = vr;
-      re[r + 1] = vr;
-      im[r] = vi;
-      im[r + 1] = vi;
+    // pre-twist + bit-reversed scatter: z[p] = (X[2p] - i X[N-1-2p]) e^{i pi p/N}
+    for (int p = 0; p < M; ++p) {
+      float u = in[2 * p];
+      float v = in[N - 1 - 2 * p];
+      float wre = pre[2 * p], wim = pre[2 * p + 1];
+      int r = rev[p];
+      re[r] = u * wre + v * wim;
+      im[r] = u * wim - v * wre;
+    }
+    // level 0 (len=2, w=1)
+    for (int s = 0; s < M; s += 2) {
+      float ur = re[s], ui = im[s], vr = re[s + 1], vi = im[s + 1];
+      re[s] = ur + vr;
+      im[s] = ui + vi;
+      re[s + 1] = ur - vr;
+      im[s + 1] = ui - vi;
     }
     // level 1 (len=4, w in {1, +i}): multiply-free butterflies
-    for (int s = 0; s < n; s += 4) {
+    for (int s = 0; s < M; s += 4) {
       float ur = re[s], ui = im[s], vr = re[s + 2], vi = im[s + 2];
       re[s] = ur + vr;
       im[s] = ui + vi;
@@ -415,7 +439,7 @@ struct Imdct {
       int hl = len >> 1;
       const float* __restrict wre = &twr[tw_off[lv]];
       const float* __restrict wim = &twi[tw_off[lv]];
-      for (int s = 0; s < n; s += len) {
+      for (int s = 0; s < M; s += len) {
         float* __restrict rp = re + s;
         float* __restrict ip = im + s;
         float* __restrict rq = re + s + hl;
@@ -431,15 +455,24 @@ struct Imdct {
         }
       }
     }
-    // post gather: u_j = (j + n/4) mod n — two contiguous spans
+    // post-twist: t_q = e^{i pi (q+1/4)/N} Z[q]; c[2q]=Re, c[N-1-2q]=Im
+    float* __restrict c = cbuf.data();
     {
-      int q3 = n - n / 4;
-      const float* __restrict cr = postr.data();
-      const float* __restrict ci = posti.data();
-      for (int j = 0; j < q3; ++j)
-        out[j] = cr[j] * re[j + n / 4] + ci[j] * im[j + n / 4];
-      for (int j = q3; j < n; ++j)
-        out[j] = cr[j] * re[j - q3] + ci[j] * im[j - q3];
+      const float* __restrict ar = postr.data();
+      const float* __restrict ai = posti.data();
+      for (int q = 0; q < M; ++q) {
+        float tr = ar[q] * re[q] - ai[q] * im[q];
+        float ti = ar[q] * im[q] + ai[q] * re[q];
+        c[2 * q] = tr;
+        c[N - 1 - 2 * q] = ti;
+      }
+    }
+    // fold DCT-IV to IMDCT output (m' = j + n/4 through c's symmetries)
+    {
+      const int Q = quarter;
+      for (int j = 0; j < Q; ++j) out[j] = c[j + Q];            // m' in [N/2, N)
+      for (int j = Q; j < 3 * Q; ++j) out[j] = -c[3 * Q - 1 - j];  // 2N-1-m'
+      for (int j = 3 * Q; j < n; ++j) out[j] = -c[j - 3 * Q];    // m' - 2N
     }
   }
 };
