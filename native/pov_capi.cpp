@@ -106,6 +106,14 @@ std::map<const void*, const void*> g_alias_map;
 std::atomic<int> g_decoder_count{0};
 std::atomic<int> g_active_count{0};
 
+// true iff some registered decoder has a live sink — callers may use it
+// to skip tap-STAGING work (e.g. u32 conversion copies); push_data itself
+// re-checks, so skipping is purely an optimization
+inline bool taps_active() {
+  return g_decoder_count.load(std::memory_order_relaxed) != 0 &&
+         g_active_count.load(std::memory_order_relaxed) != 0;
+}
+
 Info* get_decoder(const void* ref) {
   std::lock_guard<std::mutex> lock(g_mutex);
   auto a = g_alias_map.find(ref);
@@ -592,6 +600,14 @@ struct ScalarStream {
   // cross-page packet reassembly (page-spanning packets)
   std::vector<uint8_t> pending;
   bool has_pending = false;
+  // per-frame scratch, reused across packets: steady-state decode is
+  // allocation-free (assign() memsets into retained capacity).  The u32
+  // tap-staging copies are built only when a dump sink is active.
+  std::vector<std::vector<float>> sc_floor, sc_res;
+  std::vector<uint8_t> sc_floor_decoded, sc_floor_used, sc_curve, sc_flag;
+  std::vector<float> sc_out, sc_pcm;
+  std::vector<uint32_t> sc_tap32;
+  std::vector<int64_t> sc_ys, sc_fin;
 
   void parse_headers_packet(const uint8_t* pkt, size_t len) {
     if (packet_count == 0) {
@@ -671,8 +687,17 @@ struct ScalarStream {
     state.begin_frame(n);
 
     // 4.3.2 floor decode
-    std::vector<std::vector<float>> floor_out(C, std::vector<float>(n, 0.f));
-    std::vector<uint8_t> floor_decoded(C, 0), floor_used(C, 0);
+    const bool taps = povcb::taps_active();
+    if ((int)sc_floor.size() < C) {
+      sc_floor.resize(C);
+      sc_res.resize(C);
+    }
+    std::vector<std::vector<float>>& floor_out = sc_floor;
+    for (int ch = 0; ch < C; ++ch) floor_out[ch].assign(n, 0.f);
+    sc_floor_decoded.assign(C, 0);
+    sc_floor_used.assign(C, 0);
+    std::vector<uint8_t>& floor_decoded = sc_floor_decoded;
+    std::vector<uint8_t>& floor_used = sc_floor_used;
     for (int ch = 0; ch < C; ++ch) {
       uint8_t fl = mapping.submaps[mapping.muxs[ch]].floor;
       push_data_u8(this, "floor_number", ch, &fl, 1);
@@ -689,24 +714,37 @@ struct ScalarStream {
         continue;
       }
       const pov::Floor1& f1 = setup.floors[fl];
-      std::vector<int64_t> ys;
+      std::vector<int64_t>& ys = sc_ys;
       if (!f1.decode_ys(br, setup.codebooks, ys)) continue;
       floor_decoded[ch] = floor_used[ch] = 1;
-      std::vector<uint32_t> ys32(ys.begin(), ys.end());
-      push_data_u32(this, "floor1 ys", -1, ys32.data(), ys32.size());
-      std::vector<int64_t> fin;
-      std::vector<uint8_t> flag;
+      if (taps) {
+        sc_tap32.assign(ys.begin(), ys.end());
+        push_data_u32(this, "floor1 ys", -1, sc_tap32.data(),
+                      sc_tap32.size());
+      }
+      std::vector<int64_t>& fin = sc_fin;
+      std::vector<uint8_t>& flag = sc_flag;
       f1.synthesize(ys, fin, flag);
-      std::vector<uint32_t> fin32(fin.begin(), fin.end());
-      push_data_u32(this, "floor1 final_ys", -1, fin32.data(), fin32.size());
-      // DT_Bool (type id 5), matching the reference's bool tap
-      povcb::push_data<uint8_t>(this, "floor1 step2_flag", -1, flag.data(),
-                                flag.size(), 5, "bool");
-      std::vector<uint8_t> curve(n, 0);
-      f1.render(fin, flag, n, curve.data());
-      std::vector<uint32_t> curve32(curve.begin(), curve.end());
-      push_data_u32(this, "floor1 floor", -1, curve32.data(), curve32.size());
-      for (int i = 0; i < n; ++i) floor_out[ch][i] = inverse_db(curve[i]);
+      if (taps) {
+        sc_tap32.assign(fin.begin(), fin.end());
+        push_data_u32(this, "floor1 final_ys", -1, sc_tap32.data(),
+                      sc_tap32.size());
+        // DT_Bool (type id 5), matching the reference's bool tap
+        povcb::push_data<uint8_t>(this, "floor1 step2_flag", -1, flag.data(),
+                                  flag.size(), 5, "bool");
+      }
+      // the decode only consumes curve[0, half); the full-n render and
+      // dB-table fill exist for the "floor1 floor"/"floor_outputs" taps
+      int rn = taps ? n : half;
+      sc_curve.assign(n, 0);
+      std::vector<uint8_t>& curve = sc_curve;
+      f1.render(fin, flag, rn, curve.data());
+      if (taps) {
+        sc_tap32.assign(curve.begin(), curve.end());
+        push_data_u32(this, "floor1 floor", -1, sc_tap32.data(),
+                      sc_tap32.size());
+      }
+      for (int i = 0; i < rn; ++i) floor_out[ch][i] = inverse_db(curve[i]);
       push_data_float(this, "floor_outputs", ch, floor_out[ch].data(), n);
     }
 
@@ -716,7 +754,8 @@ struct ScalarStream {
         floor_used[cp.first] = floor_used[cp.second] = 1;
 
     // 4.3.4 residue decode
-    std::vector<std::vector<float>> res(C, std::vector<float>(half, 0.f));
+    std::vector<std::vector<float>>& res = sc_res;
+    for (int ch = 0; ch < C; ++ch) res[ch].assign(half, 0.f);
     for (size_t si = 0; si < mapping.submaps.size(); ++si) {
       std::vector<int> chans;
       for (int ch = 0; ch < C; ++ch)
@@ -724,11 +763,11 @@ struct ScalarStream {
       std::vector<uint8_t> chan_used(chans.size());
       for (size_t k = 0; k < chans.size(); ++k) chan_used[k] = floor_used[chans[k]];
       const pov::Residue& r = setup.residues[mapping.submaps[si].residue];
-      std::vector<float> out((size_t)chans.size() * half, 0.f);
+      sc_out.assign((size_t)chans.size() * half, 0.f);
       r.decode(br, setup.codebooks, (int)chans.size(), chan_used.data(), half,
-               out.data());
+               sc_out.data());
       for (size_t k = 0; k < chans.size(); ++k)
-        memcpy(res[chans[k]].data(), &out[k * half], sizeof(float) * half);
+        memcpy(res[chans[k]].data(), &sc_out[k * half], sizeof(float) * half);
     }
     for (int ch = 0; ch < C; ++ch)
       push_data_float(this, "after_residue", ch, res[ch].data(), half);
@@ -763,11 +802,12 @@ struct ScalarStream {
     const Imdct& im = mdct[mode.block_flag ? 1 : 0];
     const Window& wn = windows[mode_idx];
     const float* win = wn.get(mode.block_flag ? prev_flag + 2 * next_flag : 0);
-    std::vector<float> pcm(n);
+    sc_pcm.resize(n);  // fully overwritten by the IMDCT
+    float* pcm = sc_pcm.data();
     for (int ch = 0; ch < C; ++ch) {
-      im.backward(res[ch].data(), pcm.data());
-      push_data_float(this, "pcm_after_mdct", ch, pcm.data(), n);
-      state.add_frame(ch, pcm.data(), win, n);
+      im.backward(res[ch].data(), pcm);
+      push_data_float(this, "pcm_after_mdct", ch, pcm, n);
+      state.add_frame(ch, pcm, win, n);
     }
 
     push_data_u8(this, "finish_audio_packet", -1, nullptr, 0);
