@@ -233,7 +233,15 @@ struct Codebook {
 
     // canonical codeword assignment (spec 3.2.1, uint32 wrap semantics)
     std::vector<uint32_t> codes(lens.size());
-    {
+    if (lens.size() == 1) {
+      // libvorbis' retconned spec extension (vorbis_sharedbook.c:126-130):
+      // a single-used-entry codebook is legal iff that entry's length is 1;
+      // decode sinks one bit of EITHER value and returns the entry.
+      POV_CHECK(lens[0].second == 1, "underspecified codebook");
+      codes[0] = 0;
+      lens.emplace_back(lens[0].first, 1);  // codeword 1 -> same entry
+      codes.push_back(1);
+    } else {
       uint32_t marker[33];
       memset(marker, 0, sizeof(marker));
       for (size_t i = 0; i < lens.size(); ++i) {

@@ -493,11 +493,16 @@ def _from_handle(lib, handle) -> NativeParsed:
     couplings: List[tuple] = []
     for m in range(nmodes.value):
         bf = ctypes.c_int32()
-        buf = np.empty(2 * 64, dtype=np.int32)
-        cnt = lib.pov_mode_info(handle, m, ctypes.byref(bf), buf.ctypes.data, 64)
+        # coupling_steps is read_bits(8)+1 (spec 4.3.9.?: <=256); a smaller
+        # buffer would silently DROP coupling steps and corrupt the decode
+        buf = np.empty(2 * 256, dtype=np.int32)
+        cnt = lib.pov_mode_info(handle, m, ctypes.byref(bf), buf.ctypes.data,
+                                256)
         block_flags.append(bool(bf.value))
+        if cnt > 256:  # impossible for a spec-valid stream; never truncate
+            raise RuntimeError("coupling count %d exceeds spec bound" % cnt)
         couplings.append(tuple(
-            (int(buf[2 * i]), int(buf[2 * i + 1])) for i in range(min(cnt, 64))
+            (int(buf[2 * i]), int(buf[2 * i + 1])) for i in range(cnt)
         ))
 
     return NativeParsed(

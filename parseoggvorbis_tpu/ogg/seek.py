@@ -238,9 +238,13 @@ def splice_corpus(blobs, ranges, on_plan_error: str = "raise"):
     ``(start, end_or_None)``, or a prebuilt :class:`SplicePlan` — the
     latter skips the per-call page walk entirely (callers that decode
     the same sources repeatedly, e.g. data.CropLoader, plan from a
-    cached index).  ``on_plan_error="keep"`` leaves an unplannable blob
-    whole so the downstream parse surfaces the error per-stream instead
-    of failing the whole batch.
+    cached index).  ``on_plan_error="keep"`` degrades an unplannable blob
+    to decode-everything-and-slice: the blob passes through whole with a
+    from_start plan still carrying the requested range, so a blob whose
+    planning fails but whose full parse succeeds returns the REQUESTED
+    crop (slow but correct) — never the full stream mislabeled as a crop
+    — while a blob that cannot parse at all still surfaces its error
+    per-stream instead of failing the whole batch.
     """
     if len(ranges) != len(blobs):  # caller usage error, not a parse error
         raise ValueError("ranges must have one entry per blob")
@@ -259,7 +263,11 @@ def splice_corpus(blobs, ranges, on_plan_error: str = "raise"):
                 if on_plan_error != "keep":
                     raise
                 spliced.append(b)
-                plans.append(None)
+                start = max(0, int(rng[0]))
+                end = rng[1] if rng[1] is None else int(rng[1])
+                plans.append(SplicePlan(
+                    spans=[(0, len(b))], start_sample=start,
+                    end_sample=end, from_start=True))
                 continue
         spliced.append(plan.splice(b))
         plans.append(plan)

@@ -541,6 +541,11 @@ def decode_sample_range(data: bytes, start: int, end: Optional[int] = None,
     # mid-stream splices pin the base from the anchor page's granule
     base = 0 if plan.from_start else _solve_emission_base(sf)
     sf.emission_nums = dd._compute_emission_nums(sf, abs_base=base)
+    # the anchor rule guarantees base <= start for well-formed granules; an
+    # inflated (hostile/damaged) anchor granule must fail loudly — a clamp
+    # would return audio from the wrong position with the right-looking shape
+    check(base <= plan.start_sample,
+          "seek anchor granule inconsistent (solved base past range start)")
     # launch_stream_decode chunks very long ranges (bounded device memory)
     pcm = dd.launch_stream_decode(sf, out_i16).fetch()
     n = pcm.shape[1]
@@ -1145,8 +1150,12 @@ def decode_corpus(
             rng = getattr(sf, "range_slice", None)
             if rng is not None:
                 s, e, base = rng
+                # inflated anchor granule: fail (isolated under strict=False)
+                # rather than clamp to audio from the wrong position
+                check(base <= s, "seek anchor granule inconsistent "
+                                 "(solved base past range start)")
                 n = pcm.shape[1]
-                lo = min(n, max(0, s - base))
+                lo = min(n, s - base)
                 hi = n if e is None else max(lo, min(n, e - base))
                 pcm = np.ascontiguousarray(pcm[:, lo:hi])
             return DecodedAudio(pcm=pcm, sample_rate=sf.sample_rate,

@@ -100,6 +100,9 @@ def main(argv=None) -> int:
         print("Got a ZIP file, iterating through all OGG inside.")
         import zipfile
 
+        # ogg_count counts EVERY archive member, not just .ogg — quirk kept
+        # bug-for-bug from the reference CLI (demo_live_extract.py:584-589),
+        # whose "Found %i OGG files." line this output mirrors
         ogg_count = 0
         with zipfile.ZipFile(args.file) as zip_f:
             names = zip_f.namelist()

@@ -46,6 +46,15 @@ def assign_codewords(lengths: List[Tuple[int, int]], num_entries_hint: int = 0):
     # defined over uint32; length-32 books rely on the wrap).
     out = []
     mask32 = 0xFFFFFFFF
+    # libvorbis' retconned spec extension (vorbis_sharedbook.c:126-130 in
+    # the vendored oracle): a codebook with a SINGLE used entry is legal iff
+    # that entry's length is 1 — decode sinks one bit of either value and
+    # returns the entry.  Without this shield the underspecification check
+    # below rejects streams the oracle decodes.
+    if len(lengths) == 1:
+        entry_num, length = lengths[0]
+        check(length == 1, "underspecified codebook")
+        return [(entry_num, 1, 0), (entry_num, 1, 1)]
     marker = [0] * 33  # index by length 1..32
     for entry_num, length in lengths:
         check(1 <= length <= 32, "codeword length out of range")

@@ -111,3 +111,56 @@ def test_sequence_p_end_to_end_vs_libvorbis():
     assert float(np.abs(ours.pcm - ref).max()) / scale <= 1e-5
     py = decode_bytes(blob, prefer_native=False)
     np.testing.assert_array_equal(py.pcm, ours.pcm)
+
+
+def test_single_entry_codebook_legal_iff_length1():
+    """libvorbis' retconned extension (vorbis_sharedbook.c:126-130): ONE
+    used entry of length 1 is legal; decode sinks one bit of either value
+    and returns the entry.  Any other single-entry shape stays rejected."""
+    cb = Codebook.parse(BitReader(_book_bits(1, 1, [1], 0, [], seq_p=False)))
+    # both bit values decode to entry 0, consuming exactly one bit
+    for byte in (b"\x00", b"\x01", b"\xff"):
+        br = BitReader(byte)
+        assert cb.decode_scalar(br) == 0
+        assert br.bit_position == 1
+    with pytest.raises(ParseError, match="underspecified"):
+        Codebook.parse(BitReader(_book_bits(1, 1, [2], 0, [], seq_p=False)))
+    # sparse book with a single used entry: same rule, entry keeps its index
+    w = BitWriter()
+    w.write(0x564342, 24)
+    w.write(1, 16)   # dims
+    w.write(4, 24)   # entries
+    w.write(0, 1)    # not ordered
+    w.write(1, 1)    # sparse
+    for i, used in enumerate((0, 0, 1, 0)):
+        w.write(used, 1)
+        if used:
+            w.write(0, 5)  # length 1
+    w.write(0, 4)    # lookup 0
+    cb = Codebook.parse(BitReader(w.getvalue()))
+    br = BitReader(b"\xaa")
+    assert cb.decode_scalar(br) == 2 and br.bit_position == 1
+
+
+def test_single_entry_codebook_end_to_end_vs_libvorbis():
+    """A stream whose floor1 Y reads go through a 1-used-entry codebook
+    (libvorbis' retconned extension; no encoder emits one) decodes on the
+    batch path AND the native route, matching the libvorbis oracle."""
+    from make_synth_vorbis import SynthStream
+
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
+
+    blob = SynthStream(seed=5, floor_kind="floor1",
+                       single_entry_floor_book=True).make(num_frames=8)
+    out = decode_corpus([blob])[0]
+    assert out.ok, out.error
+    nat = decode_corpus([blob], route="native")[0]
+    assert nat.ok, nat.error
+    np.testing.assert_allclose(nat.pcm, out.pcm, atol=1e-6)
+    try:
+        from vorbis_oracle import available, decode_ogg
+    except ImportError:
+        return
+    if available():
+        ref, _ = decode_ogg(blob)
+        assert np.abs(out.pcm - ref).max() <= 1e-6

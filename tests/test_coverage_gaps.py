@@ -345,3 +345,27 @@ def test_streaming_seek_near_page_skip():
     sd = decode_bytes_streaming(data, start_sample=s, chunk_frames=4)
     got = sd.read_all()
     assert np.array_equal(got.pcm, full[:, s:])
+
+
+def test_emission_nums_midstream_truncation_then_consistent_granules():
+    """A mid-stream truncating granule followed by granules consistent with
+    the TRUNCATED timeline must decode (review finding: the vectorized
+    pre-checks compared untruncated cumulative positions against the later
+    granules and falsely rejected the stream the sequential replay — and
+    the scalar reference path — accepts)."""
+    from types import SimpleNamespace
+
+    from parseoggvorbis_tpu.runtime import device_decoder as dd
+
+    frame_n = np.array([2048, 2048, 2048, 256, 256, 256, 256], np.int64)
+    # untruncated lengths: [0, 1024, 1024, 576, 128, 128, 128]
+    granules = np.array([-1, -1, 1148, -1, -1, 1980, 2108], np.int64)
+    shim = SimpleNamespace(num_frames=7, frame_n=frame_n, granules=granules)
+    nums = dd._compute_emission_nums(shim)
+    assert nums.tolist() == [0, 1024, 124, 576, 128, 128, 128]
+    # and a genuinely inconsistent late granule still raises
+    bad = granules.copy()
+    bad[6] = 5  # behind the truncated timeline
+    shim = SimpleNamespace(num_frames=7, frame_n=frame_n, granules=bad)
+    with pytest.raises(ValueError, match="granule"):
+        dd._compute_emission_nums(shim)

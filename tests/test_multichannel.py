@@ -7,6 +7,9 @@ independent scalar numpy numerics — exercising exactly the channel-topology
 code (coupling chains, per-channel floors, submap muxing shapes) that a
 surround file would."""
 
+import os
+import sys
+
 import numpy as np
 import pytest
 
@@ -137,3 +140,38 @@ def test_six_channel_corpus_stacked():
         scale = max(1.0, float(np.abs(ref.pcm).max()))
         err = np.max(np.abs(pcm - ref.pcm)) / scale
         assert err < 2e-6, err
+
+
+def test_over64_coupling_steps_native_frontend_vs_python_vs_oracle():
+    """>64 square-polar coupling steps (legal: spec allows up to 256; no
+    encoder emits them).  Review finding: the native binding's fixed
+    64-pair buffer silently DROPPED steps 65+ — the native-frontend device
+    decode returned corrupted PCM with no error while the python front-end
+    and the scalar routes applied all steps."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from make_synth_vorbis import SynthStream
+
+    from parseoggvorbis_tpu.native import frontend as native
+    from parseoggvorbis_tpu.runtime.batch import (decode_corpus,
+                                                  parse_streams,
+                                                  parse_streams_python)
+
+    blob = SynthStream(seed=3, floor_kind="mixed",
+                       coupling_steps=65).make(num_frames=6)
+    py = parse_streams_python(blob)[0]
+    assert len(py.modes[0].couplings) == 65
+    if native.available():
+        nat = parse_streams(blob, prefer_native=True)[0]
+        assert [m.couplings for m in nat.modes] == \
+            [m.couplings for m in py.modes]
+    out = decode_corpus([blob])[0]
+    assert out.ok
+    try:
+        from vorbis_oracle import available as _ok, decode_ogg
+    except ImportError:
+        return
+    if _ok():
+        ref, _ = decode_ogg(blob)
+        scale = max(1.0, float(np.abs(ref).max()))
+        assert np.abs(out.pcm - ref).max() <= 2e-6 * scale

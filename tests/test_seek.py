@@ -404,3 +404,83 @@ def test_corpus_ranges_isolation():
         decode_corpus([b"garbage"], ranges=[(0, 100)])
     with pytest.raises(Exception):
         decode_corpus([m], ranges=[(0, 10), (0, 10)])  # length mismatch
+
+
+def test_inflated_anchor_granule_fails_loudly():
+    """A stream whose tail granules are consistently inflated (so the
+    in-splice granule validation passes) must raise, not silently return
+    audio from the wrong position (review finding: decode_sample_range's
+    un-clamped lo went negative and sliced from the END of the buffer;
+    decode_corpus clamped to 0 and returned the wrong window)."""
+    from repaginate import _emit_page, _lacings, demux_packets
+
+    from parseoggvorbis_tpu.runtime.batch import (decode_corpus,
+                                                  decode_sample_range)
+
+    data = open(MONO_OGG, "rb").read()
+    serial, packets = demux_packets(data)
+    granuled = [i for i, (_, g) in enumerate(packets) if g >= 0 and i > 3]
+    jump_at = granuled[len(granuled) // 2]
+    jump_g = packets[jump_at][1]
+    BIG = 10 ** 6
+    out = bytearray()
+    for i, (pkt, granule) in enumerate(packets):
+        bos = 0x02 if i == 0 else 0
+        eos = 0x04 if i == len(packets) - 1 else 0
+        g = granule if granule >= 0 else (0 if i < 3 else -1)
+        if g >= 0 and i >= jump_at:
+            g += BIG
+        _emit_page(out, serial, i, g, bos | eos,
+                   _lacings(len(pkt), terminated=True), pkt)
+    poisoned = bytes(out)
+    start = max(0, jump_g - 100)
+    with pytest.raises(Exception, match="granule|anchor"):
+        decode_sample_range(poisoned, start, start + 500)
+    res = decode_corpus([poisoned], ranges=[(start, start + 500)],
+                        strict=False)
+    assert not res[0].ok and (
+        "granule" in res[0].error or "anchor" in res[0].error)
+
+
+def _audio_on_setup_page_blob():
+    """Mono golden re-paged with the first audio packet sharing the SETUP
+    page — spec-violating framing the parser decodes but the seek planner
+    rejects ('audio packet on a header page')."""
+    from repaginate import _emit_page, _lacings, demux_packets
+
+    data = open(MONO_OGG, "rb").read()
+    serial, packets = demux_packets(data)
+    out = bytearray()
+    _emit_page(out, serial, 0, 0, 0x02,
+               _lacings(len(packets[0][0]), terminated=True), packets[0][0])
+    _emit_page(out, serial, 1, 0, 0,
+               _lacings(len(packets[1][0]), terminated=True), packets[1][0])
+    both = packets[2][0] + packets[3][0]
+    lac = (_lacings(len(packets[2][0]), terminated=True)
+           + _lacings(len(packets[3][0]), terminated=True))
+    g3 = packets[3][1] if packets[3][1] >= 0 else 0
+    _emit_page(out, serial, 2, g3, 0, lac, both)
+    for seq, (i, (pkt, g)) in enumerate(
+            list(enumerate(packets))[4:], start=3):
+        eos = 0x04 if i == len(packets) - 1 else 0
+        _emit_page(out, serial, seq, g if g >= 0 else -1, eos,
+                   _lacings(len(pkt), terminated=True), pkt)
+    return bytes(out)
+
+
+def test_unplannable_blob_still_returns_the_requested_crop():
+    """When range planning fails but the full parse succeeds (strict=False),
+    the caller must get the REQUESTED crop via decode-everything-and-slice —
+    never the full stream mislabeled as a crop (review finding: plans[i]
+    was None, so finish() applied no range slice)."""
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes, decode_corpus
+
+    blob = _audio_on_setup_page_blob()
+    full = decode_bytes(blob).pcm
+    outs = decode_corpus([blob], ranges=[(1000, 2000)], strict=False)
+    assert outs[0].ok, outs[0].error
+    assert outs[0].pcm.shape[1] == 1000
+    np.testing.assert_array_equal(outs[0].pcm, full[:, 1000:2000])
+    # strict mode still refuses the unplannable framing loudly
+    with pytest.raises(Exception):
+        decode_corpus([blob], ranges=[(1000, 2000)], strict=True)

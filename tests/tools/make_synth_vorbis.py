@@ -105,9 +105,22 @@ class SynthStream:
                  seed: int = 0, floor_kind: str = "floor1",
                  floor_xs=(128, 1024), residue_type: int = 1,
                  lsp_order: int = None, vq_sequence_p: bool = False,
-                 lsp_dims: int = None):
+                 lsp_dims: int = None, coupling_steps: int = 0,
+                 single_entry_floor_book: bool = False):
         assert bs0 <= bs1 <= 8192
         assert floor_kind in ("floor1", "floor0", "mixed")
+        # repeated (0,1) square-polar steps on the stereo stream: legal per
+        # spec 4.2.4 (coupling_steps = read(8)+1, up to 256) but emitted by
+        # no encoder — covers >64-step mappings end-to-end (a fixed-size
+        # binding buffer once silently dropped steps 65+)
+        assert 0 <= coupling_steps <= 256
+        assert coupling_steps == 0 or floor_kind == "mixed"
+        self.coupling_steps = coupling_steps
+        # route the floor1 Y reads through a 1-used-entry codebook —
+        # libvorbis' retconned extension (single codeword of length 1,
+        # either bit value decodes to the entry); no encoder emits one
+        self.single_entry_floor_book = bool(single_entry_floor_book)
+        assert not single_entry_floor_book or floor_kind == "floor1"
         if lsp_order is not None:
             # odd orders hit the distinct p/q product tail in every decoder
             # (spec 6.2.3's "m is odd" case); cumsum steps of 1-2 keep the
@@ -167,7 +180,8 @@ class SynthStream:
         for b in b"\x05vorbis":
             w.write(b, 8)
         # --- codebooks: floor(0), classbook(1), VQ values(2), lsp(3)
-        w.write(4 - 1, 8)
+        # [+ single-entry(4) when single_entry_floor_book]
+        w.write((5 if self.single_entry_floor_book else 4) - 1, 8)
         self.floor_book.write_scalar_header(w, dims=1)
         w.write(0, 4)                            # lookup type 0
         self.class_book.write_scalar_header(w, dims=2)
@@ -210,6 +224,16 @@ class SynthStream:
         self.lsp_mults = np.cumsum(steps, axis=1).reshape(-1)
         for m in self.lsp_mults:
             w.write(int(m), 4)
+        if self.single_entry_floor_book:
+            # book 4: ONE used entry, length 1, no VQ — the retconned
+            # single-entry special case (vorbis_sharedbook.c:126-130)
+            w.write(0x564342, 24)
+            w.write(1, 16)                       # dims
+            w.write(1, 24)                       # entries
+            w.write(0, 1)                        # not ordered
+            w.write(0, 1)                        # not sparse
+            w.write(1 - 1, 5)                    # length 1
+            w.write(0, 4)                        # lookup 0
         # --- time transforms (placeholder zeros)
         w.write(0, 6)
         w.write(0, 16)
@@ -235,7 +259,9 @@ class SynthStream:
             w.write(0, 4)                            # partition class list: [0]
             w.write(2 - 1, 3)                        # class 0 dims = 2
             w.write(0, 2)                            # subclasses = 0
-            w.write(0 + 1, 8)                        # subclass book 0 = floor book
+            # subclass book 0 (+1 encoding): the floor book, or the
+            # single-entry book when exercising the retconned special case
+            w.write((4 if self.single_entry_floor_book else 0) + 1, 8)
             w.write(4 - 1, 2)                        # multiplier 4 (range 64)
             # rangebits 11: the second floor point x1 = 2^rangebits must stay
             # below the SHORT mode's full-window curve length (the host
@@ -264,7 +290,14 @@ class SynthStream:
             # two submaps: ch0 -> submap0 (floor0), ch1 -> submap1 (floor1)
             w.write(1, 1)                        # submaps follow
             w.write(2 - 1, 4)
-            w.write(0, 1)                        # no coupling
+            if self.coupling_steps:
+                w.write(1, 1)                    # square-polar coupling
+                w.write(self.coupling_steps - 1, 8)
+                for _ in range(self.coupling_steps):
+                    w.write(0, 1)                # magnitude ch (ilog(2-1)=1)
+                    w.write(1, 1)                # angle ch
+            else:
+                w.write(0, 1)                    # no coupling
             w.write(0, 2)                        # reserved
             w.write(0, 4)                        # mux ch0 -> submap 0
             w.write(1, 4)                        # mux ch1 -> submap 1
@@ -336,7 +369,11 @@ class SynthStream:
             w.write(int(self.rng.randint(0, 41)), 6)
             w.write(int(self.rng.randint(0, 41)), 6)
             for _ in range(2):
-                self.floor_book.write_entry(w, int(self.rng.randint(0, 41)))
+                if self.single_entry_floor_book:
+                    # single-entry book: one bit of EITHER value -> entry 0
+                    w.write(int(self.rng.randint(0, 2)), 1)
+                else:
+                    self.floor_book.write_entry(w, int(self.rng.randint(0, 41)))
             return True
 
         used = []
