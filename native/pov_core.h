@@ -233,7 +233,13 @@ struct Codebook {
 
     // canonical codeword assignment (spec 3.2.1, uint32 wrap semantics)
     std::vector<uint32_t> codes(lens.size());
-    if (lens.size() == 1) {
+    if (lens.empty()) {
+      // ZERO used entries (a sparse book with every used-flag 0): legal —
+      // vorbis_book_init_decode counts n==0 and builds no tables
+      // (vorbis_sharedbook.c:319-334).  Such a book can exist in a setup
+      // header unused; any decode attempt through it fails at decode time
+      // (the empty fast table resolves nothing).
+    } else if (lens.size() == 1) {
       // libvorbis' retconned spec extension (vorbis_sharedbook.c:126-130):
       // a single-used-entry codebook is legal iff that entry's length is 1;
       // decode sinks one bit of EITHER value and returns the entry.

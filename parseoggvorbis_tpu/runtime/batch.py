@@ -509,6 +509,25 @@ def _solve_emission_base(sf: StreamFrames) -> int:
     return base
 
 
+def _slice_pcm_to_range(pcm: np.ndarray, start: int, end: Optional[int],
+                        base: int) -> np.ndarray:
+    """Cut decoded splice PCM down to the requested ``[start, end)`` range.
+
+    The one place (shared by :func:`decode_sample_range` and the batched
+    ``ranges=`` path) that turns a splice decode starting at absolute
+    sample *base* into the caller's window.  The seek anchor rule
+    guarantees ``base <= start`` for well-formed granules; an inflated
+    (hostile/damaged) anchor granule must fail loudly — a clamp would
+    return audio from the wrong position with the right-looking shape.
+    """
+    check(base <= start, "seek anchor granule inconsistent "
+                         "(solved base past range start)")
+    n = pcm.shape[1]
+    lo = min(n, start - base)
+    hi = n if end is None else max(lo, min(n, end - base))
+    return np.ascontiguousarray(pcm[:, lo:hi])
+
+
 def decode_sample_range(data: bytes, start: int, end: Optional[int] = None,
                         prefer_native: bool = True, out_i16: bool = False,
                         serial: Optional[int] = None) -> DecodedAudio:
@@ -541,19 +560,12 @@ def decode_sample_range(data: bytes, start: int, end: Optional[int] = None,
     # mid-stream splices pin the base from the anchor page's granule
     base = 0 if plan.from_start else _solve_emission_base(sf)
     sf.emission_nums = dd._compute_emission_nums(sf, abs_base=base)
-    # the anchor rule guarantees base <= start for well-formed granules; an
-    # inflated (hostile/damaged) anchor granule must fail loudly — a clamp
-    # would return audio from the wrong position with the right-looking shape
-    check(base <= plan.start_sample,
-          "seek anchor granule inconsistent (solved base past range start)")
     # launch_stream_decode chunks very long ranges (bounded device memory)
     pcm = dd.launch_stream_decode(sf, out_i16).fetch()
-    n = pcm.shape[1]
-    lo = min(n, plan.start_sample - base)
-    hi = n if plan.end_sample is None else max(
-        lo, min(n, plan.end_sample - base))
-    return DecodedAudio(pcm=np.ascontiguousarray(pcm[:, lo:hi]),
-                        sample_rate=sf.sample_rate)
+    return DecodedAudio(
+        pcm=_slice_pcm_to_range(pcm, plan.start_sample, plan.end_sample,
+                                base),
+        sample_rate=sf.sample_rate)
 
 
 def decode_file_range(path: str, start: int, end: Optional[int] = None,
@@ -1150,14 +1162,8 @@ def decode_corpus(
             rng = getattr(sf, "range_slice", None)
             if rng is not None:
                 s, e, base = rng
-                # inflated anchor granule: fail (isolated under strict=False)
-                # rather than clamp to audio from the wrong position
-                check(base <= s, "seek anchor granule inconsistent "
-                                 "(solved base past range start)")
-                n = pcm.shape[1]
-                lo = min(n, s - base)
-                hi = n if e is None else max(lo, min(n, e - base))
-                pcm = np.ascontiguousarray(pcm[:, lo:hi])
+                # error isolated per-stream under strict=False
+                pcm = _slice_pcm_to_range(pcm, s, e, base)
             return DecodedAudio(pcm=pcm, sample_rate=sf.sample_rate,
                                 blob_index=blob_i, stream_index=stream_i)
         except Exception as exc:

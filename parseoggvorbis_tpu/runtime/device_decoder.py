@@ -664,7 +664,18 @@ class PendingDecode:
         pcm = self.group.fetch()
         if self.group_idx is not None:
             pcm = pcm[self.group_idx]
-        return pcm[:, : self.n_total]
+        out = pcm[:, : self.n_total]
+        # Never hand back a view of a larger transfer buffer: retaining
+        # one stream's PCM must not pin its whole [G, C, T_pad] group
+        # stack (nor a padded tail).  Copy exactly the result bytes when
+        # the slice does not cover its backing allocation.
+        if isinstance(out, np.ndarray):
+            root = out
+            while isinstance(root, np.ndarray) and root.base is not None:
+                root = root.base  # may end on a non-ndarray buffer owner
+            if getattr(root, "nbytes", out.nbytes) != out.nbytes:
+                out = np.ascontiguousarray(out)
+        return out
 
 
 # Frames per u8g dictionary slab (see _encode_residue).

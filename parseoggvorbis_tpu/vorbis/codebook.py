@@ -46,6 +46,12 @@ def assign_codewords(lengths: List[Tuple[int, int]], num_entries_hint: int = 0):
     # defined over uint32; length-32 books rely on the wrap).
     out = []
     mask32 = 0xFFFFFFFF
+    # ZERO used entries (a sparse book with every used-flag 0) is legal:
+    # vorbis_book_init_decode counts n==0 and builds no tables
+    # (vorbis_sharedbook.c:319-334).  Such a book can sit unused in a setup
+    # header; decoding through it fails at decode time instead.
+    if not lengths:
+        return []
     # libvorbis' retconned spec extension (vorbis_sharedbook.c:126-130 in
     # the vendored oracle): a codebook with a SINGLE used entry is legal iff
     # that entry's length is 1 — decode sinks one bit of either value and
@@ -223,7 +229,8 @@ class Codebook:
     def _build_decode_tables(self) -> None:
         """Build the K-bit prefix table + long-code fallback hash."""
         fb = self._fast_bits = min(
-            _FAST_TABLE_BITS, max(length for _, length, _ in self.codewords)
+            _FAST_TABLE_BITS,
+            max((length for _, length, _ in self.codewords), default=0),
         )
         size = 1 << fb
         # fast[i] packs (entry << 6) | length; -1 means "not resolvable in fb bits"

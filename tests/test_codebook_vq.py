@@ -154,9 +154,58 @@ def test_single_entry_codebook_end_to_end_vs_libvorbis():
                        single_entry_floor_book=True).make(num_frames=8)
     out = decode_corpus([blob])[0]
     assert out.ok, out.error
-    nat = decode_corpus([blob], route="native")[0]
-    assert nat.ok, nat.error
-    np.testing.assert_allclose(nat.pcm, out.pcm, atol=1e-6)
+    from parseoggvorbis_tpu.native import frontend as native
+    if native.available():
+        nat = decode_corpus([blob], route="native")[0]
+        assert nat.ok, nat.error
+        np.testing.assert_allclose(nat.pcm, out.pcm, atol=1e-6)
+    try:
+        from vorbis_oracle import available, decode_ogg
+    except ImportError:
+        return
+    if available():
+        ref, _ = decode_ogg(blob)
+        assert np.abs(out.pcm - ref).max() <= 1e-6
+
+
+def test_zero_used_entry_codebook_accepted_unused():
+    """A sparse codebook with ZERO used entries is legal (the oracle's
+    vorbis_book_init_decode builds no tables for n==0 and returns success,
+    vorbis_sharedbook.c:319-334); decoding THROUGH one fails at decode
+    time, never at setup."""
+    w = BitWriter()
+    w.write(0x564342, 24)
+    w.write(1, 16)   # dims
+    w.write(3, 24)   # entries
+    w.write(0, 1)    # not ordered
+    w.write(1, 1)    # sparse
+    for _ in range(3):
+        w.write(0, 1)  # every used-flag 0
+    w.write(0, 4)    # lookup 0
+    cb = Codebook.parse(BitReader(w.getvalue()))
+    assert cb.codewords == []
+    with pytest.raises(ParseError):
+        cb.decode_scalar(BitReader(b"\xff\xff"))
+
+
+def test_zero_used_entry_codebook_end_to_end_vs_libvorbis():
+    """A stream carrying an unused zero-used-entry codebook must decode on
+    the batch path and the native route, matching the libvorbis oracle
+    (review finding: both languages ran the underspecification check over
+    the empty length list and rejected the whole stream at setup)."""
+    from make_synth_vorbis import SynthStream
+
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
+
+    blob = SynthStream(seed=7, floor_kind="floor1",
+                       unused_empty_book=True).make(num_frames=8)
+    out = decode_corpus([blob])[0]
+    assert out.ok, out.error
+    from parseoggvorbis_tpu.native import frontend as native
+    if native.available():
+        nat = decode_corpus([blob], route="native")[0]
+        assert nat.ok, nat.error
+        np.testing.assert_allclose(nat.pcm, out.pcm, atol=1e-6)
     try:
         from vorbis_oracle import available, decode_ogg
     except ImportError:

@@ -106,7 +106,8 @@ class SynthStream:
                  floor_xs=(128, 1024), residue_type: int = 1,
                  lsp_order: int = None, vq_sequence_p: bool = False,
                  lsp_dims: int = None, coupling_steps: int = 0,
-                 single_entry_floor_book: bool = False):
+                 single_entry_floor_book: bool = False,
+                 unused_empty_book: bool = False):
         assert bs0 <= bs1 <= 8192
         assert floor_kind in ("floor1", "floor0", "mixed")
         # repeated (0,1) square-polar steps on the stereo stream: legal per
@@ -121,6 +122,10 @@ class SynthStream:
         # either bit value decodes to the entry); no encoder emits one
         self.single_entry_floor_book = bool(single_entry_floor_book)
         assert not single_entry_floor_book or floor_kind == "floor1"
+        # append a sparse codebook with ZERO used entries, referenced by
+        # nothing: legal (vorbis_book_init_decode builds no tables for
+        # n==0, vorbis_sharedbook.c:319-334); no encoder emits one
+        self.unused_empty_book = bool(unused_empty_book)
         if lsp_order is not None:
             # odd orders hit the distinct p/q product tail in every decoder
             # (spec 6.2.3's "m is odd" case); cumsum steps of 1-2 keep the
@@ -181,7 +186,10 @@ class SynthStream:
             w.write(b, 8)
         # --- codebooks: floor(0), classbook(1), VQ values(2), lsp(3)
         # [+ single-entry(4) when single_entry_floor_book]
-        w.write((5 if self.single_entry_floor_book else 4) - 1, 8)
+        # [+ zero-used-entry book appended last when unused_empty_book]
+        nbooks = 4 + (1 if self.single_entry_floor_book else 0) \
+                   + (1 if self.unused_empty_book else 0)
+        w.write(nbooks - 1, 8)
         self.floor_book.write_scalar_header(w, dims=1)
         w.write(0, 4)                            # lookup type 0
         self.class_book.write_scalar_header(w, dims=2)
@@ -233,6 +241,20 @@ class SynthStream:
             w.write(0, 1)                        # not ordered
             w.write(0, 1)                        # not sparse
             w.write(1 - 1, 5)                    # length 1
+            w.write(0, 4)                        # lookup 0
+        if self.unused_empty_book:
+            # final book: sparse, every used-flag 0 — zero used entries,
+            # referenced by no floor/residue.  The oracle accepts it
+            # (n==0 skips table build); a decoder that runs the
+            # underspecification check on the empty length list rejects
+            # the whole stream.
+            w.write(0x564342, 24)
+            w.write(1, 16)                       # dims
+            w.write(3, 24)                       # entries
+            w.write(0, 1)                        # not ordered
+            w.write(1, 1)                        # sparse
+            for _ in range(3):
+                w.write(0, 1)                    # used-flag 0
             w.write(0, 4)                        # lookup 0
         # --- time transforms (placeholder zeros)
         w.write(0, 6)
