@@ -20,11 +20,45 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def audio_seconds(path):
-    sys.path.insert(0, REPO)
-    from parseoggvorbis_tpu.runtime.batch import parse_stream
-    sf = parse_stream(open(path, "rb").read())
-    # emitted samples = sum of inter-center distances, bounded by granule
-    return min(int(sf.granules[-1]), int(sum(sf.frame_n)) // 2) / sf.sample_rate
+    """Duration of the first Vorbis stream, by a pure-stdlib page scan.
+
+    Deliberately imports NOTHING from the package: importing
+    parseoggvorbis_tpu pulls in jax, and on this host jax import/init goes
+    through the axon tunnel, which has moods where it blocks forever.
+    bench.py's native-host fallback and stall watchdog call this function
+    precisely when the tunnel is stalled, so it must not touch jax.
+
+    Equals the old parse_stream-based value (min(last granule, emitted))
+    for well-formed complete files, where the final granule IS the emitted
+    sample count; asserted against the full parse in
+    tests/test_bench_watchdog.py.
+    """
+    import struct
+    data = open(path, "rb").read()
+    rate = None
+    serial = None
+    last_granule = None
+    off = 0
+    while True:
+        off = data.find(b"OggS", off)
+        if off < 0 or off + 27 > len(data):
+            break
+        granule, ser, _seq, _crc, nsegs = struct.unpack_from(
+            "<qIIIB", data, off + 6)
+        if off + 27 + nsegs > len(data):
+            break
+        segs = data[off + 27:off + 27 + nsegs]
+        body_len = sum(segs)
+        body = data[off + 27 + nsegs:off + 27 + nsegs + body_len]
+        if serial is None and body.startswith(b"\x01vorbis"):
+            serial = ser
+            rate = struct.unpack_from("<I", body, 12)[0]
+        if ser == serial and granule >= 0:
+            last_granule = granule
+        off += 27 + nsegs + body_len
+    if rate is None or last_granule is None or rate == 0:
+        raise ValueError("no complete Vorbis stream found in %s" % path)
+    return last_granule / rate
 
 
 def measure(reference="/root/reference", repeats=20, quiet=False):
