@@ -40,6 +40,7 @@ def _run_bench(env_overrides, timeout=240):
     # JAX_PLATFORMS=cpu resolves instantly and the hooks below simulate
     # the stalls deterministically.
     env["PALLAS_AXON_POOL_IPS"] = ""
+    env["POV_BENCH_PREFLIGHT_RETRIES"] = "1"  # no retry pauses in tests
     env.update(env_overrides)
     # the fallback path must not need a live backend of any kind
     p = subprocess.run(
