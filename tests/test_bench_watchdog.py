@@ -84,6 +84,20 @@ def test_watchdog_emits_fallback_when_main_stalls():
     assert "watchdog" in p.stderr
 
 
+@pytest.mark.skipif(not _native_binary_available(),
+                    reason="native pov_decode not built")
+def test_device_path_exception_emits_fallback():
+    """A device path that RAISES (OOM, RST mid-transfer, compile error)
+    must also yield the fallback record — the watchdog only covers hangs."""
+    result, p = _run_bench({"JAX_PLATFORMS": "cpu",
+                            "POV_BENCH_TEST_RAISE": "simulated device OOM",
+                            "POV_BENCH_PREFLIGHT": "120"})
+    assert result["path"] == "native_host_cpu_fallback"
+    assert "simulated device OOM" in result["device_unreachable"]
+    assert result["value"] > 0
+    assert "RuntimeError" in p.stderr  # traceback preserved for debugging
+
+
 def test_audio_seconds_pure_scan_matches_full_parse():
     """measure_reference.audio_seconds is a pure-stdlib page scan (so the
     fallback path can never trigger jax backend init); its values must
