@@ -693,7 +693,12 @@ struct ScalarStream {
       sc_res.resize(C);
     }
     std::vector<std::vector<float>>& floor_out = sc_floor;
-    for (int ch = 0; ch < C; ++ch) floor_out[ch].assign(n, 0.f);
+    // grow-only scratch: every read region is fully overwritten below
+    // (decoded floors write [0, rn); undecoded channels are zeroed at
+    // their skip sites — the memsets this replaces were ~40% of the
+    // per-frame byte traffic in the no-taps fast path)
+    for (int ch = 0; ch < C; ++ch)
+      if ((int)floor_out[ch].size() < n) floor_out[ch].assign(n, 0.f);
     sc_floor_decoded.assign(C, 0);
     sc_floor_used.assign(C, 0);
     std::vector<uint8_t>& floor_decoded = sc_floor_decoded;
@@ -709,13 +714,23 @@ struct ScalarStream {
                                             coeffs)) {
           floor_decoded[ch] = floor_used[ch] = 1;
           setup.floor0s[fl].curve(amp, coeffs, half, floor_out[ch].data());
+          if (taps)  // the n-length tap reads past the half the decode uses
+            std::fill(floor_out[ch].begin() + half,
+                      floor_out[ch].begin() + n, 0.f);
           push_data_float(this, "floor_outputs", ch, floor_out[ch].data(), n);
+        } else {
+          // unused channel: coupling propagate may still mark it used, and
+          // the dot product then multiplies by this (must-be-zero) envelope
+          std::fill_n(floor_out[ch].data(), half, 0.f);
         }
         continue;
       }
       const pov::Floor1& f1 = setup.floors[fl];
       std::vector<int64_t>& ys = sc_ys;
-      if (!f1.decode_ys(br, setup.codebooks, ys)) continue;
+      if (!f1.decode_ys(br, setup.codebooks, ys)) {
+        std::fill_n(floor_out[ch].data(), half, 0.f);  // see floor0 skip
+        continue;
+      }
       floor_decoded[ch] = floor_used[ch] = 1;
       if (taps) {
         sc_tap32.assign(ys.begin(), ys.end());
@@ -736,8 +751,8 @@ struct ScalarStream {
       // the decode only consumes curve[0, half); the full-n render and
       // dB-table fill exist for the "floor1 floor"/"floor_outputs" taps
       int rn = taps ? n : half;
-      sc_curve.assign(n, 0);
-      std::vector<uint8_t>& curve = sc_curve;
+      if ((int)sc_curve.size() < n) sc_curve.resize(n);
+      std::vector<uint8_t>& curve = sc_curve;  // render overwrites [0, rn)
       f1.render(fin, flag, rn, curve.data());
       if (taps) {
         sc_tap32.assign(curve.begin(), curve.end());
@@ -755,7 +770,10 @@ struct ScalarStream {
 
     // 4.3.4 residue decode
     std::vector<std::vector<float>>& res = sc_res;
-    for (int ch = 0; ch < C; ++ch) res[ch].assign(half, 0.f);
+    // grow-only: every channel belongs to exactly one submap, so the
+    // memcpy below fully overwrites res[ch][0, half) each frame
+    for (int ch = 0; ch < C; ++ch)
+      if ((int)res[ch].size() < half) res[ch].resize(half);
     for (size_t si = 0; si < mapping.submaps.size(); ++si) {
       std::vector<int> chans;
       for (int ch = 0; ch < C; ++ch)
