@@ -519,7 +519,16 @@ struct Window {
 // behaviorally identical to the reference's ring buffer).
 struct OlaState {
   int channels = 0;
-  std::vector<std::vector<float>> buf;
+  // Persistent per-channel storage; the logical window
+  // [buf_start, buf_start + len) lives at storage offset `head`.  The
+  // previous design allocated + zeroed a fresh buffer and copied the
+  // overlap EVERY frame (~1.5 window-lengths of libc traffic + a
+  // malloc/free pair per frame, invisible to gprof); now the front drop
+  // just advances `head`, only the newly exposed tail is zeroed, and the
+  // live region slides back to offset 0 with an amortized memmove once
+  // `head` drifts past a few window lengths.
+  std::vector<std::vector<float>> store;
+  int64_t head = 0, len = 0;
   int64_t buf_start = 0, frame_pos = 0, emit_pos = 0;
   int prev_win = 0, cur_win = 0;
   uint64_t abs_total = 0;
@@ -527,8 +536,11 @@ struct OlaState {
 
   void init(int ch) {
     channels = ch;
-    buf.assign(ch, {});
+    store.assign(ch, {});
+    head = len = 0;
   }
+
+  const float* chan(int c) const { return store[c].data() + head; }
 
   void begin_frame(int win_size) {
     int64_t new_pos =
@@ -538,23 +550,44 @@ struct OlaState {
     frame_pos = new_pos;
     int64_t new_start = std::min(emit_pos, new_pos);
     int64_t new_end = new_pos + win_size;
-    std::vector<std::vector<float>> nb(channels,
-                                       std::vector<float>(new_end - new_start, 0.f));
-    if (!buf[0].empty()) {
-      int64_t old_end = buf_start + (int64_t)buf[0].size();
-      int64_t lo = std::max(buf_start, new_start);
-      int64_t hi = std::min(old_end, new_end);
-      if (hi > lo)
-        for (int c = 0; c < channels; ++c)
-          memcpy(&nb[c][lo - new_start], &buf[c][lo - buf_start],
-                 sizeof(float) * (hi - lo));
+    // Live overlap between the old window [buf_start, buf_start+len) and
+    // the new one [new_start, new_end).  NOTE new_start can move BACKWARDS
+    // (short->long transition: new_pos = p + 3*short/4 - long/4 < p), so
+    // the kept region lands at dst_off > 0 inside the new window.
+    int64_t L = new_end - new_start;
+    int64_t lo = std::max(buf_start, new_start);
+    int64_t hi = std::min(buf_start + len, new_end);
+    int64_t keep = hi > lo ? hi - lo : 0;
+    int64_t src_off = keep ? lo - buf_start : 0;   // old logical coords
+    int64_t dst_off = keep ? lo - new_start : 0;   // new logical coords
+    // kept data sits at storage offset head+src_off; it must land at
+    // head'+dst_off.  Slide to the front when head' would go negative
+    // (backward extension past the storage start) or drift too far right.
+    int64_t want = head + src_off - dst_off;
+    if (want < 0 || want > 4 * L) {
+      for (int c = 0; c < channels; ++c) {
+        if ((int64_t)store[c].size() < L) store[c].resize(L);
+        if (keep)
+          memmove(store[c].data() + dst_off, store[c].data() + head + src_off,
+                  sizeof(float) * (size_t)keep);
+      }
+      head = 0;
+    } else {
+      head = want;
+      for (int c = 0; c < channels; ++c)
+        if ((int64_t)store[c].size() < head + L) store[c].resize(head + L);
     }
-    buf.swap(nb);
+    for (int c = 0; c < channels; ++c) {
+      std::fill_n(store[c].data() + head, (size_t)dst_off, 0.f);
+      std::fill_n(store[c].data() + head + dst_off + keep,
+                  (size_t)(L - dst_off - keep), 0.f);
+    }
+    len = L;
     buf_start = new_start;
   }
 
   void add_frame(int c, const float* pcm, const float* win, int n) {
-    float* dst = &buf[c][frame_pos - buf_start];
+    float* dst = store[c].data() + head + (frame_pos - buf_start);
     for (int i = 0; i < n; ++i) dst[i] += pcm[i] * win[i];
   }
 
@@ -833,12 +866,13 @@ struct ScalarStream {
     POV_CHECK(em.second >= 0, "granule position error");
     if (em.second > 0) {
       for (int ch = 0; ch < C; ++ch)
-        push_data_float(this, "pcm", ch, &state.buf[ch][em.first], em.second);
+        push_data_float(this, "pcm", ch, state.chan(ch) + em.first,
+                        em.second);
       if (sink)
         for (int ch = 0; ch < C; ++ch)
           sink->chans[ch].insert(sink->chans[ch].end(),
-                                 &state.buf[ch][em.first],
-                                 &state.buf[ch][em.first] + em.second);
+                                 state.chan(ch) + em.first,
+                                 state.chan(ch) + em.first + em.second);
     }
   }
 };
