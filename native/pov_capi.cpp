@@ -814,11 +814,20 @@ struct ScalarStream {
       std::vector<uint8_t> chan_used(chans.size());
       for (size_t k = 0; k < chans.size(); ++k) chan_used[k] = floor_used[chans[k]];
       const pov::Residue& r = setup.residues[mapping.submaps[si].residue];
-      sc_out.assign((size_t)chans.size() * half, 0.f);
-      r.decode(br, setup.codebooks, (int)chans.size(), chan_used.data(), half,
-               sc_out.data());
-      for (size_t k = 0; k < chans.size(); ++k)
-        memcpy(res[chans[k]].data(), &sc_out[k * half], sizeof(float) * half);
+      if (chans.size() == 1) {
+        // decode straight into the channel plane (it must be zeroed first:
+        // residue decode accumulates) — skips the staging copy
+        std::fill_n(res[chans[0]].data(), (size_t)half, 0.f);
+        r.decode(br, setup.codebooks, 1, chan_used.data(), half,
+                 res[chans[0]].data());
+      } else {
+        sc_out.assign((size_t)chans.size() * half, 0.f);
+        r.decode(br, setup.codebooks, (int)chans.size(), chan_used.data(),
+                 half, sc_out.data());
+        for (size_t k = 0; k < chans.size(); ++k)
+          memcpy(res[chans[k]].data(), &sc_out[k * half],
+                 sizeof(float) * half);
+      }
     }
     for (int ch = 0; ch < C; ++ch)
       push_data_float(this, "after_residue", ch, res[ch].data(), half);

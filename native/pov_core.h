@@ -1083,12 +1083,22 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
     std::vector<uint8_t> chan_used(chans.size());
     for (size_t k = 0; k < chans.size(); ++k) chan_used[k] = fr.used[chans[k]];
     const Residue& res = su.residues[mapping.submaps[si].residue];
-    std::vector<float> out((size_t)chans.size() * half, 0.f);
-    res.decode(br, su.codebooks, (int)chans.size(), chan_used.data(), half,
-               out.data());
-    for (size_t k = 0; k < chans.size(); ++k)
-      memcpy(fr.residue.data() + (size_t)chans[k] * half,
-             out.data() + (size_t)k * half, sizeof(float) * half);
+    // common case (one submap covering channels in order): decode straight
+    // into fr.residue (already zeroed), skipping a temp alloc + copy
+    bool direct = chans.size() == (size_t)C;
+    for (size_t k = 0; direct && k < chans.size(); ++k)
+      if (chans[k] != (int)k) direct = false;
+    if (direct) {
+      res.decode(br, su.codebooks, (int)chans.size(), chan_used.data(), half,
+                 fr.residue.data());
+    } else {
+      std::vector<float> out((size_t)chans.size() * half, 0.f);
+      res.decode(br, su.codebooks, (int)chans.size(), chan_used.data(), half,
+                 out.data());
+      for (size_t k = 0; k < chans.size(); ++k)
+        memcpy(fr.residue.data() + (size_t)chans[k] * half,
+               out.data() + (size_t)k * half, sizeof(float) * half);
+    }
   }
   pf.frames.emplace_back(std::move(fr));
 }
