@@ -405,6 +405,37 @@ struct Imdct {
       direct_impl.backward(in, out);
       return;
     }
+    transform(in);
+    // fold DCT-IV to IMDCT output (m' = j + n/4 through c's symmetries)
+    const float* __restrict c = cbuf.data();
+    const int Q = quarter;
+    for (int j = 0; j < Q; ++j) out[j] = c[j + Q];            // m' in [N/2, N)
+    for (int j = Q; j < 3 * Q; ++j) out[j] = -c[3 * Q - 1 - j];  // 2N-1-m'
+    for (int j = 3 * Q; j < n; ++j) out[j] = -c[j - 3 * Q];    // m' - 2N
+  }
+
+  // Fused IMDCT + window + overlap-add: dst[j] += imdct(in)[j] * win[j].
+  // Skips materializing the raw pcm frame (one full write + re-read pass
+  // per channel per frame) — used on the no-taps fast path; the tap path
+  // needs the raw frame for "pcm_after_mdct" and keeps backward().
+  void backward_wadd(const float* in, const float* __restrict win,
+                     float* __restrict dst) const {
+    if (direct) {  // rare (POV_IMDCT_DIRECT=1): unfused fallback
+      std::vector<float> tmp((size_t)n);
+      direct_impl.backward(in, tmp.data());
+      for (int j = 0; j < n; ++j) dst[j] += tmp[j] * win[j];
+      return;
+    }
+    transform(in);
+    const float* __restrict c = cbuf.data();
+    const int Q = quarter;
+    for (int j = 0; j < Q; ++j) dst[j] += c[j + Q] * win[j];
+    for (int j = Q; j < 3 * Q; ++j) dst[j] -= c[3 * Q - 1 - j] * win[j];
+    for (int j = 3 * Q; j < n; ++j) dst[j] -= c[j - 3 * Q] * win[j];
+  }
+
+  // pre-twist + FFT + post-twist into cbuf (the DCT-IV of `in`)
+  void transform(const float* in) const {
     const int M = quarter, N = half;
     float* __restrict re = wr.data();
     float* __restrict im = wi.data();
@@ -474,13 +505,6 @@ struct Imdct {
         c[2 * q] = tr;
         c[N - 1 - 2 * q] = ti;
       }
-    }
-    // fold DCT-IV to IMDCT output (m' = j + n/4 through c's symmetries)
-    {
-      const int Q = quarter;
-      for (int j = 0; j < Q; ++j) out[j] = c[j + Q];            // m' in [N/2, N)
-      for (int j = Q; j < 3 * Q; ++j) out[j] = -c[3 * Q - 1 - j];  // 2N-1-m'
-      for (int j = 3 * Q; j < n; ++j) out[j] = -c[j - 3 * Q];    // m' - 2N
     }
   }
 };
@@ -587,8 +611,13 @@ struct OlaState {
   }
 
   void add_frame(int c, const float* pcm, const float* win, int n) {
-    float* dst = store[c].data() + head + (frame_pos - buf_start);
+    float* dst = frame_dst(c);
     for (int i = 0; i < n; ++i) dst[i] += pcm[i] * win[i];
+  }
+
+  // where the current frame accumulates (for the fused IMDCT+window path)
+  float* frame_dst(int c) {
+    return store[c].data() + head + (frame_pos - buf_start);
   }
 
   // returns (offset into buf, num) of emitted region; num<0 on error
@@ -862,12 +891,20 @@ struct ScalarStream {
     const Imdct& im = mdct[mode.block_flag ? 1 : 0];
     const Window& wn = windows[mode_idx];
     const float* win = wn.get(mode.block_flag ? prev_flag + 2 * next_flag : 0);
-    sc_pcm.resize(n);  // fully overwritten by the IMDCT
-    float* pcm = sc_pcm.data();
-    for (int ch = 0; ch < C; ++ch) {
-      im.backward(res[ch].data(), pcm);
-      push_data_float(this, "pcm_after_mdct", ch, pcm, n);
-      state.add_frame(ch, pcm, win, n);
+    if (taps) {
+      sc_pcm.resize(n);  // fully overwritten by the IMDCT
+      float* pcm = sc_pcm.data();
+      for (int ch = 0; ch < C; ++ch) {
+        im.backward(res[ch].data(), pcm);
+        push_data_float(this, "pcm_after_mdct", ch, pcm, n);
+        state.add_frame(ch, pcm, win, n);
+      }
+    } else {
+      // fused IMDCT+window+accumulate: the raw frame ("pcm_after_mdct")
+      // is only needed by the tap path; bit-identical accumulation
+      // (dst -= c*w and dst += (-c)*w round once either way)
+      for (int ch = 0; ch < C; ++ch)
+        im.backward_wadd(res[ch].data(), win, state.frame_dst(ch));
     }
 
     push_data_u8(this, "finish_audio_packet", -1, nullptr, 0);
