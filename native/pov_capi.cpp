@@ -812,17 +812,21 @@ struct ScalarStream {
       }
       // the decode only consumes curve[0, half); the full-n render and
       // dB-table fill exist for the "floor1 floor"/"floor_outputs" taps
-      int rn = taps ? n : half;
-      if ((int)sc_curve.size() < n) sc_curve.resize(n);
-      std::vector<uint8_t>& curve = sc_curve;  // render overwrites [0, rn)
-      f1.render(fin, flag, rn, curve.data());
       if (taps) {
+        // the full-n byte curve exists for the "floor1 floor" tap
+        if ((int)sc_curve.size() < n) sc_curve.resize(n);
+        std::vector<uint8_t>& curve = sc_curve;  // render overwrites [0, n)
+        f1.render(fin, flag, n, curve.data());
         sc_tap32.assign(curve.begin(), curve.end());
         push_data_u32(this, "floor1 floor", -1, sc_tap32.data(),
                       sc_tap32.size());
+        for (int i = 0; i < n; ++i) floor_out[ch][i] = inverse_db(curve[i]);
+        push_data_float(this, "floor_outputs", ch, floor_out[ch].data(), n);
+      } else {
+        // fused render + dB lookup straight into the envelope (the decode
+        // only consumes [0, half); identical y sequence to render())
+        f1.render_env(fin, flag, half, floor_out[ch].data());
       }
-      for (int i = 0; i < rn; ++i) floor_out[ch][i] = inverse_db(curve[i]);
-      push_data_float(this, "floor_outputs", ch, floor_out[ch].data(), n);
     }
 
     // 4.3.3 nonzero vector propagate

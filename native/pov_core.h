@@ -665,22 +665,68 @@ struct Floor1 {
       if (!flag[i]) continue;
       hx = (int64_t)xs[i];
       hy = fin[i] * multiplier;
-      // render [lx, hx) with y(k) = ly + sign*(k*|dy|)/dx
+      // render [lx, hx) with y(k) = ly + sign*(k*|dy|)/dx — incremental
+      // Bresenham form (q,r track (k*ady) div/mod dx exactly; rstep < dx
+      // so one conditional subtract per step), no divide per sample
       if (lx < n_half_full) {
         int64_t dx = hx - lx;
         int64_t dy = hy - ly;
         int64_t ady = dy < 0 ? -dy : dy;
         int64_t sign = dy < 0 ? -1 : 1;
         int64_t stop = std::min<int64_t>(hx, n_half_full);
+        int64_t qstep = ady / dx, rstep = ady % dx, q = 0, r = 0;
         for (int64_t x = lx; x < stop; ++x) {
-          int64_t y = ly + sign * (((x - lx) * ady) / dx);
-          curve_out[x] = (uint8_t)y;
+          curve_out[x] = (uint8_t)(ly + sign * q);
+          q += qstep;
+          r += rstep;
+          if (r >= dx) {
+            r -= dx;
+            ++q;
+          }
         }
       }
       lx = hx;
       ly = hy;
     }
     for (int64_t x = hx; x < n_half_full; ++x) curve_out[x] = (uint8_t)hy;
+    (void)npts;
+  }
+
+  // Fused render + inverse-dB lookup for the no-taps fast path: identical
+  // y sequence to render() (same Bresenham), but writes the f32 envelope
+  // directly — no intermediate byte curve, no second pass.
+  void render_env(const std::vector<int64_t>& fin,
+                  const std::vector<uint8_t>& flag, int n_half_full,
+                  float* env) const {
+    size_t npts = xs.size();
+    int64_t lx = 0, ly = fin[sorted_idx[0]] * multiplier, hx = 0, hy = 0;
+    for (size_t si = 1; si < npts; ++si) {
+      uint32_t i = sorted_idx[si];
+      if (!flag[i]) continue;
+      hx = (int64_t)xs[i];
+      hy = fin[i] * multiplier;
+      if (lx < n_half_full) {
+        int64_t dx = hx - lx;
+        int64_t dy = hy - ly;
+        int64_t ady = dy < 0 ? -dy : dy;
+        int64_t sign = dy < 0 ? -1 : 1;
+        int64_t stop = std::min<int64_t>(hx, n_half_full);
+        int64_t qstep = ady / dx, rstep = ady % dx, q = 0, r = 0;
+        for (int64_t x = lx; x < stop; ++x) {
+          env[x] = inverse_db((uint8_t)(ly + sign * q));
+          q += qstep;
+          r += rstep;
+          if (r >= dx) {
+            r -= dx;
+            ++q;
+          }
+        }
+      }
+      lx = hx;
+      ly = hy;
+    }
+    float tail = inverse_db((uint8_t)hy);
+    for (int64_t x = hx; x < n_half_full; ++x) env[x] = tail;
     (void)npts;
   }
 };
