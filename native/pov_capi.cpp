@@ -448,41 +448,98 @@ struct Imdct {
       re[r] = u * wre + v * wim;
       im[r] = u * wim - v * wre;
     }
-    // level 0 (len=2, w=1)
-    for (int s = 0; s < M; s += 2) {
-      float ur = re[s], ui = im[s], vr = re[s + 1], vi = im[s + 1];
-      re[s] = ur + vr;
-      im[s] = ui + vi;
-      re[s + 1] = ur - vr;
-      im[s + 1] = ui - vi;
+    // Adjacent radix-2 levels are fused pairwise into radix-4 passes: per
+    // element the arithmetic is the IDENTICAL op sequence (level lv's
+    // butterfly, then level lv+1's on the register values), so the output
+    // is bit-identical to the unfused form — the fusion only removes the
+    // store/reload sweep between the two levels (~half the memory passes).
+    if (levels >= 2) {
+      // levels 0+1: a multiply-free 4-point DFT per block
+      // (level-1 twiddles are {1, +i}; v * (+i) = (-vi, vr), sign(+) kernel)
+      for (int s = 0; s < M; s += 4) {
+        float ur = re[s], ui = im[s], vr = re[s + 1], vi = im[s + 1];
+        float a0r = ur + vr, a0i = ui + vi;
+        float b0r = ur - vr, b0i = ui - vi;
+        ur = re[s + 2];
+        ui = im[s + 2];
+        vr = re[s + 3];
+        vi = im[s + 3];
+        float c0r = ur + vr, c0i = ui + vi;
+        float d0r = ur - vr, d0i = ui - vi;
+        re[s] = a0r + c0r;
+        im[s] = a0i + c0i;
+        re[s + 2] = a0r - c0r;
+        im[s + 2] = a0i - c0i;
+        float v1r = -d0i, v1i = d0r;
+        re[s + 1] = b0r + v1r;
+        im[s + 1] = b0i + v1i;
+        re[s + 3] = b0r - v1r;
+        im[s + 3] = b0i - v1i;
+      }
+    } else if (levels == 1) {  // M == 2 (no Vorbis blocksize this small;
+      float ur = re[0], ui = im[0], vr = re[1], vi = im[1];  // kept total)
+      re[0] = ur + vr;
+      im[0] = ui + vi;
+      re[1] = ur - vr;
+      im[1] = ui - vi;
     }
-    // level 1 (len=4, w in {1, +i}): multiply-free butterflies
-    for (int s = 0; s < M; s += 4) {
-      float ur = re[s], ui = im[s], vr = re[s + 2], vi = im[s + 2];
-      re[s] = ur + vr;
-      im[s] = ui + vi;
-      re[s + 2] = ur - vr;
-      im[s + 2] = ui - vi;
-      // j=1: v * (+i) = (-vi, vr)  [sign(+) kernel]
-      ur = re[s + 1];
-      ui = im[s + 1];
-      vr = -im[s + 3];
-      vi = re[s + 3];
-      re[s + 1] = ur + vr;
-      im[s + 1] = ui + vi;
-      re[s + 3] = ur - vr;
-      im[s + 3] = ui - vi;
+    int lv = 2;
+    for (; lv + 1 < levels; lv += 2) {
+      // fused pair: level lv (half-length hl, same twiddle for the (a,b)
+      // and (c,d) butterflies) then level lv+1 ((a,c) with w2[j], (b,d)
+      // with w2[j+hl]) on the in-register values
+      const int hl = 1 << lv;
+      const float* __restrict w1r = &twr[tw_off[lv]];
+      const float* __restrict w1i = &twi[tw_off[lv]];
+      const float* __restrict w2r = &twr[tw_off[lv + 1]];
+      const float* __restrict w2i = &twi[tw_off[lv + 1]];
+      for (int s = 0; s < M; s += 4 * hl) {
+        float* __restrict ra = re + s;
+        float* __restrict ia = im + s;
+        float* __restrict rb = ra + hl;
+        float* __restrict ib = ia + hl;
+        float* __restrict rc = ra + 2 * hl;
+        float* __restrict ic = ia + 2 * hl;
+        float* __restrict rd = ra + 3 * hl;
+        float* __restrict id = ia + 3 * hl;
+        for (int j = 0; j < hl; ++j) {
+          float wre = w1r[j], wim = w1i[j];
+          float vbr = rb[j] * wre - ib[j] * wim;
+          float vbi = rb[j] * wim + ib[j] * wre;
+          float uar = ra[j], uai = ia[j];
+          float a1r = uar + vbr, a1i = uai + vbi;
+          float b1r = uar - vbr, b1i = uai - vbi;
+          float vdr = rd[j] * wre - id[j] * wim;
+          float vdi = rd[j] * wim + id[j] * wre;
+          float ucr = rc[j], uci = ic[j];
+          float c1r = ucr + vdr, c1i = uci + vdi;
+          float d1r = ucr - vdr, d1i = uci - vdi;
+          float w2re = w2r[j], w2im = w2i[j];
+          float vcr = c1r * w2re - c1i * w2im;
+          float vci = c1r * w2im + c1i * w2re;
+          ra[j] = a1r + vcr;
+          ia[j] = a1i + vci;
+          rc[j] = a1r - vcr;
+          ic[j] = a1i - vci;
+          float w3re = w2r[j + hl], w3im = w2i[j + hl];
+          float vqr = d1r * w3re - d1i * w3im;
+          float vqi = d1r * w3im + d1i * w3re;
+          rb[j] = b1r + vqr;
+          ib[j] = b1i + vqi;
+          rd[j] = b1r - vqr;
+          id[j] = b1i - vqi;
+        }
+      }
     }
-    for (int lv = 2; lv < levels; ++lv) {
-      int len = 2 << lv;
-      int hl = len >> 1;
+    if (lv < levels) {  // odd level count past the 4-point base: one
+      const int hl = 1 << lv;  // plain radix-2 sweep closes the transform
       const float* __restrict wre = &twr[tw_off[lv]];
       const float* __restrict wim = &twi[tw_off[lv]];
-      for (int s = 0; s < M; s += len) {
+      for (int s = 0; s < M; s += 2 * hl) {
         float* __restrict rp = re + s;
         float* __restrict ip = im + s;
-        float* __restrict rq = re + s + hl;
-        float* __restrict iq = im + s + hl;
+        float* __restrict rq = rp + hl;
+        float* __restrict iq = ip + hl;
         for (int j = 0; j < hl; ++j) {
           float vr = rq[j] * wre[j] - iq[j] * wim[j];
           float vi = rq[j] * wim[j] + iq[j] * wre[j];
