@@ -439,31 +439,100 @@ struct Imdct {
     const int M = quarter, N = half;
     float* __restrict re = wr.data();
     float* __restrict im = wi.data();
-    // pre-twist + bit-reversed scatter: z[p] = (X[2p] - i X[N-1-2p]) e^{i pi p/N}
-    for (int p = 0; p < M; ++p) {
-      float u = in[2 * p];
-      float v = in[N - 1 - 2 * p];
-      float wre = pre[2 * p], wim = pre[2 * p + 1];
-      int r = rev[p];
-      re[r] = u * wre + v * wim;
-      im[r] = u * wim - v * wre;
-    }
     // Adjacent radix-2 levels are fused pairwise into radix-4 passes: per
     // element the arithmetic is the IDENTICAL op sequence (level lv's
     // butterfly, then level lv+1's on the register values), so the output
     // is bit-identical to the unfused form — the fusion only removes the
     // store/reload sweep between the two levels (~half the memory passes).
-    if (levels >= 2) {
+    //
+    // The pre-twist z[p] = (X[2p] - i X[N-1-2p]) e^{i pi p/N} is likewise
+    // fused into the base pass: bit-reversal is an involution, so the four
+    // inputs of output block [s, s+4) sit at p = rev[s+k] (= rev[s], +M/2,
+    // +M/4, +3M/4) — the old separate scattered-write sweep becomes
+    // scattered reads inside the base butterflies.
+    // Base pass width: 8-point (levels 0+1+2) when the level count is odd
+    // (>= 5), else 4-point — so the stages after the base always pair up
+    // cleanly and the final stage is a fused pair except for tiny M.
+    const int lv0 = (levels >= 5 && (levels & 1)) ? 3 : 2;
+    if (lv0 == 3) {
+      // levels 0+1+2 fused: an 8-point DFT per block (levels 0/1
+      // multiply-free, level 2 with its table twiddles)
+      const int* __restrict rv = rev.data();
+      const float* __restrict pt = pre.data();
+      const float* __restrict w2r_ = &twr[tw_off[2]];
+      const float* __restrict w2i_ = &twi[tw_off[2]];
+      for (int s = 0; s < M; s += 8) {
+        float zr[8], zi[8];
+        for (int k = 0; k < 8; ++k) {
+          const int p = rv[s + k];
+          const float u = in[2 * p], v = in[N - 1 - 2 * p];
+          const float wre = pt[2 * p], wim = pt[2 * p + 1];
+          zr[k] = u * wre + v * wim;
+          zi[k] = u * wim - v * wre;
+        }
+        for (int k = 0; k < 8; k += 2) {  // level 0 (w = 1)
+          const float urr = zr[k], uii = zi[k];
+          const float vrr = zr[k + 1], vii = zi[k + 1];
+          zr[k] = urr + vrr;
+          zi[k] = uii + vii;
+          zr[k + 1] = urr - vrr;
+          zi[k + 1] = uii - vii;
+        }
+        for (int b0 = 0; b0 < 8; b0 += 4) {  // level 1 (w in {1, +i})
+          float urr = zr[b0], uii = zi[b0];
+          float vrr = zr[b0 + 2], vii = zi[b0 + 2];
+          zr[b0] = urr + vrr;
+          zi[b0] = uii + vii;
+          zr[b0 + 2] = urr - vrr;
+          zi[b0 + 2] = uii - vii;
+          urr = zr[b0 + 1];
+          uii = zi[b0 + 1];
+          vrr = -zi[b0 + 3];  // v * (+i) = (-vi, vr), sign(+) kernel
+          vii = zr[b0 + 3];
+          zr[b0 + 1] = urr + vrr;
+          zi[b0 + 1] = uii + vii;
+          zr[b0 + 3] = urr - vrr;
+          zi[b0 + 3] = uii - vii;
+        }
+        for (int k = 0; k < 4; ++k) {  // level 2
+          const float vr2 = zr[k + 4] * w2r_[k] - zi[k + 4] * w2i_[k];
+          const float vi2 = zr[k + 4] * w2i_[k] + zi[k + 4] * w2r_[k];
+          const float urr = zr[k], uii = zi[k];
+          re[s + k] = urr + vr2;
+          im[s + k] = uii + vi2;
+          re[s + k + 4] = urr - vr2;
+          im[s + k + 4] = uii - vi2;
+        }
+      }
+    } else if (levels >= 2) {
       // levels 0+1: a multiply-free 4-point DFT per block
       // (level-1 twiddles are {1, +i}; v * (+i) = (-vi, vr), sign(+) kernel)
+      const int* __restrict rv = rev.data();
+      const float* __restrict pt = pre.data();
       for (int s = 0; s < M; s += 4) {
-        float ur = re[s], ui = im[s], vr = re[s + 1], vi = im[s + 1];
+        int p0 = rv[s], p1 = rv[s + 1], p2 = rv[s + 2], p3 = rv[s + 3];
+        float u = in[2 * p0], v = in[N - 1 - 2 * p0];
+        float wre = pt[2 * p0], wim = pt[2 * p0 + 1];
+        float ur = u * wre + v * wim, ui = u * wim - v * wre;
+        u = in[2 * p1];
+        v = in[N - 1 - 2 * p1];
+        wre = pt[2 * p1];
+        wim = pt[2 * p1 + 1];
+        float vr = u * wre + v * wim, vi = u * wim - v * wre;
         float a0r = ur + vr, a0i = ui + vi;
         float b0r = ur - vr, b0i = ui - vi;
-        ur = re[s + 2];
-        ui = im[s + 2];
-        vr = re[s + 3];
-        vi = im[s + 3];
+        u = in[2 * p2];
+        v = in[N - 1 - 2 * p2];
+        wre = pt[2 * p2];
+        wim = pt[2 * p2 + 1];
+        ur = u * wre + v * wim;
+        ui = u * wim - v * wre;
+        u = in[2 * p3];
+        v = in[N - 1 - 2 * p3];
+        wre = pt[2 * p3];
+        wim = pt[2 * p3 + 1];
+        vr = u * wre + v * wim;
+        vi = u * wim - v * wre;
         float c0r = ur + vr, c0i = ui + vi;
         float d0r = ur - vr, d0i = ui - vi;
         re[s] = a0r + c0r;
@@ -476,15 +545,43 @@ struct Imdct {
         re[s + 3] = b0r - v1r;
         im[s + 3] = b0i - v1i;
       }
-    } else if (levels == 1) {  // M == 2 (no Vorbis blocksize this small;
-      float ur = re[0], ui = im[0], vr = re[1], vi = im[1];  // kept total)
-      re[0] = ur + vr;
-      im[0] = ui + vi;
-      re[1] = ur - vr;
-      im[1] = ui - vi;
+    } else {  // M <= 2 (no Vorbis blocksize this small; kept total)
+      for (int p = 0; p < M; ++p) {
+        float u = in[2 * p];
+        float v = in[N - 1 - 2 * p];
+        float wre = pre[2 * p], wim = pre[2 * p + 1];
+        int r = rev[p];
+        re[r] = u * wre + v * wim;
+        im[r] = u * wim - v * wre;
+      }
+      if (levels == 1) {
+        float ur = re[0], ui = im[0], vr = re[1], vi = im[1];
+        re[0] = ur + vr;
+        im[0] = ui + vi;
+        re[1] = ur - vr;
+        im[1] = ui - vi;
+      }
     }
-    int lv = 2;
-    for (; lv + 1 < levels; lv += 2) {
+    // The post-twist (t_q = e^{i pi (q+1/4)/N} Z[q]; c[2q]=Re, c[N-1-2q]=Im)
+    // is fused into the FINAL butterfly stage below — its outputs are
+    // twisted straight out of registers into cbuf, never stored back to
+    // re/im.  Same per-element ops, one fewer full sweep.
+    float* __restrict c = cbuf.data();
+    const float* __restrict ar = postr.data();
+    const float* __restrict ai = posti.data();
+    if (levels <= 2) {  // base pass was final (M <= 4; no real stream)
+      for (int q = 0; q < M; ++q) {
+        float tr = ar[q] * re[q] - ai[q] * im[q];
+        float ti = ar[q] * im[q] + ai[q] * re[q];
+        c[2 * q] = tr;
+        c[N - 1 - 2 * q] = ti;
+      }
+      return;
+    }
+    // stages past the base pair up; only levels==3 leaves a final single
+    const int final_lv = ((levels - lv0) & 1) ? levels - 1 : levels - 2;
+    int lv = lv0;
+    for (; lv < final_lv; lv += 2) {
       // fused pair: level lv (half-length hl, same twiddle for the (a,b)
       // and (c,d) butterflies) then level lv+1 ((a,c) with w2[j], (b,d)
       // with w2[j+hl]) on the in-register values
@@ -531,36 +628,72 @@ struct Imdct {
         }
       }
     }
-    if (lv < levels) {  // odd level count past the 4-point base: one
-      const int hl = 1 << lv;  // plain radix-2 sweep closes the transform
-      const float* __restrict wre = &twr[tw_off[lv]];
-      const float* __restrict wim = &twi[tw_off[lv]];
-      for (int s = 0; s < M; s += 2 * hl) {
-        float* __restrict rp = re + s;
-        float* __restrict ip = im + s;
-        float* __restrict rq = rp + hl;
-        float* __restrict iq = ip + hl;
-        for (int j = 0; j < hl; ++j) {
-          float vr = rq[j] * wre[j] - iq[j] * wim[j];
-          float vi = rq[j] * wim[j] + iq[j] * wre[j];
-          float ur = rp[j], ui = ip[j];
-          rp[j] = ur + vr;
-          ip[j] = ui + vi;
-          rq[j] = ur - vr;
-          iq[j] = ui - vi;
-        }
+    if (final_lv == levels - 1) {
+      // final stage = one radix-2 level (hl = M/2) + fused post-twist
+      const int hl = 1 << final_lv;
+      const float* __restrict wre = &twr[tw_off[final_lv]];
+      const float* __restrict wim = &twi[tw_off[final_lv]];
+      const float* __restrict rq = re + hl;
+      const float* __restrict iq = im + hl;
+      for (int j = 0; j < hl; ++j) {
+        float vr = rq[j] * wre[j] - iq[j] * wim[j];
+        float vi = rq[j] * wim[j] + iq[j] * wre[j];
+        float ur = re[j], ui = im[j];
+        float xr = ur + vr, xi = ui + vi;  // Z[j]
+        float yr = ur - vr, yi = ui - vi;  // Z[j + hl]
+        c[2 * j] = ar[j] * xr - ai[j] * xi;
+        c[N - 1 - 2 * j] = ar[j] * xi + ai[j] * xr;
+        const int q = j + hl;
+        c[2 * q] = ar[q] * yr - ai[q] * yi;
+        c[N - 1 - 2 * q] = ar[q] * yi + ai[q] * yr;
       }
-    }
-    // post-twist: t_q = e^{i pi (q+1/4)/N} Z[q]; c[2q]=Re, c[N-1-2q]=Im
-    float* __restrict c = cbuf.data();
-    {
-      const float* __restrict ar = postr.data();
-      const float* __restrict ai = posti.data();
-      for (int q = 0; q < M; ++q) {
-        float tr = ar[q] * re[q] - ai[q] * im[q];
-        float ti = ar[q] * im[q] + ai[q] * re[q];
-        c[2 * q] = tr;
-        c[N - 1 - 2 * q] = ti;
+    } else {
+      // final stage = one fused level pair (hl = M/4, a single M-block)
+      // + fused post-twist on its four register outputs
+      const int hl = 1 << final_lv;
+      const float* __restrict w1r = &twr[tw_off[final_lv]];
+      const float* __restrict w1i = &twi[tw_off[final_lv]];
+      const float* __restrict w2r = &twr[tw_off[final_lv + 1]];
+      const float* __restrict w2i = &twi[tw_off[final_lv + 1]];
+      const float* __restrict rb = re + hl;
+      const float* __restrict ib = im + hl;
+      const float* __restrict rc = re + 2 * hl;
+      const float* __restrict ic = im + 2 * hl;
+      const float* __restrict rd = re + 3 * hl;
+      const float* __restrict id = im + 3 * hl;
+      for (int j = 0; j < hl; ++j) {
+        float wre = w1r[j], wim = w1i[j];
+        float vbr = rb[j] * wre - ib[j] * wim;
+        float vbi = rb[j] * wim + ib[j] * wre;
+        float uar = re[j], uai = im[j];
+        float a1r = uar + vbr, a1i = uai + vbi;
+        float b1r = uar - vbr, b1i = uai - vbi;
+        float vdr = rd[j] * wre - id[j] * wim;
+        float vdi = rd[j] * wim + id[j] * wre;
+        float ucr = rc[j], uci = ic[j];
+        float c1r = ucr + vdr, c1i = uci + vdi;
+        float d1r = ucr - vdr, d1i = uci - vdi;
+        float w2re = w2r[j], w2im = w2i[j];
+        float vcr = c1r * w2re - c1i * w2im;
+        float vci = c1r * w2im + c1i * w2re;
+        float f0r = a1r + vcr, f0i = a1i + vci;  // Z[j]
+        float f2r = a1r - vcr, f2i = a1i - vci;  // Z[j + 2 hl]
+        float w3re = w2r[j + hl], w3im = w2i[j + hl];
+        float vqr = d1r * w3re - d1i * w3im;
+        float vqi = d1r * w3im + d1i * w3re;
+        float f1r = b1r + vqr, f1i = b1i + vqi;  // Z[j + hl]
+        float f3r = b1r - vqr, f3i = b1i - vqi;  // Z[j + 3 hl]
+        c[2 * j] = ar[j] * f0r - ai[j] * f0i;
+        c[N - 1 - 2 * j] = ar[j] * f0i + ai[j] * f0r;
+        int q = j + hl;
+        c[2 * q] = ar[q] * f1r - ai[q] * f1i;
+        c[N - 1 - 2 * q] = ar[q] * f1i + ai[q] * f1r;
+        q = j + 2 * hl;
+        c[2 * q] = ar[q] * f2r - ai[q] * f2i;
+        c[N - 1 - 2 * q] = ar[q] * f2i + ai[q] * f2r;
+        q = j + 3 * hl;
+        c[2 * q] = ar[q] * f3r - ai[q] * f3i;
+        c[N - 1 - 2 * q] = ar[q] * f3i + ai[q] * f3r;
       }
     }
   }

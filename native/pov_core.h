@@ -1362,8 +1362,10 @@ static void parse_file_multi(std::vector<ParsedFile>& out, const uint8_t* data,
   POV_CHECK(!out.empty(), "no vorbis stream found");
 }
 
-// Single-stream front-end: first logical stream of the file.
-static void parse_file(ParsedFile& pf, const uint8_t* data, size_t len) {
+// Single-stream front-end: first logical stream of the file.  (inline, not
+// static: pov_capi.cpp includes this header without using it — a static
+// definition warns unused-function on every build of that TU.)
+inline void parse_file(ParsedFile& pf, const uint8_t* data, size_t len) {
   std::vector<ParsedFile> out;
   parse_file_multi(out, data, len);
   pf = std::move(out[0]);

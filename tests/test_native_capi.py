@@ -137,6 +137,55 @@ def test_fft_imdct_matches_exact_phase_transform(tmp_path, stereo_ogg,
     assert worst < 2e-6, worst
 
 
+@pytest.mark.parametrize("bs0,bs1", [(64, 64), (64, 128), (128, 256)])
+def test_fft_imdct_small_blocksize_level_parities(tmp_path, monkeypatch,
+                                                  bs0, bs1):
+    """FFT-vs-direct at the smallest legal blocksizes.  The staged FFT
+    picks its pass layout from log2(n/4): 8-point base for odd level
+    counts >= 5, 4-point base + fused final pair for even, post-twist
+    fused into whichever stage is last.  n in {64, 128, 256} (levels 4,
+    5, 6) pins every layout no encoder corpus file reaches; real-file
+    parities (levels 6/9/11) are covered by
+    test_fft_imdct_matches_exact_phase_transform and the corpus tests."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from make_synth_vorbis import SynthStream
+
+    blob = SynthStream(bs0=bs0, bs1=bs1, seed=3).make(num_frames=12)
+    ogg = str(tmp_path / "small.ogg")
+    open(ogg, "wb").write(blob)
+    dumps = {}
+    for name, env in [("fft", "0"), ("direct", "1")]:
+        dump = str(tmp_path / (name + ".dump"))
+        monkeypatch.setenv("POV_IMDCT_DIRECT", env)
+        subprocess.run([BIN, "--in", ogg, "--debug_out", dump],
+                       check=True, stdout=subprocess.DEVNULL,
+                       env=dict(os.environ))
+        dumps[name] = dump
+    from parseoggvorbis_tpu.callbacks.reader import DumpReader
+
+    r1, r2 = DumpReader(dumps["fft"]), DumpReader(dumps["direct"])
+    worst = 0.0
+    pcm_taps = 0
+    while True:
+        try:
+            n1, c1, d1 = r1.read_entry()
+            n2, c2, d2 = r2.read_entry()
+        except EOFError:
+            break
+        assert (n1, c1) == (n2, c2)
+        a1, a2 = np.asarray(d1), np.asarray(d2)
+        if a1.dtype == np.float32 and n1 in ("pcm_after_mdct", "pcm"):
+            worst = max(worst,
+                        float(np.max(np.abs(a1 - a2))) if a1.size else 0.0)
+            pcm_taps += 1
+        elif a1.dtype != np.float32:
+            assert np.array_equal(a1, a2), n1
+    assert pcm_taps >= 12
+    assert worst < 2e-6, worst
+
+
 def test_native_pcm_route_matches_device():
     """decode_corpus(route='native') — the C++ host decode straight to
     PCM — matches the device path within the project eps (both are
