@@ -30,7 +30,7 @@ def _native_binary_available():
         REPO, "parseoggvorbis_tpu", "native", "pov_decode"))
 
 
-def _run_bench(env_overrides, timeout=240):
+def _run_bench(env_overrides, timeout=240, detail_path=None):
     env = dict(os.environ)
     # Keep the bench subprocess (and its preflight child) off the tunnel
     # entirely: this environment's sitecustomize registers the tunneled
@@ -41,6 +41,8 @@ def _run_bench(env_overrides, timeout=240):
     # the stalls deterministically.
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["POV_BENCH_PREFLIGHT_RETRIES"] = "1"  # no retry pauses in tests
+    if detail_path is not None:
+        env["POV_BENCH_DETAIL"] = detail_path
     env.update(env_overrides)
     # the fallback path must not need a live backend of any kind
     p = subprocess.run(
@@ -50,23 +52,36 @@ def _run_bench(env_overrides, timeout=240):
     assert len(lines) == 1, (
         "expected exactly one JSON line, got %r\nstderr:\n%s"
         % (p.stdout, p.stderr[-2000:]))
+    # the round-4 record was lost because the headline outgrew the
+    # driver's 2000-char output tail; the compact-headline contract is
+    # load-bearing for the round record, so enforce it on every path
+    assert len(lines[0]) < 1500, (
+        "headline JSON must stay under the driver's output tail: %d chars"
+        % len(lines[0]))
     return json.loads(lines[0]), p
 
 
 @pytest.mark.skipif(not _native_binary_available(),
                     reason="native pov_decode not built")
-def test_preflight_failure_emits_native_fallback():
+def test_preflight_failure_emits_native_fallback(tmp_path):
     """An unusable backend (here: a nonexistent platform, standing in for
     a tunnel whose enumeration fails) must yield the fallback record, not
     a crash or a hang."""
+    detail_path = str(tmp_path / "detail.json")
     result, p = _run_bench({"JAX_PLATFORMS": "no_such_platform",
-                            "POV_BENCH_PREFLIGHT": "120"})
+                            "POV_BENCH_PREFLIGHT": "120"},
+                           detail_path=detail_path)
     assert result["metric"] == "realtime_factor_varied_corpus_per_chip"
     assert result["path"] == "native_host_cpu_fallback"
     assert result["device_unreachable"].startswith("preflight:")
     assert result["value"] > 0          # real native measurement
     assert result["vs_baseline"] > 0
-    assert result["native_host"]["rtf"] > 0
+    assert result["route"] == "native"
+    # the forensic record moved to the detail file (headline compactness)
+    assert result["detail"] == "detail.json"
+    detail = json.load(open(detail_path))
+    assert detail["native_host"]["rtf"] > 0
+    assert detail["headline"]["value"] == result["value"]
 
 
 @pytest.mark.skipif(not _native_binary_available(),

@@ -147,9 +147,8 @@ def test_fft_imdct_small_blocksize_level_parities(tmp_path, monkeypatch,
     5, 6) pins every layout no encoder corpus file reaches; real-file
     parities (levels 6/9/11) are covered by
     test_fft_imdct_matches_exact_phase_transform and the corpus tests."""
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    monkeypatch.syspath_prepend(os.path.join(os.path.dirname(__file__),
+                                             "tools"))
     from make_synth_vorbis import SynthStream
 
     blob = SynthStream(bs0=bs0, bs1=bs1, seed=3).make(num_frames=12)

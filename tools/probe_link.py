@@ -16,26 +16,11 @@ import time
 import numpy as np
 
 
-def measure_link(mb=8.0, repeats=8):
-    """-> (h2d, d2h) MB/s samples.  One implementation, shared with
-    bench.py's in-run probe."""
-    import jax
+import os
+import sys
 
-    n = int(mb * 1e6 / 4)
-    host = np.random.RandomState(0).rand(n).astype(np.float32)
-    dev = jax.device_put(host)  # warm
-    jax.block_until_ready(dev)
-
-    h2d, d2h = [], []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        dev = jax.device_put(host)
-        jax.block_until_ready(dev)
-        h2d.append(host.nbytes / (time.perf_counter() - t0) / 1e6)
-        t0 = time.perf_counter()
-        back = np.asarray(dev)
-        d2h.append(back.nbytes / (time.perf_counter() - t0) / 1e6)
-    return h2d, d2h
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from parseoggvorbis_tpu.runtime.link import measure_link  # noqa: E402
 
 
 def main():
