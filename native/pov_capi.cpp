@@ -10,7 +10,12 @@
 //    compare-debug-out.py) work against this library unchanged;
 //  * ogg_vorbis_full_read / ogg_vorbis_full_read_from_memory: a complete
 //    scalar decode (floors, residues, coupling, IMDCT, window, overlap-add)
-//    pushing the same taps in the same order as the reference decoder.
+//    pushing the same taps in the same order as the reference decoder;
+//  * the public C++ consumer API (pov.hpp): pov::OggReader::full_read
+//    driving a pov::ParseCallbacks subclass — the same-language
+//    equivalent of the reference's embeddable surface
+//    (ParseOggVorbis.hpp:966-973, 1385-1485), layered on the same
+//    ScalarStream pipeline as the two C faces.
 //
 // The IMDCT here is the direct transform evaluated with an exact-phase
 // double cosine table (m = (2k+1)(2j+1+n/2) mod 4n advances incrementally),
@@ -28,6 +33,7 @@
 #include <string>
 #include <vector>
 
+#include "pov.hpp"
 #include "pov_core.h"
 
 // ------------------------------------------------------- callbacks C ABI --
@@ -839,11 +845,17 @@ struct PcmSink {
   std::vector<std::vector<float>> chans;
 };
 
+// Raised when a pov::ParseCallbacks hook returns false: a CLEAN stop
+// (the public full_read catches it and reports success — see pov.hpp).
+struct StopParsing {};
+
 struct ScalarStream {
   pov::Setup setup;
   uint32_t sample_rate = 0;
   int channels = 0;
   PcmSink* sink = nullptr;
+  pov::ParseCallbacks* cb = nullptr;  // public C++ consumer (pov.hpp)
+  std::vector<pov::PcmRange> cb_ranges;  // borrowed views handed to cb
   int bs0 = 0, bs1 = 0;
   int packet_count = 0;
   Imdct mdct[2];
@@ -880,8 +892,51 @@ struct ScalarStream {
         sink->sample_rate = sample_rate;
         sink->chans.resize(channels);
       }
+      if (cb) {
+        pov::IdHeaderInfo info;
+        info.vorbis_version = version;
+        info.channels = channels;
+        info.sample_rate = sample_rate;
+        memcpy(&info.bitrate_maximum, pkt + 16, 4);
+        memcpy(&info.bitrate_nominal, pkt + 20, 4);
+        memcpy(&info.bitrate_minimum, pkt + 24, 4);
+        info.blocksize_0 = bs0;
+        info.blocksize_1 = bs1;
+        if (!cb->gotHeader(info)) throw StopParsing{};
+      }
     } else if (packet_count == 1) {
       POV_CHECK(len >= 7 && pkt[0] == 3, "bad comment header");
+      if (cb) {
+        // vendor + user comment list (v-comment spec; same strictness
+        // as the Python parser, vorbis/header.py:parse_comment_header)
+        POV_CHECK(!memcmp(pkt + 1, "vorbis", 6), "comment header magic");
+        size_t off = 7;
+        uint32_t vlen;
+        POV_CHECK(off + 4 <= len, "comment vendor length");
+        memcpy(&vlen, pkt + off, 4);
+        off += 4;
+        POV_CHECK(off + vlen <= len, "comment vendor");
+        std::string vendor((const char*)pkt + off, vlen);
+        off += vlen;
+        uint32_t count;
+        POV_CHECK(off + 4 <= len, "comment list length");
+        memcpy(&count, pkt + off, 4);
+        POV_CHECK(off + (size_t)count * 4 < len, "comment list size");
+        off += 4;
+        std::vector<std::string> comments(count);
+        for (uint32_t i = 0; i < count; ++i) {
+          uint32_t clen;
+          POV_CHECK(off + 4 <= len, "comment entry length");
+          memcpy(&clen, pkt + off, 4);
+          off += 4;
+          POV_CHECK(off + clen <= len, "comment entry");
+          comments[i].assign((const char*)pkt + off, clen);
+          off += clen;
+        }
+        POV_CHECK(off + 1 == len, "comment framing position");
+        POV_CHECK(pkt[off] == 1, "comment framing bit");
+        if (!cb->gotComments(vendor, comments)) throw StopParsing{};
+      }
     } else {
       POV_CHECK(len >= 7 && pkt[0] == 5 && !memcmp(pkt + 1, "vorbis", 6),
                 "bad setup header");
@@ -908,6 +963,15 @@ struct ScalarStream {
         push_data_u32(this, "floor1_unpack xs", -1, f1.xs.data(), f1.xs.size());
       }
       push_data_u8(this, "finish_setup", -1, nullptr, 0);
+      if (cb) {
+        pov::SetupInfo info;
+        info.num_codebooks = (int)setup.codebooks.size();
+        info.num_floors = (int)setup.floors.size();
+        info.num_residues = (int)setup.residues.size();
+        info.num_mappings = (int)setup.mappings.size();
+        info.num_modes = (int)setup.modes.size();
+        if (!cb->gotSetup(info)) throw StopParsing{};
+      }
     }
     ++packet_count;
   }
@@ -1113,6 +1177,13 @@ struct ScalarStream {
           sink->chans[ch].insert(sink->chans[ch].end(),
                                  state.chan(ch) + em.first,
                                  state.chan(ch) + em.first + em.second);
+      if (cb) {
+        cb_ranges.resize(C);
+        for (int ch = 0; ch < C; ++ch)
+          cb_ranges[ch] = pov::PcmRange{state.chan(ch) + em.first,
+                                        (size_t)em.second};
+        if (!cb->gotPcmData(cb_ranges)) throw StopParsing{};
+      }
     }
   }
 };
@@ -1124,7 +1195,8 @@ struct ScalarStream {
 // pre-demuxes non-Vorbis multiplexes before calling pov_decode_pcm
 // (runtime/batch._split_vorbis_serials).
 static void full_read(const uint8_t* data, size_t len,
-                      std::vector<std::unique_ptr<PcmSink>>* sinks = nullptr) {
+                      std::vector<std::unique_ptr<PcmSink>>* sinks = nullptr,
+                      pov::ParseCallbacks* cb = nullptr) {
   std::map<uint32_t, ScalarStream> streams;
   // decode errors must not leak registry entries keyed by the dying
   // ScalarStreams (dangling refs + open dump FILE*s + a permanently
@@ -1171,6 +1243,7 @@ static void full_read(const uint8_t* data, size_t len,
         sinks->emplace_back(new PcmSink);
         ns.sink = sinks->back().get();
       }
+      ns.cb = cb;  // one ParseCallbacks serves every logical stream
     }
     POV_CHECK(streams.count(serial), "page for unknown stream");
     ScalarStream& st = streams[serial];
@@ -1239,6 +1312,7 @@ static void full_read(const uint8_t* data, size_t len,
       POV_CHECK(!st.has_pending, "EOS page with incomplete packet");
       unregister_decoder_ref(&streams[serial]);
       streams.erase(serial);
+      if (cb && !cb->gotEof()) throw StopParsing{};
     }
     off += 27 + nseg + data_len;
   }
@@ -1378,3 +1452,50 @@ int ogg_vorbis_full_read(const char* filename, const char** error_out) {
 }
 
 }  // extern "C"
+
+// ------------------- public C++ consumer API (pov.hpp) -------------------
+// Same ScalarStream pipeline as the C faces above, driven per-packet into
+// a ParseCallbacks subclass.  Mirrors the reference's embeddable surface
+// (ParseOggVorbis.hpp:966-973, 1385-1485); a returned-false stop is clean.
+
+namespace pov {
+
+std::string OggReader::full_read_from_memory(const uint8_t* data, size_t len,
+                                             ParseCallbacks& callbacks) {
+  try {
+    povsc::full_read(data, len, nullptr, &callbacks);
+    return "";
+  } catch (const povsc::StopParsing&) {
+    return "";  // callback-requested stop: success by contract
+  } catch (const pov::ParseError& e) {
+    return e.msg;
+  } catch (const std::exception& e) {
+    return e.what();
+  }
+}
+
+std::string OggReader::full_read(const char* filename,
+                                 ParseCallbacks& callbacks) {
+  FILE* f = fopen(filename, "rb");
+  if (!f) return std::string("cannot open ") + filename;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (size < 0) {  // unseekable input (pipe/FIFO)
+    fclose(f);
+    return std::string("cannot size ") + filename;
+  }
+  std::vector<uint8_t> buf;
+  try {
+    buf.resize((size_t)size);
+  } catch (const std::exception&) {
+    fclose(f);
+    return std::string("cannot buffer ") + filename;
+  }
+  size_t got = fread(buf.data(), 1, size, f);
+  fclose(f);
+  if ((long)got != size) return std::string("short read on ") + filename;
+  return full_read_from_memory(buf.data(), buf.size(), callbacks);
+}
+
+}  // namespace pov
