@@ -156,19 +156,26 @@ def sharded_decode_step(
     and all-gathers the windowed columns on the ICI before the OLA scan.
     The production corpus path applies the same layout automatically when
     the mesh has a 'model' axis (device_decoder._mesh_consts).
+
+    The matrix enters the jitted step as a real ARGUMENT with its sharding
+    declared (exactly like the production path, which passes _mesh_consts'
+    arrays into the stacked fn) — a closed-over constant would let XLA
+    materialize it per-device at compile time and silently drop the
+    tensor parallelism.  The returned callable has it pre-bound
+    (functools.partial), so call it with the six batch inputs; the
+    underlying jit + bound operand are reachable via .func/.args for HLO
+    inspection (dryrun_multichip asserts the collective structure there).
     """
     half = n // 2
-    if tp:
-        imdct_m = jax.device_put(imdct_matrix_f32(n),
-                                 NamedSharding(mesh, P(None, "model")))
-    else:
-        imdct_m = _replicated(mesh, imdct_matrix_f32(n))
+    mat_spec = P(None, "model") if tp else P()
+    imdct_m = jax.device_put(imdct_matrix_f32(n), NamedSharding(mesh, mat_spec))
     inverse_db = _replicated(mesh, INVERSE_DB_TABLE)
     windows = _replicated(
         mesh, np.stack([make_window(n, half, half)] * num_windows)
     )
 
-    def step(residue, floor_curve, floor_decoded, floor_used, win_sel, n_half):
+    def step(imdct_m, residue, floor_curve, floor_decoded, floor_used,
+             win_sel, n_half):
         s, t = residue.shape[:2]
         flat = lambda x: x.reshape((s * t,) + x.shape[2:])
         windowed = frame_pipeline(
@@ -183,15 +190,18 @@ def sharded_decode_step(
         )
         return emitted, lengths
 
-    dp = P("data")
+    import functools
+
     shard3 = NamedSharding(mesh, P("data", None, None, None))
     shard2 = NamedSharding(mesh, P("data", None, None))
     shard1 = NamedSharding(mesh, P("data", None))
-    return jax.jit(
+    jfn = jax.jit(
         step,
-        in_shardings=(shard3, shard3, shard2, shard2, shard1, shard1),
+        in_shardings=(NamedSharding(mesh, mat_spec),
+                      shard3, shard3, shard2, shard2, shard1, shard1),
         out_shardings=(shard3, shard1),
     )
+    return functools.partial(jfn, imdct_m)
 
 
 def dryrun_multichip(n_devices: int) -> None:
@@ -240,8 +250,63 @@ def dryrun_multichip(n_devices: int) -> None:
                                      n_half)
         jax.block_until_ready((emitted2, lengths2))
         assert emitted2.shape == (s, t, c, half)
+
+        # -- parallelism-structure assertions: the record must demonstrate
+        # the sharding itself, not just a green exit --
+
+        # (a) per-device shard shapes: the stream axis is split over 'data'
+        # (each device owns s/data streams) and replicated over 'model'
+        # (every device holds a shard), for inputs AND outputs.
+        data_n = mesh.shape["data"]
+        for arr, name in ((residue, "residue[in]"), (emitted, "emitted[out]"),
+                          (emitted2, "emitted[tp out]")):
+            shards = arr.addressable_shards
+            assert len({sh.device for sh in shards}) == mesh.size, name
+            for sh in shards:
+                assert sh.data.shape == (s // data_n,) + arr.shape[1:], (
+                    name, sh.data.shape)
+        print("dryrun_multichip: per-device shards OK (%d streams/device "
+              "over data=%d, replicated over model=%d)"
+              % (s // data_n, data_n, mesh.shape["model"]))
+
+        # (b) the compiled HLO carries the expected collective structure:
+        # dp-only has NO collective on the decode path (streams are
+        # independent); tp>1 column-shards the IMDCT matmul and must
+        # reassemble the column shards across 'model' before the
+        # overlap-add scan — XLA emits that re-gather either as a literal
+        # all-gather or as its pad+all-reduce formulation (same bytes on
+        # the ICI), so accept either spelling.
+        hlo_args = (residue, curve, decoded, used, win_sel, n_half)
+        hlo_dp = step.func.lower(*step.args, *hlo_args).compile().as_text()
+        assert "all-gather" not in hlo_dp and "all-reduce" not in hlo_dp, (
+            "dp-only decode must carry no collective")
+        if mesh.shape["model"] > 1:
+            hlo_tp = step_tp.func.lower(*step_tp.args,
+                                        *hlo_args).compile().as_text()
+            found = [op for op in ("all-gather", "all-reduce")
+                     if op in hlo_tp]
+            assert found, "tp>1 IMDCT must re-gather its column shards"
+            print("dryrun_multichip: HLO collectives OK (dp: none; "
+                  "tp=%d column re-gather: %s)"
+                  % (mesh.shape["model"], "+".join(found)))
     np.testing.assert_array_equal(np.asarray(emitted), np.asarray(emitted2))
     np.testing.assert_array_equal(np.asarray(lengths), np.asarray(lengths2))
+
+    # (c) per-device work scales with the mesh: the same batch on an
+    # all-data mesh (model=1 -> data=n_devices) halves/shrinks each
+    # device's stream count by exactly data2/data_n.
+    if model > 1:
+        mesh_dp = make_mesh(n_devices, model=1)
+        data2 = mesh_dp.shape["data"]
+        residue_dp = jax.device_put(
+            np.asarray(residue), NamedSharding(mesh_dp,
+                                               P("data", None, None, None)))
+        per_dev = {sh.data.shape[0] for sh in residue_dp.addressable_shards}
+        assert per_dev == {s // data2}
+        assert s // data2 == (s // data_n) * data_n // data2
+        print("dryrun_multichip: per-device work scaling OK "
+              "(%d streams/device at data=%d -> %d at data=%d)"
+              % (s // data_n, data_n, s // data2, data2))
 
     # The production path: full corpus decode (real golden file, python host
     # front-end, mixed blocksizes, device floors, dense PCM assembly)
