@@ -631,10 +631,12 @@ struct Floor1 {
   }
 
   // Returns false if the channel's floor is unused this frame.
-  // curve_out receives the full n-bin rendered integer curve (the reference
-  // renders over the whole window, ParseOggVorbis.hpp:1166; only the first
-  // n/2 bins feed the spectrum dot product, but the feature-extraction path
-  // consumes the full curve).  ys_out (optional) receives the final_ys.
+  // curve_out (optional) receives the full n-bin rendered integer curve
+  // (the reference renders over the whole window, ParseOggVorbis.hpp:1166;
+  // only the first n/2 bins feed the spectrum dot product, but the
+  // feature-extraction path consumes the full curve); nullptr skips the
+  // render (floors-only parse: final_ys/flags are the whole product).
+  // ys_out (optional) receives the final_ys.
   bool decode_curve(BitReader& br, const std::vector<Codebook>& books,
                     int n_half_full, uint8_t* curve_out /* [n_half_full] */,
                     uint8_t* ys_out = nullptr /* [xs.size()] */,
@@ -651,7 +653,7 @@ struct Floor1 {
     if (flags_out)
       for (size_t i = 0; i < npts; ++i) flags_out[i] = flag[i];
 
-    render(fin, flag, n_half_full, curve_out);
+    if (curve_out) render(fin, flag, n_half_full, curve_out);
     return true;
   }
 
@@ -855,6 +857,26 @@ struct Residue {
       }
     }
   }
+  // Decode-and-discard: advance the bit position over this submap's
+  // residue symbols (every VQ read moves it — skipping outright is
+  // impossible) accumulating into caller scratch of >= num_channel *
+  // decode_len floats.  Type 2 decodes as its single interleaved channel
+  // directly into the scratch, skipping the per-call tmp allocation and
+  // the deinterleave copy the stored path needs.  Floors-only parse path.
+  void decode_discard(BitReader& br, const std::vector<Codebook>& cbs,
+                      int num_channel, const uint8_t* channel_used,
+                      uint32_t decode_len, float* scratch) const {
+    if (type == 2) {
+      bool any_used = false;
+      for (int j = 0; j < num_channel; ++j)
+        any_used = any_used || channel_used[j];
+      if (!any_used) return;  // spec 8.6.4: all vectors unused -> skip
+      uint8_t used = 1;
+      decode(br, cbs, 1, &used, num_channel * decode_len, scratch, 1);
+      return;
+    }
+    decode(br, cbs, num_channel, channel_used, decode_len, scratch);
+  }
 };
 
 // --------------------------------------------------- mapping/mode/setup --
@@ -1032,6 +1054,15 @@ struct ParsedFile {
   std::vector<Frame> frames;
   std::string error;
   // per-mode metadata exported to python
+
+  // Floors-only parse (pure floor feature kinds): the residue symbols are
+  // still DECODED (each VQ read moves the bit position, so skipping is
+  // impossible) but accumulate into res_scratch instead of per-frame
+  // storage, and the floor curve render / floor0 curve evaluation are
+  // skipped — final_ys/flags are the whole product.  Frames carry empty
+  // curve/residue/fenv; the curve/residue exporters reject the handle.
+  bool floors_only = false;
+  std::vector<float> res_scratch;
 };
 
 static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
@@ -1055,15 +1086,16 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
   int half = n / 2;
   int C = pf.channels;
 
+  const bool floors_only = pf.floors_only;
   Frame fr;
   fr.mode_idx = mode_idx;
   fr.win_sel = prev_flag + 2 * next_flag;
   fr.n = n;
   fr.granule = granule;
-  fr.curve.assign((size_t)C * n, 0);
+  if (!floors_only) fr.curve.assign((size_t)C * n, 0);
   fr.decoded.assign(C, 0);
   fr.used.assign(C, 0);
-  fr.residue.assign((size_t)C * half, 0.f);
+  if (!floors_only) fr.residue.assign((size_t)C * half, 0.f);
 
   // floor decode: full-window curve + final_ys per channel
   {
@@ -1080,7 +1112,7 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
   for (int ch = 0; ch < C; ++ch)
     if (su.floor_types[mapping.submaps[mapping.muxs[ch]].floor] == 0)
       any_floor0 = true;
-  if (any_floor0) fr.fenv.assign((size_t)C * half, 0.f);
+  if (any_floor0 && !floors_only) fr.fenv.assign((size_t)C * half, 0.f);
   for (int ch = 0; ch < C; ++ch) {
     uint8_t submap = mapping.muxs[ch];
     uint8_t fl = mapping.submaps[submap].floor;
@@ -1091,13 +1123,16 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
       if (su.floor0s[fl].decode_coeffs(br, su.codebooks, &amp, coeffs)) {
         fr.decoded[ch] = 1;
         fr.used[ch] = 1;
-        su.floor0s[fl].curve(amp, coeffs, half,
-                             fr.fenv.data() + (size_t)ch * half);
+        if (!floors_only)
+          su.floor0s[fl].curve(amp, coeffs, half,
+                               fr.fenv.data() + (size_t)ch * half);
       }
       continue;
     }
     if (su.floors[fl].decode_curve(br, su.codebooks, n,
-                                   fr.curve.data() + (size_t)ch * n,
+                                   floors_only
+                                       ? nullptr
+                                       : fr.curve.data() + (size_t)ch * n,
                                    fr.final_ys.data() + ys_off,
                                    fr.ys_flags.data() + ys_off)) {
       fr.decoded[ch] = 1;
@@ -1107,7 +1142,7 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
   }
   // mixed floor0/floor1 mappings: the env export ships ONE uniform f32
   // tensor, so floor1 channels contribute their inverse-dB envelope here
-  if (any_floor0) {
+  if (any_floor0 && !floors_only) {
     for (int ch = 0; ch < C; ++ch) {
       uint8_t fl = mapping.submaps[mapping.muxs[ch]].floor;
       if (su.floor_types[fl] == 1 && fr.decoded[ch])
@@ -1129,6 +1164,17 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
     std::vector<uint8_t> chan_used(chans.size());
     for (size_t k = 0; k < chans.size(); ++k) chan_used[k] = fr.used[chans[k]];
     const Residue& res = su.residues[mapping.submaps[si].residue];
+    if (floors_only) {
+      // the symbols must still decode (bit-position dependency) but the
+      // spectra are discarded: accumulate into grow-only scratch (never
+      // re-zeroed — the garbage sums are writes-only and float += cannot
+      // trap; NaN/inf accumulation is harmless on a discarded buffer)
+      if (pf.res_scratch.size() < (size_t)C * half)
+        pf.res_scratch.assign((size_t)C * half, 0.f);
+      res.decode_discard(br, su.codebooks, (int)chans.size(),
+                         chan_used.data(), half, pf.res_scratch.data());
+      continue;
+    }
     // common case (one submap covering channels in order): decode straight
     // into fr.residue (already zeroed), skipping a temp alloc + copy
     bool direct = chans.size() == (size_t)C;
@@ -1222,6 +1268,8 @@ struct MultiParser {
   // Vorbis streams' pages are consumed and ignored (bounds memory to one
   // stream's window).
   bool only_first_vorbis = false;
+  // Floors-only parse for every stream (see ParsedFile::floors_only).
+  bool floors_only = false;
   int first_vorbis = -1;  // accum index of the first Vorbis stream
   bool step();            // process one page; false at end of data
 };
@@ -1263,6 +1311,7 @@ inline bool MultiParser::step() {
                 "BOS page for already-active stream serial");
       active[serial] = accums.size();
       accums.emplace_back();
+      accums.back().pf.floors_only = floors_only;
       // identify the stream by its first packet's magic; non-Vorbis
       // streams are consumed and ignored
       if (!(data_len >= 7 && payload[0] == 1 &&
@@ -1348,10 +1397,11 @@ inline bool MultiParser::step() {
 }
 
 static void parse_file_multi(std::vector<ParsedFile>& out, const uint8_t* data,
-                             size_t len) {
+                             size_t len, bool floors_only = false) {
   MultiParser mp;
   mp.data = data;
   mp.len = len;
+  mp.floors_only = floors_only;
   while (mp.step()) {
   }
   for (auto& sa : mp.accums) {

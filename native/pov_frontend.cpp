@@ -152,11 +152,17 @@ void pov_inc_free(PovIncHandle* h) { delete h; }
 // Full demux: one handle per logical stream (chained/multiplexed files),
 // in BOS order.  Returns the stream count (fills up to max_out handles),
 // or -1 on parse error (message in err_out).
-int32_t pov_parse_multi(const uint8_t* data, size_t len, PovHandle** out,
-                        int32_t max_out, char* err_out, size_t err_cap) {
+// flags bit 0: floors-only parse — residue symbols are decoded (bit
+// position) but discarded, floor curve render skipped; the handle serves
+// the floor-ys/flags/metadata exporters only (pov_export_frames/residues/
+// env/curves_full zero-fill and must not be used — the Python front-end
+// guards).  The pure floor feature kinds' parse is ~2x cheaper this way.
+int32_t pov_parse_multi_opts(const uint8_t* data, size_t len, int32_t flags,
+                             PovHandle** out, int32_t max_out, char* err_out,
+                             size_t err_cap) {
   try {
     std::vector<pov::ParsedFile> parsed;
-    pov::parse_file_multi(parsed, data, len);
+    pov::parse_file_multi(parsed, data, len, (flags & 1) != 0);
     int32_t count = (int32_t)parsed.size();
     for (int32_t i = 0; i < count && i < max_out; ++i) {
       auto* h = new PovHandle();
@@ -178,6 +184,15 @@ int32_t pov_parse_multi(const uint8_t* data, size_t len, PovHandle** out,
     return -1;
   }
 }
+
+int32_t pov_parse_multi(const uint8_t* data, size_t len, PovHandle** out,
+                        int32_t max_out, char* err_out, size_t err_cap) {
+  return pov_parse_multi_opts(data, len, 0, out, max_out, err_out, err_cap);
+}
+
+// 1 when the handle came from a floors-only parse (curve/residue/env
+// exports unavailable).
+int32_t pov_is_floors_only(PovHandle* h) { return h->pf.floors_only ? 1 : 0; }
 
 void pov_info(PovHandle* h, uint32_t* sample_rate, int32_t* channels,
               int32_t* blocksize0, int32_t* blocksize1, int64_t* num_frames,
@@ -227,12 +242,18 @@ void pov_export_frames(PovHandle* h, const int64_t* frame_ids, int64_t count,
     const pov::Frame& f = h->pf.frames[frame_ids[i]];
     size_t n = (size_t)f.n;
     size_t half = n / 2;
-    for (int ch = 0; ch < C; ++ch)
-      memcpy(curve + ((size_t)i * C + ch) * half, f.curve.data() + ch * n, half);
+    if (f.curve.empty()) {  // floors-only handle misuse: zero, don't read OOB
+      memset(curve + (size_t)i * C * half, 0, (size_t)C * half);
+      memset(residue + (size_t)i * C * half, 0, sizeof(float) * C * half);
+    } else {
+      for (int ch = 0; ch < C; ++ch)
+        memcpy(curve + ((size_t)i * C + ch) * half, f.curve.data() + ch * n,
+               half);
+      memcpy(residue + (size_t)i * C * half, f.residue.data(),
+             sizeof(float) * C * half);
+    }
     memcpy(decoded + (size_t)i * C, f.decoded.data(), C);
     memcpy(used + (size_t)i * C, f.used.data(), C);
-    memcpy(residue + (size_t)i * C * half, f.residue.data(),
-           sizeof(float) * C * half);
   }
 }
 
@@ -256,6 +277,11 @@ void pov_export_residues(PovHandle* h, const int64_t* frame_ids, int64_t count,
   for (int64_t i = 0; i < count; ++i) {
     const pov::Frame& f = h->pf.frames[frame_ids[i]];
     size_t half = (size_t)f.n / 2;
+    if (f.residue.empty()) {  // floors-only handle misuse
+      memset(residue + (size_t)i * (ch1 - ch0) * half, 0,
+             sizeof(float) * (ch1 - ch0) * half);
+      continue;
+    }
     for (int32_t ch = ch0; ch < ch1; ++ch)
       memcpy(residue + ((size_t)i * (ch1 - ch0) + (ch - ch0)) * half,
              f.residue.data() + (size_t)ch * half, sizeof(float) * half);
@@ -272,7 +298,9 @@ void pov_export_env(PovHandle* h, const int64_t* frame_ids, int64_t count,
   for (int64_t i = 0; i < count; ++i) {
     const pov::Frame& f = h->pf.frames[frame_ids[i]];
     size_t half = (size_t)f.n / 2;
-    if (!f.fenv.empty()) {
+    if (f.curve.empty() && f.fenv.empty()) {  // floors-only handle misuse
+      memset(env + (size_t)i * C * half, 0, sizeof(float) * C * half);
+    } else if (!f.fenv.empty()) {
       memcpy(env + (size_t)i * C * half, f.fenv.data(),
              sizeof(float) * C * half);
     } else {
@@ -292,7 +320,10 @@ void pov_export_curves_full(PovHandle* h, const int64_t* frame_ids,
   int C = h->pf.channels;
   for (int64_t i = 0; i < count; ++i) {
     const pov::Frame& f = h->pf.frames[frame_ids[i]];
-    memcpy(curve + (size_t)i * C * f.n, f.curve.data(), (size_t)C * f.n);
+    if (f.curve.empty())  // floors-only handle misuse
+      memset(curve + (size_t)i * C * f.n, 0, (size_t)C * f.n);
+    else
+      memcpy(curve + (size_t)i * C * f.n, f.curve.data(), (size_t)C * f.n);
   }
 }
 

@@ -1154,6 +1154,164 @@ def _get_feat_mesh_fn(sig: _FeatSig, axes_flat: tuple):
     return jax.jit(vfn)
 
 
+def _plan_and_group(parsed_list, output_dim, kind, kwargs,
+                    threads: int = 8):
+    """Plan every stream and group same-plan streams for stacked dispatch.
+
+    Grouping is by (signature, device-constant OBJECT identity): the
+    constants are LRU-cached per setup key, so identical objects imply
+    identical floor xs / zoom operators — equal shapes never suffice
+    (StreamSig.const_key records the PCM-side lesson).  _FeatSig encodes
+    every padded shape, so same-group numpy plan leaves always stack.
+    Planner-rejected streams (e.g. floor0 slots) get plans[i] = None.
+
+    Planning is thread-parallel (the host-side symbol packing dominates
+    plan cost; the constant cache is lock-guarded, and a duplicate
+    concurrent const build merely splits its group — benign).
+    """
+    def plan_one(p):
+        try:
+            return _plan_for_launch(p, output_dim, kind, kwargs)
+        except DeviceFeaturesUnsupported:
+            return None  # caller falls back to the host extractor
+
+    if threads > 1 and len(parsed_list) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            plans = list(ex.map(plan_one, parsed_list))
+    else:
+        plans = [plan_one(p) for p in parsed_list]
+
+    def const_ident(plan):
+        _, bargs, bconsts, _, extra, _, _, table = plan
+        dev = [x for x in jax.tree_util.tree_leaves((bconsts, extra))
+               if not _is_host_leaf(x)]
+        return tuple(id(x) for x in dev) + (id(table),)
+
+    groups: Dict[tuple, List[int]] = {}
+    for i, plan in enumerate(plans):
+        if plan is not None:
+            groups.setdefault((plan[0], const_ident(plan)), []).append(i)
+    return plans, groups
+
+
+class _GroupRows:
+    """One stacked device result shared by a group's PendingFeatures.
+
+    The whole [S, ...] stack is fetched as ONE device->host transfer the
+    first time any member needs its rows (per-stream device slicing would
+    cost one gather dispatch + one fetch RPC per stream — pure link
+    latency on tunneled hosts; feature rows are tiny, so a single fused
+    read is strictly cheaper).
+    """
+
+    def __init__(self, dev_rows):
+        self._dev = dev_rows
+        self._host = None
+
+    def prefetch(self):
+        try:
+            self._dev.copy_to_host_async()
+        except Exception:
+            pass
+
+    def host(self) -> np.ndarray:
+        if self._host is None:
+            self._host = np.asarray(self._dev)
+        return self._host
+
+
+class _StackedPendingFeatures(PendingFeatures):
+    """PendingFeatures view into a _GroupRows stack (row gi)."""
+
+    def __init__(self, group: _GroupRows, gi: int, r: int,
+                 ext: Optional[np.ndarray]):
+        super().__init__(None, r, ext)
+        self._group = group
+        self._gi = gi
+
+    def prefetch(self):
+        self._group.prefetch()
+
+    def fetch(self) -> np.ndarray:
+        rows = self._group.host()[self._gi][: self.r]
+        if self.ext is not None:
+            rows = np.take(self.ext, rows)
+        return rows
+
+
+def launch_features_grouped(parsed_list, output_dim: int,
+                            kind: str = "floor_final_ys",
+                            **kwargs) -> List[Optional[PendingFeatures]]:
+    """Single-chip corpus feature extraction with stacked dispatches.
+
+    Same-plan streams stack into ONE vmapped device dispatch and ONE
+    fused result fetch (the corpus analogue of launch_features_device;
+    the same grouping the mesh path shards over 'data') — the
+    dispatch-lean option when the chip is shared or a caller wants
+    minimal execute/fetch RPCs.
+
+    NOT the get_features_batched default: interleaved same-process A/B
+    on the tunneled chip measured per-stream pipelining faster (p50
+    559.9x vs 511.0x here; 442.5 vs 425.4 in a worse tunnel mood) — the
+    wall there is host parse + transfer bytes, not RPC count, and the
+    per-stream flow overlaps one stream's parse with another's dispatch.
+
+    Returns one PendingFeatures per stream, None where the planner
+    rejected (callers fall back to the host extractor, exactly like
+    launch_features_mesh).
+    """
+    plans, groups = _plan_and_group(parsed_list, output_dim, kind, kwargs)
+    out: List[Optional[PendingFeatures]] = [None] * len(plans)
+
+    def launch_group(item):
+        (sig, _), idxs = item
+        sample = plans[idxs[0]]
+        args3_sample = (sample[1], sample[3], sample[4])
+        axes_flat = tuple(
+            (0 if _is_host_leaf(x) else None)
+            for x in jax.tree_util.tree_leaves(
+                args3_sample, is_leaf=lambda v: v is None))
+
+        def stack_leaf(*xs):
+            if xs[0] is None:
+                return None
+            if _is_host_leaf(xs[0]):
+                return jax.device_put(np.stack(xs))
+            return xs[0]  # shared device constant (same object per group)
+
+        st_args3 = jax.tree_util.tree_map(
+            stack_leaf,
+            *[(plans[i][1], plans[i][3], plans[i][4]) for i in idxs],
+            is_leaf=lambda v: v is None)
+        fn = _get_feat_mesh_fn(sig, axes_flat)
+        rows = fn(st_args3[0], sample[2], st_args3[1], sample[7],
+                  st_args3[2])
+        in_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(
+            st_args3) if hasattr(x, "nbytes"))
+        TRANSFER_STATS.add(in_bytes, rows.nbytes)
+        group = _GroupRows(rows)
+        group.prefetch()
+        for gi, i in enumerate(idxs):
+            out[i] = _StackedPendingFeatures(group, gi, plans[i][5],
+                                             plans[i][6])
+
+    items = list(groups.items())
+    if len(items) > 1:
+        # overlap the groups' host stacking with each other's transfers
+        # and dispatch (same pipelining the per-stream path gets from its
+        # caller's thread pool)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+            list(ex.map(launch_group, items))
+    else:
+        for item in items:
+            launch_group(item)
+    return out
+
+
 def launch_features_mesh(parsed_list, output_dim: int, mesh,
                          kind: str = "floor_final_ys",
                          **kwargs) -> List[PendingFeatures]:
@@ -1177,27 +1335,14 @@ def launch_features_mesh(parsed_list, output_dim: int, mesh,
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    plans = []
     # plan under the mesh's device: the planning constants (render consts,
     # tables, zoom operators) must never touch the default backend — the
-    # hermeticity rule of the multichip dryrun (MULTICHIP_r01 regression)
+    # hermeticity rule of the multichip dryrun (MULTICHIP_r01 regression).
+    # threads=1: jax.default_device is thread-local, so pooled planning
+    # would escape the context and break exactly that rule.
     with jax.default_device(mesh.devices.flat[0]):
-        for p in parsed_list:
-            try:
-                plans.append(_plan_for_launch(p, output_dim, kind, kwargs))
-            except DeviceFeaturesUnsupported:
-                plans.append(None)  # caller falls back to the host extractor
-
-    def const_ident(plan):
-        _, bargs, bconsts, _, extra, _, _, table = plan
-        dev = [x for x in jax.tree_util.tree_leaves((bconsts, extra))
-               if not _is_host_leaf(x)]
-        return tuple(id(x) for x in dev) + (id(table),)
-
-    groups: Dict[tuple, List[int]] = {}
-    for i, plan in enumerate(plans):
-        if plan is not None:
-            groups.setdefault((plan[0], const_ident(plan)), []).append(i)
+        plans, groups = _plan_and_group(parsed_list, output_dim, kind,
+                                        kwargs, threads=1)
 
     data_size = mesh.shape.get("data", mesh.size)
     shard_data = NamedSharding(mesh, P("data"))

@@ -116,6 +116,15 @@ def _load():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_int32, ctypes.c_char_p, ctypes.c_size_t,
         ]
+        if hasattr(lib, "pov_parse_multi_opts"):  # stale-build tolerant
+            lib.pov_parse_multi_opts.restype = ctypes.c_int32
+            lib.pov_parse_multi_opts.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p,
+                ctypes.c_size_t,
+            ]
+            lib.pov_is_floors_only.restype = ctypes.c_int32
+            lib.pov_is_floors_only.argtypes = [ctypes.c_void_p]
         lib.pov_inc_open.restype = ctypes.c_void_p
         lib.pov_inc_open.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
@@ -262,6 +271,16 @@ class NativeParsed:
     _handle: int = 0
     # False: the handle is a borrowed view (incremental window) — never free
     _owned: bool = True
+    # True: parsed with floors_only=True — final_ys/flags/metadata only;
+    # the curve/residue/env exporters raise (the native side discarded
+    # those tensors to halve the parse cost of the pure floor kinds)
+    floors_only: bool = False
+
+    def _need_full(self, what: str) -> None:
+        if self.floors_only:
+            raise RuntimeError(
+                "%s unavailable: stream was parsed with floors_only=True "
+                "(re-parse without it for curves/residues/envelopes)" % what)
 
     def export_frames(self, frame_ids: np.ndarray, n: int):
         """Bulk-export tensors for frames (all sharing blocksize n).
@@ -269,6 +288,7 @@ class NativeParsed:
         Returns (curve u8 [B,C,half], decoded bool [B,C], used bool [B,C],
         residue f32 [B,C,half]).
         """
+        self._need_full("export_frames")
         lib = _load()
         b = len(frame_ids)
         c = self.channels
@@ -299,6 +319,7 @@ class NativeParsed:
     def export_residues(self, frame_ids: np.ndarray, n: int,
                         ch0: int = 0, ch1: int = 0) -> np.ndarray:
         """Residue spectra [B, ch1-ch0, n/2] f32 for channels [ch0, ch1)."""
+        self._need_full("export_residues")
         lib = _load()
         if ch1 <= 0:
             ch1 = self.channels
@@ -311,6 +332,7 @@ class NativeParsed:
     def export_env(self, frame_ids: np.ndarray, n: int) -> np.ndarray:
         """Float32 envelopes [B, C, n/2] (floor0/LSP modes; floor1
         channels get their inverse-dB envelope)."""
+        self._need_full("export_env")
         lib = _load()
         ids = np.ascontiguousarray(frame_ids, dtype=np.int64)
         env = np.empty((len(ids), self.channels, n // 2), dtype=np.float32)
@@ -320,6 +342,7 @@ class NativeParsed:
 
     def export_curves_full(self, frame_ids: np.ndarray, n: int) -> np.ndarray:
         """Full-window integer floor curves [B, C, n] u8 (feature path)."""
+        self._need_full("export_curves_full")
         lib = _load()
         ids = np.ascontiguousarray(frame_ids, dtype=np.int64)
         curve = np.empty((len(ids), self.channels, n), dtype=np.uint8)
@@ -380,26 +403,45 @@ class NativeParsed:
             pass
 
 
-def parse_streams_native(data: bytes) -> List[NativeParsed]:
+def parse_streams_native(data: bytes,
+                         floors_only: bool = False) -> List[NativeParsed]:
     """Parse an in-memory Ogg file natively with full stream demux.
 
     Chained/multiplexed files return one NativeParsed per logical stream,
-    in BOS order (reference semantics: ParseOggVorbis.hpp:1433-1484)."""
+    in BOS order (reference semantics: ParseOggVorbis.hpp:1433-1484).
+
+    ``floors_only=True`` halves the parse cost for consumers that need
+    only floor final_ys/flags + frame metadata (the pure floor feature
+    kinds): residue symbols are decoded (the bit position demands it) but
+    their spectra discarded, and the floor curve render is skipped.  The
+    curve/residue/env exporters then raise; re-parse without the flag for
+    the full tensors.  Requires a current native build (older libraries
+    fall back to a full parse).
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native front-end not built (run native/build.py)")
     err = ctypes.create_string_buffer(512)
+    use_opts = floors_only and hasattr(lib, "pov_parse_multi_opts")
     max_streams = 64
     while True:
         handles = (ctypes.c_void_p * max_streams)()
-        count = lib.pov_parse_multi(data, len(data), handles, max_streams,
-                                    err, len(err))
+        if use_opts:
+            count = lib.pov_parse_multi_opts(data, len(data), 1, handles,
+                                             max_streams, err, len(err))
+        else:
+            count = lib.pov_parse_multi(data, len(data), handles,
+                                        max_streams, err, len(err))
         if count < 0:
             from ..utils.errors import ParseError
 
             raise ParseError(err.value.decode("utf8", errors="replace"))
         if count <= max_streams:
-            return [_from_handle(lib, handles[i]) for i in range(count)]
+            out = [_from_handle(lib, handles[i]) for i in range(count)]
+            if use_opts:
+                for p in out:
+                    p.floors_only = True
+            return out
         # More logical streams than the buffer held: free what was filled
         # and re-parse with an exactly-sized buffer (keeps the native and
         # pure-Python front-ends agreeing on arbitrarily chained files).
@@ -408,9 +450,10 @@ def parse_streams_native(data: bytes) -> List[NativeParsed]:
         max_streams = count
 
 
-def parse_stream_native(data: bytes) -> NativeParsed:
+def parse_stream_native(data: bytes,
+                        floors_only: bool = False) -> NativeParsed:
     """Parse an in-memory Ogg Vorbis file natively (first logical stream)."""
-    return parse_streams_native(data)[0]
+    return parse_streams_native(data, floors_only=floors_only)[0]
 
 
 class NativeIncremental:
