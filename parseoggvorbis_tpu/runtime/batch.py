@@ -931,6 +931,83 @@ ROUTE_DECISION: dict = {}
 _AUTO_MEASURED: Optional[tuple] = None
 
 
+def _scan_blob_meta(blob: bytes) -> tuple:
+    """(audio_seconds, pcm_samples, channels, rate) of a blob's first
+    Vorbis stream, by a pure Ogg page scan — no decode.
+
+    Reads the id header's channel count / sample rate (spec 4.2.2: bytes
+    11, 12-15 of the "\\x01vorbis" packet) and the stream's final granule
+    position (= total emitted samples for a complete file).  Same scan as
+    tools/measure_reference.audio_seconds (duplicated there on purpose:
+    the tool must stay importable without the package, see its docstring);
+    their agreement with the full parser is pinned in
+    tests/test_bench_watchdog.py.  Raises ValueError on a blob with no
+    complete Vorbis stream.
+    """
+    import struct
+    rate = channels = serial = last_granule = None
+    off = 0
+    while True:
+        off = blob.find(b"OggS", off)
+        if off < 0 or off + 27 > len(blob):
+            break
+        granule, ser, _seq, _crc, nsegs = struct.unpack_from(
+            "<qIIIB", blob, off + 6)
+        if off + 27 + nsegs > len(blob):
+            break
+        segs = blob[off + 27:off + 27 + nsegs]
+        body_len = sum(segs)
+        body = blob[off + 27 + nsegs:off + 27 + nsegs + body_len]
+        if serial is None and body.startswith(b"\x01vorbis") and len(body) >= 16:
+            serial = ser
+            channels = body[11]
+            rate = struct.unpack_from("<I", body, 12)[0]
+        if ser == serial and granule >= 0:
+            last_granule = granule
+        off += 27 + nsegs + body_len
+    if not rate or not channels or last_granule is None:
+        raise ValueError("no complete Vorbis stream in blob")
+    return last_granule / rate, int(last_granule), int(channels), int(rate)
+
+
+def _corpus_link_ceiling(blobs: Sequence[bytes], out_i16: bool,
+                         link: dict) -> tuple:
+    """-> (device-route RTF ceiling, evidence dict) for THIS corpus.
+
+    The ceiling is total_audio_seconds / link_seconds where link_seconds
+    sums both legs at the probed per-direction bandwidths: ogg-size symbol
+    bytes h2d + the full PCM d2h.  Optimistic by construction (ignores
+    dispatch latency and tunnel stalls entirely) but computed from the
+    WHOLE corpus's byte totals via a pure page scan per blob.
+
+    Round-5 regression this exists for: the previous ceiling extrapolated
+    from the corpus's *smallest* blob, and the varied bench corpus's
+    smallest file is 8 kHz mono — ~16 kB of PCM per audio-second vs the
+    corpus's ~139 kB average — which inflated the ceiling ~10x (1893x
+    recorded vs ~220x honest) and routed a 963x-native host onto a 76x
+    device path (vs_baseline 0.316).  Pinned in tests/test_route_auto.py.
+    """
+    itemsize = 2 if out_i16 else 4
+    audio_s = 0.0
+    h2d_bytes = d2h_bytes = skipped = 0
+    for blob in blobs:
+        try:
+            secs, samples, ch, _rate = _scan_blob_meta(bytes(blob))
+        except ValueError:
+            skipped += 1  # undecodable blobs are the strict= contract's job
+            continue
+        audio_s += secs
+        h2d_bytes += len(blob)
+        d2h_bytes += samples * ch * itemsize
+    check(audio_s > 0, "no scannable Vorbis stream in the corpus")
+    link_s = (h2d_bytes / (link["h2d_mb_per_s"] * 1e6)
+              + d2h_bytes / (link["d2h_mb_per_s"] * 1e6))
+    ceiling = audio_s / max(link_s, 1e-12)
+    return ceiling, {"audio_seconds": round(audio_s, 2),
+                     "h2d_bytes": h2d_bytes, "d2h_bytes": d2h_bytes,
+                     "unscannable_blobs": skipped}
+
+
 def _resolve_auto_route(blobs: Sequence[bytes], out_i16: bool) -> str:
     """Pick the fastest honest route for THIS host: consult the link.
 
@@ -944,15 +1021,17 @@ def _resolve_auto_route(blobs: Sequence[bytes], out_i16: bool) -> str:
       1. no native front-end -> "device" (the only full-corpus route);
       2. no accelerator backend -> "native";
       3. both available -> compare (a) the link-implied device-route
-         ceiling, audio_seconds * bandwidth / bytes_moved_per_audio_second
-         (optimistic: ignores dispatch latency and tunnel stalls), against
+         ceiling over THIS corpus's byte totals (_corpus_link_ceiling —
+         optimistic: ignores dispatch latency and tunnel stalls), against
          (b) the native route's throughput measured by decoding the
          corpus's smallest blob once.  Device wins only if its *ceiling*
          beats the native *measurement* — the generous-toward-device
          tiebreak, since the ceiling is unreachable in practice.
 
-    The measurements (~0.5 s link probe + one small native decode) are
-    cached per process; the resolution is recorded in ROUTE_DECISION.
+    The link probe + native calibration decode (~0.5 s) are cached per
+    process; the corpus scan is a memory-speed page walk re-done per call
+    (the ceiling depends on the corpus's PCM-bytes-per-audio-second mix).
+    The resolution is recorded in ROUTE_DECISION.
     """
     global _AUTO_MEASURED
     from ..native import frontend as native
@@ -984,29 +1063,25 @@ def _resolve_auto_route(blobs: Sequence[bytes], out_i16: bool) -> str:
             audio_s = sum(p.shape[1] / r for p, r in outs if r)
             check(audio_s > 0, "calibration blob decoded to zero samples")
             native_rtf = audio_s / wall
-            # per audio-second the device route moves ~ogg-size symbol
-            # bytes h2d and the full PCM d2h; the ceiling sums both legs
-            # at the probed per-direction bandwidths (optimistic: ignores
-            # dispatch latency and tunnel stalls entirely)
-            out_bytes_s = (sum(p.shape[0] * r for p, r in outs if r)
-                           * (2 if out_i16 else 4))
-            s_per_audio_s = (len(blob) / audio_s / (link["h2d_mb_per_s"]
-                                                    * 1e6)
-                             + out_bytes_s / (link["d2h_mb_per_s"] * 1e6))
-            ceiling = 1.0 / max(s_per_audio_s, 1e-12)
-            _AUTO_MEASURED = (link, round(native_rtf, 1), round(ceiling, 1))
+            _AUTO_MEASURED = (link, round(native_rtf, 1))
         except Exception as exc:
             # calibration failed (corrupt smallest blob, probe error):
             # fall to the device route, whose error handling is the
             # batch contract (strict=) rather than a routing surprise
             return decide("device",
                           reason="auto calibration failed: %s" % exc)
-    link, native_rtf, ceiling = _AUTO_MEASURED
+    link, native_rtf = _AUTO_MEASURED
+    try:
+        ceiling, corpus_ev = _corpus_link_ceiling(blobs, out_i16, link)
+        ceiling = round(ceiling, 1)
+    except Exception as exc:
+        return decide("device", reason="auto calibration failed: %s" % exc)
     route = "device" if ceiling > native_rtf else "native"
     return decide(
         route, reason="link-implied device ceiling %sx vs measured native "
         "%sx" % (ceiling, native_rtf), link=link,
-        native_rtf_measured=native_rtf, device_ceiling_rtf=ceiling)
+        native_rtf_measured=native_rtf, device_ceiling_rtf=ceiling,
+        corpus=corpus_ev)
 
 
 def decode_corpus(

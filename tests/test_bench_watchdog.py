@@ -86,13 +86,14 @@ def test_preflight_failure_emits_native_fallback(tmp_path):
 
 @pytest.mark.skipif(not _native_binary_available(),
                     reason="native pov_decode not built")
-def test_watchdog_emits_fallback_when_main_stalls():
+def test_watchdog_emits_fallback_when_main_stalls(tmp_path):
     """A stall AFTER a healthy preflight (tunnel dies mid-run) must hit
     the watchdog deadline and still emit the fallback record."""
     result, p = _run_bench({"JAX_PLATFORMS": "cpu",
                             "POV_BENCH_TEST_HANG": "600",
                             "POV_BENCH_DEADLINE": "3",
-                            "POV_BENCH_PREFLIGHT": "120"})
+                            "POV_BENCH_PREFLIGHT": "120"},
+                           detail_path=str(tmp_path / "detail.json"))
     assert result["path"] == "native_host_cpu_fallback"
     assert "stalled" in result["device_unreachable"]
     assert result["value"] > 0
@@ -101,12 +102,13 @@ def test_watchdog_emits_fallback_when_main_stalls():
 
 @pytest.mark.skipif(not _native_binary_available(),
                     reason="native pov_decode not built")
-def test_device_path_exception_emits_fallback():
+def test_device_path_exception_emits_fallback(tmp_path):
     """A device path that RAISES (OOM, RST mid-transfer, compile error)
     must also yield the fallback record — the watchdog only covers hangs."""
     result, p = _run_bench({"JAX_PLATFORMS": "cpu",
                             "POV_BENCH_TEST_RAISE": "simulated device OOM",
-                            "POV_BENCH_PREFLIGHT": "120"})
+                            "POV_BENCH_PREFLIGHT": "120"},
+                           detail_path=str(tmp_path / "detail.json"))
     assert result["path"] == "native_host_cpu_fallback"
     assert "simulated device OOM" in result["device_unreachable"]
     assert result["value"] > 0

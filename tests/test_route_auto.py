@@ -133,6 +133,86 @@ def test_auto_route_fast_link_picks_device(fresh_caches, monkeypatch):
     assert d["device_ceiling_rtf"] > d["native_rtf_measured"]
 
 
+def _bench_corpus_blobs():
+    import glob
+
+    files = sorted(glob.glob(os.path.join(REPO, "tests", "data", "bench",
+                                          "*.ogg")))
+    files += [os.path.join(REPO, "tests", "data", f)
+              for f in ("test.mono44khz.ogg", "test.stereo44khz.ogg")]
+    return [open(f, "rb").read() for f in files]
+
+
+def test_scan_blob_meta_matches_full_parse():
+    """The router's pure page scan must agree with the real parser on
+    duration, channels, and rate for every bench blob."""
+    from parseoggvorbis_tpu.runtime.batch import parse_stream
+
+    for blob in _bench_corpus_blobs():
+        secs, samples, ch, rate = batch._scan_blob_meta(blob)
+        sf = parse_stream(blob)
+        assert rate == sf.sample_rate
+        assert ch == sf.channels
+        emitted = min(int(sf.granules[-1]), int(sum(sf.frame_n)) // 2)
+        assert samples == emitted
+        assert secs == emitted / sf.sample_rate
+
+
+def test_scan_blob_meta_rejects_garbage():
+    with pytest.raises(ValueError):
+        batch._scan_blob_meta(b"not an ogg at all" * 100)
+
+
+def test_corpus_ceiling_is_corpus_wide_not_smallest_blob(fresh_caches):
+    """Round-5 regression: the ceiling must reflect the WHOLE corpus's
+    PCM-bytes-per-audio-second, not the smallest blob's.  The varied
+    bench corpus's smallest file is 8 kHz mono (~16 kB PCM/audio-s vs the
+    corpus's ~139 kB average); extrapolating from it inflated the ceiling
+    to 1893x on a ~50/32 MB/s link whose honest corpus ceiling is ~220x,
+    which routed a 963x native host onto a 76x device path
+    (vs_baseline 0.316 in the recorded round-5 bench detail)."""
+    blobs = _bench_corpus_blobs()
+    link_50_32 = {"h2d_mb_per_s": 50.1, "d2h_mb_per_s": 32.4}
+    ceiling, ev = batch._corpus_link_ceiling(blobs, True, link_50_32)
+    assert 150 < ceiling < 400          # honest: ~220x on this link
+    assert ev["unscannable_blobs"] == 0
+    assert ev["d2h_bytes"] > 20e6       # the corpus's real PCM volume
+    # the old (buggy) basis, for contrast: smallest blob alone implies ~1893x
+    smallest = min(blobs, key=len)
+    inflated, _ = batch._corpus_link_ceiling([smallest], True, link_50_32)
+    assert inflated > 4 * ceiling
+
+
+def test_corpus_ceiling_skips_undecodable_blobs(fresh_caches):
+    blobs = [_mono_blob(), b"garbage" * 1000]
+    link_inf = {"h2d_mb_per_s": 50.0, "d2h_mb_per_s": 50.0}
+    ceiling, ev = batch._corpus_link_ceiling(blobs, True, link_inf)
+    assert ceiling > 0
+    assert ev["unscannable_blobs"] == 1
+
+
+def test_auto_route_varied_corpus_slowish_link_picks_native(fresh_caches,
+                                                            monkeypatch):
+    """The exact recorded round-5 wrong call, end-to-end through the
+    router: varied corpus (smallest blob = 8 kHz mono), 50/32 MB/s
+    tunnel-class link -> corpus ceiling ~220x < measured native -> the
+    router must pick native, with the corpus evidence recorded."""
+    if not native_frontend.available():
+        pytest.skip("native front-end not built")
+    import jax
+
+    monkeypatch.setattr(jax, "devices", lambda: [_FakeTpu()])
+    summary = {"platform": "tpu", "local": False, "h2d_mb_per_s": 50.1,
+               "d2h_mb_per_s": 32.4, "roundtrip_s": 0.03}
+    monkeypatch.setattr(link, "link_summary", lambda refresh=False: summary)
+    route = batch._resolve_auto_route(_bench_corpus_blobs(), out_i16=True)
+    assert route == "native"
+    d = batch.ROUTE_DECISION
+    assert d["device_ceiling_rtf"] < 400
+    assert d["native_rtf_measured"] > d["device_ceiling_rtf"]
+    assert d["corpus"]["audio_seconds"] == pytest.approx(173.5, abs=0.5)
+
+
 def test_auto_route_calibration_failure_falls_to_device(fresh_caches,
                                                         monkeypatch):
     """A probe/calibration error must not become a routing exception: the
