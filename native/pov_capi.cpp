@@ -1396,6 +1396,28 @@ void pov_pcm_get(void* h, int32_t stream, float* out) {
     memcpy(out + (int64_t)c * n, sk.chans[c].data(), sizeof(float) * n);
 }
 
+// Same copy-out with the framework's float->int16 PCM contract applied
+// in-place (batch.pcm_f32_to_i16: round-half-to-even via np.round, then
+// clamp).  lrintf under the default FE_TONEAREST mode is the same
+// half-to-even rounding, so the result is bit-identical to the numpy
+// conversion of pov_pcm_get's floats (pinned in tests/test_native_capi.py)
+// while halving the copy-out write traffic and keeping the conversion
+// outside the GIL.
+void pov_pcm_get_i16(void* h, int32_t stream, int16_t* out) {
+  const povsc::PcmSink& sk = *((PovPcmResult*)h)->sinks[stream];
+  const int64_t n = sk.chans.empty() ? 0 : (int64_t)sk.chans[0].size();
+  for (size_t c = 0; c < sk.chans.size(); ++c) {
+    const float* src = sk.chans[c].data();
+    int16_t* dst = out + (int64_t)c * n;
+    for (int64_t i = 0; i < n; ++i) {
+      long r = lrintf(src[i] * 32767.0f);
+      if (r < -32768) r = -32768;
+      if (r > 32767) r = 32767;
+      dst[i] = (int16_t)r;
+    }
+  }
+}
+
 void pov_pcm_free(void* h) { delete (PovPcmResult*)h; }
 
 // Raw Ogg CRC-32 (poly 0x04c11db7, non-reflected, init/xorout 0) over a

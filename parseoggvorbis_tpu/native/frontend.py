@@ -166,6 +166,12 @@ def _load():
             lib.pov_pcm_free.argtypes = [ctypes.c_void_p]
         except AttributeError:
             pass
+        try:  # i16 copy-out (r5); older builds fall back to numpy convert
+            lib.pov_pcm_get_i16.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -174,17 +180,21 @@ def available() -> bool:
     return _load() is not None
 
 
-def decode_pcm_native(data):
+def decode_pcm_native(data, out_i16: bool = False):
     """Full native (C++) host decode straight to PCM arrays.
 
-    Returns ``[(pcm [C, N] float32, sample_rate), ...]`` — one entry per
-    logical stream in BOS order — or None when the native library (or the
-    symbol, on stale builds) is unavailable.  Raises ParseError on
-    malformed input (strict contract, same as the reference decoder:
-    ogg_vorbis_full_read at ParseOggVorbis.hpp:1488, which only dumps
-    taps; this surface hands the PCM back).  The scalar pipeline is the
-    same one the dump path runs — O(n log n) FFT IMDCT, measured faster
-    than the reference binary head-to-head (ROUND4.md §12)."""
+    Returns ``[(pcm [C, N], sample_rate), ...]`` — one entry per logical
+    stream in BOS order — or None when the native library (or the symbol,
+    on stale builds) is unavailable.  PCM dtype is float32, or int16 with
+    ``out_i16=True`` (the framework's pcm_f32_to_i16 contract, converted
+    during the C copy-out when the build has pov_pcm_get_i16 — halves the
+    copy-out write traffic on the one fully host-bound route — else via
+    numpy).  Raises ParseError on malformed input (strict contract, same
+    as the reference decoder: ogg_vorbis_full_read at
+    ParseOggVorbis.hpp:1488, which only dumps taps; this surface hands
+    the PCM back).  The scalar pipeline is the same one the dump path
+    runs — O(n log n) FFT IMDCT, measured faster than the reference
+    binary head-to-head (ROUND4.md §12)."""
     import numpy as np
 
     from ..utils.errors import ParseError
@@ -192,6 +202,7 @@ def decode_pcm_native(data):
     lib = _load()
     if lib is None or not hasattr(lib, "pov_decode_pcm"):
         return None
+    native_i16 = out_i16 and hasattr(lib, "pov_pcm_get_i16")
     data = bytes(data)
     err = ctypes.create_string_buffer(256)
     h = lib.pov_decode_pcm(data, len(data), err, 256)
@@ -206,9 +217,16 @@ def decode_pcm_native(data):
             rate = ctypes.c_int32()
             lib.pov_pcm_info(h, s, ctypes.byref(c), ctypes.byref(n),
                              ctypes.byref(rate))
-            pcm = np.empty((c.value, n.value), dtype=np.float32)
+            pcm = np.empty((c.value, n.value),
+                           dtype=np.int16 if native_i16 else np.float32)
             if pcm.size:
-                lib.pov_pcm_get(h, s, pcm.ctypes.data_as(ctypes.c_void_p))
+                getter = (lib.pov_pcm_get_i16 if native_i16
+                          else lib.pov_pcm_get)
+                getter(h, s, pcm.ctypes.data_as(ctypes.c_void_p))
+            if out_i16 and not native_i16:  # stale build: numpy fallback
+                from ..runtime.batch import pcm_f32_to_i16
+
+                pcm = pcm_f32_to_i16(pcm)
             out.append((pcm, rate.value))
         return out
     finally:

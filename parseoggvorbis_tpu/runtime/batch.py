@@ -885,11 +885,11 @@ def _decode_corpus_native(blobs, out_i16: bool, strict: bool,
             # of being rejected — or worse, decoded twice via a retry
             parts = _split_vorbis_serials(b)
             if parts is None:
-                outs = decode_pcm_native(b)
+                outs = decode_pcm_native(b, out_i16=out_i16)
             else:
                 outs = []
                 for part in parts:
-                    got = decode_pcm_native(part)
+                    got = decode_pcm_native(part, out_i16=out_i16)
                     if got is None:
                         return None
                     outs.extend(got)
@@ -907,8 +907,8 @@ def _decode_corpus_native(blobs, out_i16: bool, strict: bool,
             return None  # native unavailable
         res = []
         for si, (pcm, rate) in enumerate(outs):
-            if out_i16:
-                pcm = pcm_f32_to_i16(pcm)
+            if out_i16 and pcm.dtype != np.int16:  # pragma: no cover
+                pcm = pcm_f32_to_i16(pcm)  # decode_pcm_native guarantees
             res.append(DecodedAudio(pcm=pcm, sample_rate=rate,
                                     blob_index=i, stream_index=si))
         return res

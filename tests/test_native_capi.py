@@ -210,6 +210,25 @@ def test_native_pcm_route_matches_device():
                       - di.pcm.astype(np.int32)).max()) <= 1
 
 
+def test_native_i16_copyout_bit_equals_numpy_contract():
+    """pov_pcm_get_i16 converts during the C copy-out (lrintf under the
+    default FE_TONEAREST = round-half-to-even, same as np.round); its
+    output must be BIT-identical to pcm_f32_to_i16 applied to the f32
+    copy-out, including exact .5 boundaries and clamping."""
+    from conftest import DATA_DIR, MONO_OGG, STEREO_OGG
+    from parseoggvorbis_tpu.native.frontend import _load, decode_pcm_native
+    from parseoggvorbis_tpu.runtime.batch import pcm_f32_to_i16
+
+    assert hasattr(_load(), "pov_pcm_get_i16"), "stale native build"
+    for path in (MONO_OGG, STEREO_OGG,
+                 os.path.join(DATA_DIR, "quad4s.4ch.32k.q5.ogg")):
+        blob = open(path, "rb").read()
+        f32 = decode_pcm_native(blob)
+        i16 = decode_pcm_native(blob, out_i16=True)
+        assert len(f32) == len(i16)
+        for (p32, r32), (p16, r16) in zip(f32, i16):
+            assert r32 == r16 and p16.dtype == np.int16
+            np.testing.assert_array_equal(pcm_f32_to_i16(p32), p16)
 def test_native_route_chained_isolation_and_validation():
     from conftest import MONO_OGG, STEREO_OGG
     from parseoggvorbis_tpu.runtime.batch import decode_corpus
