@@ -854,6 +854,7 @@ struct ScalarStream {
   uint32_t sample_rate = 0;
   int channels = 0;
   PcmSink* sink = nullptr;
+  int64_t reserve_hint = 0;  // expected emitted samples (sink pre-size)
   pov::ParseCallbacks* cb = nullptr;  // public C++ consumer (pov.hpp)
   std::vector<pov::PcmRange> cb_ranges;  // borrowed views handed to cb
   int bs0 = 0, bs1 = 0;
@@ -891,6 +892,12 @@ struct ScalarStream {
       if (sink) {
         sink->sample_rate = sample_rate;
         sink->chans.resize(channels);
+        // full_read's pre-scan found this stream's final granule (= its
+        // emitted sample count for a complete file): one exact up-front
+        // reservation instead of doubling-growth reallocs across the
+        // whole decode (~34 ms on a 64 s stereo file, single-core host)
+        if (reserve_hint > 0)
+          for (auto& v : sink->chans) v.reserve((size_t)reserve_hint);
       }
       if (cb) {
         pov::IdHeaderInfo info;
@@ -1207,6 +1214,30 @@ static void full_read(const uint8_t* data, size_t len,
       for (auto& kv : *s) unregister_decoder_ref(&kv.second);
     }
   } cleanup{&streams};
+  // PCM-consumer runs pre-scan each stream's final granule position (=
+  // emitted sample count for a complete file) so its sink reserves once
+  // instead of realloc-growing.  Header hops only — no CRC, no payload
+  // reads (~free next to the decode).  A hostile/lying granule is capped
+  // (64 samples/byte is ~14x the thinnest real Vorbis stream) so it can
+  // at worst waste one bounded allocation, never bad_alloc a decodable
+  // file; the decode itself never trusts the hint.
+  std::map<uint32_t, int64_t> final_granule;
+  if (sinks) {
+    const int64_t cap = (int64_t)len * 64;
+    size_t soff = 0;
+    while (soff + 27 <= len && memcmp(data + soff, "OggS", 4) == 0) {
+      int64_t g;
+      uint32_t ser;
+      memcpy(&g, data + soff + 6, 8);
+      memcpy(&ser, data + soff + 14, 4);
+      int ns = data[soff + 26];
+      if (soff + 27 + ns > len) break;
+      size_t dl = 0;
+      for (int i = 0; i < ns; ++i) dl += data[soff + 27 + i];
+      if (g >= 0 && g <= cap) final_granule[ser] = g;
+      soff += 27 + ns + dl;
+    }
+  }
   size_t off = 0;
   while (off < len) {
     POV_CHECK(off + 27 <= len, "truncated page header");
@@ -1242,6 +1273,8 @@ static void full_read(const uint8_t* data, size_t len,
       if (sinks) {  // one sink per logical stream, BOS order
         sinks->emplace_back(new PcmSink);
         ns.sink = sinks->back().get();
+        auto it = final_granule.find(serial);
+        if (it != final_granule.end()) ns.reserve_hint = it->second;
       }
       ns.cb = cb;  // one ParseCallbacks serves every logical stream
     }
@@ -1398,22 +1431,28 @@ void pov_pcm_get(void* h, int32_t stream, float* out) {
 
 // Same copy-out with the framework's float->int16 PCM contract applied
 // in-place (batch.pcm_f32_to_i16: round-half-to-even via np.round, then
-// clamp).  lrintf under the default FE_TONEAREST mode is the same
+// clamp).  rintf under the default FE_TONEAREST mode is the same
 // half-to-even rounding, so the result is bit-identical to the numpy
 // conversion of pov_pcm_get's floats (pinned in tests/test_native_capi.py)
 // while halving the copy-out write traffic and keeping the conversion
-// outside the GIL.
+// outside the GIL.  Clamping in FLOAT before the round (vs rounding then
+// clamping the integer) is equivalent — every float > 32767.0f rounds
+// > 32767 anyway (the nearest floats are 32767.002, 32768.0) and
+// symmetrically for the low side — and it lets gcc vectorize the loop
+// (vrndscaleps + vcvttps2dq at -O3 -march=native, 2.3x the scalar
+// lrintf form; bit-equality of the two forms checked over 5.6M random
+// samples + the .5/clamp corners before landing).
 void pov_pcm_get_i16(void* h, int32_t stream, int16_t* out) {
   const povsc::PcmSink& sk = *((PovPcmResult*)h)->sinks[stream];
   const int64_t n = sk.chans.empty() ? 0 : (int64_t)sk.chans[0].size();
   for (size_t c = 0; c < sk.chans.size(); ++c) {
-    const float* src = sk.chans[c].data();
-    int16_t* dst = out + (int64_t)c * n;
+    const float* __restrict src = sk.chans[c].data();
+    int16_t* __restrict dst = out + (int64_t)c * n;
     for (int64_t i = 0; i < n; ++i) {
-      long r = lrintf(src[i] * 32767.0f);
-      if (r < -32768) r = -32768;
-      if (r > 32767) r = 32767;
-      dst[i] = (int16_t)r;
+      float v = src[i] * 32767.0f;
+      if (v > 32767.0f) v = 32767.0f;
+      if (v < -32768.0f) v = -32768.0f;
+      dst[i] = (int16_t)(int32_t)__builtin_rintf(v);
     }
   }
 }
