@@ -845,6 +845,33 @@ struct PcmSink {
   std::vector<std::vector<float>> chans;
 };
 
+// Zero-copy variant: PCM lands straight in a caller-owned [channels, cap]
+// row-major buffer (float32 or int16) as it is emitted — no sink growth,
+// no copy-out pass.  Serves pov_decode_pcm_into's single-stream fast
+// path; every "pov-into:"-prefixed failure (multi-stream blob, channel
+// mismatch vs the caller's pre-scan, emitted-sample overflow) is the
+// caller's cue to retry via the general handle API.
+struct DirectSink {
+  void* out = nullptr;
+  int64_t cap = 0;      // per-channel capacity (row stride)
+  int64_t written = 0;  // emitted samples so far (per channel)
+  int channels = 0;
+  bool i16 = false;
+  bool claimed = false;  // one logical stream only
+};
+
+// The framework's float->int16 PCM contract (see pov_pcm_get_i16 below
+// for the bit-parity + vectorization notes).
+static inline void convert_pcm_i16(const float* __restrict src,
+                                   int16_t* __restrict dst, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    float v = src[i] * 32767.0f;
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    dst[i] = (int16_t)(int32_t)__builtin_rintf(v);
+  }
+}
+
 // Raised when a pov::ParseCallbacks hook returns false: a CLEAN stop
 // (the public full_read catches it and reports success — see pov.hpp).
 struct StopParsing {};
@@ -854,6 +881,7 @@ struct ScalarStream {
   uint32_t sample_rate = 0;
   int channels = 0;
   PcmSink* sink = nullptr;
+  DirectSink* dsink = nullptr;  // caller-owned output (pov_decode_pcm_into)
   int64_t reserve_hint = 0;  // expected emitted samples (sink pre-size)
   pov::ParseCallbacks* cb = nullptr;  // public C++ consumer (pov.hpp)
   std::vector<pov::PcmRange> cb_ranges;  // borrowed views handed to cb
@@ -899,6 +927,8 @@ struct ScalarStream {
         if (reserve_hint > 0)
           for (auto& v : sink->chans) v.reserve((size_t)reserve_hint);
       }
+      if (dsink)  // caller sized the buffer from its own id-header scan
+        POV_CHECK(channels == dsink->channels, "pov-into: channel mismatch");
       if (cb) {
         pov::IdHeaderInfo info;
         info.vorbis_version = version;
@@ -1184,6 +1214,20 @@ struct ScalarStream {
           sink->chans[ch].insert(sink->chans[ch].end(),
                                  state.chan(ch) + em.first,
                                  state.chan(ch) + em.first + em.second);
+      if (dsink) {
+        POV_CHECK(dsink->written + em.second <= dsink->cap,
+                  "pov-into: emitted samples overflow the caller buffer");
+        for (int ch = 0; ch < C; ++ch) {
+          const float* src = state.chan(ch) + em.first;
+          const int64_t at = (int64_t)ch * dsink->cap + dsink->written;
+          if (dsink->i16)
+            convert_pcm_i16(src, (int16_t*)dsink->out + at, em.second);
+          else
+            memcpy((float*)dsink->out + at, src,
+                   sizeof(float) * (size_t)em.second);
+        }
+        dsink->written += em.second;
+      }
       if (cb) {
         cb_ranges.resize(C);
         for (int ch = 0; ch < C; ++ch)
@@ -1203,7 +1247,8 @@ struct ScalarStream {
 // (runtime/batch._split_vorbis_serials).
 static void full_read(const uint8_t* data, size_t len,
                       std::vector<std::unique_ptr<PcmSink>>* sinks = nullptr,
-                      pov::ParseCallbacks* cb = nullptr) {
+                      pov::ParseCallbacks* cb = nullptr,
+                      DirectSink* dsink = nullptr) {
   std::map<uint32_t, ScalarStream> streams;
   // decode errors must not leak registry entries keyed by the dying
   // ScalarStreams (dangling refs + open dump FILE*s + a permanently
@@ -1275,6 +1320,11 @@ static void full_read(const uint8_t* data, size_t len,
         ns.sink = sinks->back().get();
         auto it = final_granule.find(serial);
         if (it != final_granule.end()) ns.reserve_hint = it->second;
+      }
+      if (dsink) {  // the caller's buffer holds exactly one stream
+        POV_CHECK(!dsink->claimed, "pov-into: multi-stream blob");
+        dsink->claimed = true;
+        ns.dsink = dsink;
       }
       ns.cb = cb;  // one ParseCallbacks serves every logical stream
     }
@@ -1445,16 +1495,45 @@ void pov_pcm_get(void* h, int32_t stream, float* out) {
 void pov_pcm_get_i16(void* h, int32_t stream, int16_t* out) {
   const povsc::PcmSink& sk = *((PovPcmResult*)h)->sinks[stream];
   const int64_t n = sk.chans.empty() ? 0 : (int64_t)sk.chans[0].size();
-  for (size_t c = 0; c < sk.chans.size(); ++c) {
-    const float* __restrict src = sk.chans[c].data();
-    int16_t* __restrict dst = out + (int64_t)c * n;
-    for (int64_t i = 0; i < n; ++i) {
-      float v = src[i] * 32767.0f;
-      if (v > 32767.0f) v = 32767.0f;
-      if (v < -32768.0f) v = -32768.0f;
-      dst[i] = (int16_t)(int32_t)__builtin_rintf(v);
+  for (size_t c = 0; c < sk.chans.size(); ++c)
+    povsc::convert_pcm_i16(sk.chans[c].data(), out + (int64_t)c * n, n);
+}
+
+// Single-stream fast path: decode straight into the caller's
+// [channels, cap] row-major buffer (int16 when as_i16, else float32) —
+// no sink allocation/growth and no copy-out pass (the i16 conversion
+// runs packet-sized and cache-hot at emit time).  The caller sizes the
+// buffer from its own id-header + final-granule scan (the Python side's
+// _scan_blob_meta, the same scan route=auto uses).  Returns emitted
+// samples per channel; on failure returns -1 with the message in err —
+// messages prefixed "pov-into:" (multi-stream blob, channel mismatch,
+// overflow) mean "retry via pov_decode_pcm", anything else is the same
+// parse error the handle API would raise.  A caller that gets back
+// fewer samples than it sized for (truncated stream) should also fall
+// back: the general API, not this one, defines partial-file behavior.
+int64_t pov_decode_pcm_into(const char* data, size_t data_len,
+                            int32_t as_i16, void* out, int32_t channels,
+                            int64_t cap, char* err, size_t err_len) {
+  povsc::DirectSink ds;
+  ds.out = out;
+  ds.cap = cap;
+  ds.channels = channels;
+  ds.i16 = as_i16 != 0;
+  try {
+    povsc::full_read((const uint8_t*)data, data_len, nullptr, nullptr, &ds);
+    return ds.written;
+  } catch (const pov::ParseError& e) {
+    if (err && err_len) {
+      strncpy(err, e.msg.c_str(), err_len - 1);
+      err[err_len - 1] = 0;
+    }
+  } catch (const std::exception& e) {
+    if (err && err_len) {
+      strncpy(err, e.what(), err_len - 1);
+      err[err_len - 1] = 0;
     }
   }
+  return -1;
 }
 
 void pov_pcm_free(void* h) { delete (PovPcmResult*)h; }

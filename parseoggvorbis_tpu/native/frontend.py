@@ -172,6 +172,15 @@ def _load():
             ]
         except AttributeError:
             pass
+        try:  # single-stream decode-into-caller-buffer fast path (r5)
+            lib.pov_decode_pcm_into.restype = ctypes.c_int64
+            lib.pov_decode_pcm_into.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+                ctypes.c_char_p, ctypes.c_size_t,
+            ]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -205,6 +214,32 @@ def decode_pcm_native(data, out_i16: bool = False):
     native_i16 = out_i16 and hasattr(lib, "pov_pcm_get_i16")
     data = bytes(data)
     err = ctypes.create_string_buffer(256)
+
+    # Single-stream fast path: size the output from a pure page scan
+    # (id header + final granule) and let the C decoder write PCM
+    # straight into it — no sink growth, no copy-out pass.  Anything the
+    # fast path cannot serve exactly (multi-stream/chained blob, scan vs
+    # decode disagreement, truncated stream) falls through to the
+    # general handle API below, which defines the behavior.
+    if hasattr(lib, "pov_decode_pcm_into"):
+        from ..runtime.batch import _scan_blob_meta
+
+        try:
+            _secs, samples, ch, rate = _scan_blob_meta(data)
+        except ValueError:
+            samples = 0
+        if samples > 0:
+            pcm = np.empty((ch, samples),
+                           dtype=np.int16 if out_i16 else np.float32)
+            got = lib.pov_decode_pcm_into(
+                data, len(data), 1 if out_i16 else 0,
+                pcm.ctypes.data_as(ctypes.c_void_p), ch, samples, err, 256)
+            if got == samples:
+                return [(pcm, rate)]
+            msg = err.value.decode("utf-8", "replace")
+            if got < 0 and not msg.startswith("pov-into:"):
+                raise ParseError(msg or "native decode failed")
+            # else: blob needs the general path (chained/truncated)
     h = lib.pov_decode_pcm(data, len(data), err, 256)
     if not h:
         raise ParseError(err.value.decode("utf-8", "replace")

@@ -229,6 +229,34 @@ def test_native_i16_copyout_bit_equals_numpy_contract():
         for (p32, r32), (p16, r16) in zip(f32, i16):
             assert r32 == r16 and p16.dtype == np.int16
             np.testing.assert_array_equal(pcm_f32_to_i16(p32), p16)
+def test_native_decode_into_fast_path_and_fallbacks():
+    """pov_decode_pcm_into writes PCM straight into the caller's buffer
+    (sized by the same page scan route=auto uses).  Its results must be
+    bit-identical to the general handle API's, and every case it cannot
+    serve exactly — chained multi-stream blobs, truncated streams —
+    must fall back to the handle path transparently."""
+    from conftest import MONO_OGG, STEREO_OGG
+    from parseoggvorbis_tpu.native.frontend import _load, decode_pcm_native
+    from parseoggvorbis_tpu.utils.errors import ParseError
+
+    assert hasattr(_load(), "pov_decode_pcm_into"), "stale native build"
+    m = open(MONO_OGG, "rb").read()
+    s = open(STEREO_OGG, "rb").read()
+    # chained blob: the fast path refuses (one buffer, one stream) and
+    # the wrapper falls back — both streams decode, bit-equal to the
+    # single-blob fast-path results
+    outs = decode_pcm_native(m + s)
+    assert [o[0].shape[0] for o in outs] == [1, 2]
+    np.testing.assert_array_equal(outs[0][0], decode_pcm_native(m)[0][0])
+    np.testing.assert_array_equal(outs[1][0], decode_pcm_native(s)[0][0])
+    # malformed input raises the same ParseError messages as the handle
+    # path (strict reference contract), not a fast-path-specific error
+    with pytest.raises(ParseError, match="bad capture pattern"):
+        decode_pcm_native(b"junk" * 500)
+    with pytest.raises(ParseError, match="truncated page payload"):
+        decode_pcm_native(s[: len(s) // 2])
+
+
 def test_native_route_chained_isolation_and_validation():
     from conftest import MONO_OGG, STEREO_OGG
     from parseoggvorbis_tpu.runtime.batch import decode_corpus
