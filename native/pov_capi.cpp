@@ -605,6 +605,13 @@ struct Imdct {
         float* __restrict ic = ia + 2 * hl;
         float* __restrict rd = ra + 3 * hl;
         float* __restrict id = ia + 3 * hl;
+        // ivdep: iteration j touches only index j of each (disjoint)
+        // quarter block, so there are no loop-carried dependences; gcc
+        // cannot prove that through the derived pointers and otherwise
+        // leaves this hottest loop scalar ("no vectype" at -O3
+        // -march=native).  Vectorized elementwise FP keeps per-element
+        // operation order: results stay bit-identical (harness-proven).
+#pragma GCC ivdep
         for (int j = 0; j < hl; ++j) {
           float wre = w1r[j], wim = w1i[j];
           float vbr = rb[j] * wre - ib[j] * wim;
@@ -641,6 +648,10 @@ struct Imdct {
       const float* __restrict wim = &twi[tw_off[final_lv]];
       const float* __restrict rq = re + hl;
       const float* __restrict iq = im + hl;
+      // ivdep: c's strided stores (2j, N-1-2j, with q = j + hl) never
+      // collide across iterations (even vs odd indices, each written
+      // once); see the middle-pass note on bit-identity
+#pragma GCC ivdep
       for (int j = 0; j < hl; ++j) {
         float vr = rq[j] * wre[j] - iq[j] * wim[j];
         float vi = rq[j] * wim[j] + iq[j] * wre[j];
@@ -667,6 +678,9 @@ struct Imdct {
       const float* __restrict ic = im + 2 * hl;
       const float* __restrict rd = re + 3 * hl;
       const float* __restrict id = im + 3 * hl;
+      // ivdep: same disjointness as the middle pass; c's stores are the
+      // radix-2 final's pattern at four offsets
+#pragma GCC ivdep
       for (int j = 0; j < hl; ++j) {
         float wre = w1r[j], wim = w1i[j];
         float vbr = rb[j] * wre - ib[j] * wim;
