@@ -226,6 +226,13 @@ def decode_pcm_native(data, out_i16: bool = False):
 
         try:
             _secs, samples, ch, rate = _scan_blob_meta(data)
+            # a lying granule must not become a huge allocation here
+            # (the decoder's own strict granule check, not an alloc,
+            # defines the failure): same 64-samples-per-byte
+            # plausibility cap the C side's sink reservation uses
+            # (~14x the thinnest real Vorbis stream)
+            if samples * ch > len(data) * 64:
+                samples = 0
         except ValueError:
             samples = 0
         if samples > 0:

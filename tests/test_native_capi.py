@@ -255,6 +255,30 @@ def test_native_decode_into_fast_path_and_fallbacks():
         decode_pcm_native(b"junk" * 500)
     with pytest.raises(ParseError, match="truncated page payload"):
         decode_pcm_native(s[: len(s) // 2])
+    # a lying (absurdly large) final granule must hit the decoder's own
+    # strict check, not become a huge fast-path allocation: the
+    # 64-samples-per-byte plausibility cap skips the fast path first
+    import struct
+
+    from parseoggvorbis_tpu.utils.crc import update_crc
+
+    lying = bytearray(m)
+    off, pages = 0, []
+    while True:
+        off = lying.find(b"OggS", off)
+        if off < 0:
+            break
+        nseg = lying[off + 26]
+        span = 27 + nseg + sum(lying[off + 27:off + 27 + nseg])
+        pages.append((off, span))
+        off += span
+    last, span = pages[-1]
+    struct.pack_into("<q", lying, last + 6, 1 << 52)
+    struct.pack_into("<I", lying, last + 22, 0)
+    struct.pack_into("<I", lying, last + 22,
+                     update_crc(0, bytes(lying[last:last + span])))
+    with pytest.raises(ParseError, match="granule position error"):
+        decode_pcm_native(bytes(lying))
 
 
 def test_native_route_chained_isolation_and_validation():
