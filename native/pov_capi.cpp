@@ -897,6 +897,7 @@ struct ScalarStream {
   PcmSink* sink = nullptr;
   DirectSink* dsink = nullptr;  // caller-owned output (pov_decode_pcm_into)
   int64_t reserve_hint = 0;  // expected emitted samples (sink pre-size)
+  int64_t reserve_total_cap = 0;  // plausibility bound on hint * channels
   pov::ParseCallbacks* cb = nullptr;  // public C++ consumer (pov.hpp)
   std::vector<pov::PcmRange> cb_ranges;  // borrowed views handed to cb
   int bs0 = 0, bs1 = 0;
@@ -937,8 +938,12 @@ struct ScalarStream {
         // full_read's pre-scan found this stream's final granule (= its
         // emitted sample count for a complete file): one exact up-front
         // reservation instead of doubling-growth reallocs across the
-        // whole decode (~34 ms on a 64 s stereo file, single-core host)
-        if (reserve_hint > 0)
+        // whole decode (~34 ms on a 64 s stereo file, single-core host).
+        // The plausibility bound is re-checked against the now-known
+        // channel count: a lying granule times a lying 255-channel id
+        // header must not multiply into an unbounded reservation
+        if (reserve_hint > 0 &&
+            (int64_t)channels * reserve_hint <= reserve_total_cap)
           for (auto& v : sink->chans) v.reserve((size_t)reserve_hint);
       }
       if (dsink)  // caller sized the buffer from its own id-header scan
@@ -1001,14 +1006,19 @@ struct ScalarStream {
         windows[m].init(lb ? bs1 : bs0, lb, bs0, bs1);
       }
       state.init(channels);
-      if (!sink) {  // the PCM route never touches the dump subsystem
+      // the PCM routes (handle sink AND zero-copy DirectSink) never
+      // touch the dump subsystem: registering would consume the
+      // thread-local pending dump config armed for the next dump-face
+      // decode and write PCM-route taps into its output
+      const bool dump_face = !sink && !dsink;
+      if (dump_face) {
         register_decoder_ref(this, "ParseOggVorbis", sample_rate, channels);
         register_decoder_alias(this, &state);
       }
       for (size_t fi = 0; fi < setup.floors.size(); ++fi) {
         if (setup.floor_types[fi] != 1) continue;
         const pov::Floor1& f1 = setup.floors[fi];
-        if (!sink) register_decoder_alias(this, &f1);
+        if (dump_face) register_decoder_alias(this, &f1);
         uint8_t mult = (uint8_t)f1.multiplier;
         push_data_u8(this, "floor1_unpack multiplier", -1, &mult, 1);
         push_data_u32(this, "floor1_unpack xs", -1, f1.xs.data(), f1.xs.size());
@@ -1333,7 +1343,10 @@ static void full_read(const uint8_t* data, size_t len,
         sinks->emplace_back(new PcmSink);
         ns.sink = sinks->back().get();
         auto it = final_granule.find(serial);
-        if (it != final_granule.end()) ns.reserve_hint = it->second;
+        if (it != final_granule.end()) {
+          ns.reserve_hint = it->second;
+          ns.reserve_total_cap = (int64_t)len * 64;
+        }
       }
       if (dsink) {  // the caller's buffer holds exactly one stream
         POV_CHECK(!dsink->claimed, "pov-into: multi-stream blob");

@@ -225,13 +225,16 @@ def decode_pcm_native(data, out_i16: bool = False):
         from ..runtime.batch import _scan_blob_meta
 
         try:
-            _secs, samples, ch, rate = _scan_blob_meta(data)
-            # a lying granule must not become a huge allocation here
-            # (the decoder's own strict granule check, not an alloc,
-            # defines the failure): same 64-samples-per-byte
-            # plausibility cap the C side's sink reservation uses
-            # (~14x the thinnest real Vorbis stream)
-            if samples * ch > len(data) * 64:
+            _secs, samples, ch, rate, n_bos = _scan_blob_meta(data)
+            # chained/multiplexed blobs (>1 BOS page) need the general
+            # path — attempting them here would decode the first chain
+            # link only to discard it at the second BOS.  A lying
+            # granule must not become a huge allocation either (the
+            # decoder's own strict granule check, not an alloc, defines
+            # the failure): same 64-samples-per-byte plausibility cap
+            # the C side's sink reservation uses (~14x the thinnest
+            # real Vorbis stream)
+            if n_bos > 1 or samples * ch > len(data) * 64:
                 samples = 0
         except ValueError:
             samples = 0

@@ -932,20 +932,24 @@ _AUTO_MEASURED: Optional[tuple] = None
 
 
 def _scan_blob_meta(blob: bytes) -> tuple:
-    """(audio_seconds, pcm_samples, channels, rate) of a blob's first
-    Vorbis stream, by a pure Ogg page scan — no decode.
+    """(audio_seconds, pcm_samples, channels, rate, n_bos) of a blob's
+    first Vorbis stream, by a pure Ogg page scan — no decode.
 
     Reads the id header's channel count / sample rate (spec 4.2.2: bytes
     11, 12-15 of the "\\x01vorbis" packet) and the stream's final granule
-    position (= total emitted samples for a complete file).  Same scan as
-    tools/measure_reference.audio_seconds (duplicated there on purpose:
-    the tool must stay importable without the package, see its docstring);
-    their agreement with the full parser is pinned in
-    tests/test_bench_watchdog.py.  Raises ValueError on a blob with no
-    complete Vorbis stream.
+    position (= total emitted samples for a complete file).  ``n_bos``
+    counts ALL beginning-of-stream pages (any codec): >1 means the blob
+    is chained or multiplexed, which the native decode-into fast path
+    uses to skip itself up front instead of decoding the first link and
+    discarding it.  Same scan as tools/measure_reference.audio_seconds
+    (duplicated there on purpose: the tool must stay importable without
+    the package, see its docstring); their agreement with the full
+    parser is pinned in tests/test_bench_watchdog.py.  Raises ValueError
+    on a blob with no complete Vorbis stream.
     """
     import struct
     rate = channels = serial = last_granule = None
+    n_bos = 0
     off = 0
     while True:
         off = blob.find(b"OggS", off)
@@ -955,6 +959,8 @@ def _scan_blob_meta(blob: bytes) -> tuple:
             "<qIIIB", blob, off + 6)
         if off + 27 + nsegs > len(blob):
             break
+        if blob[off + 5] & 0x2:
+            n_bos += 1
         segs = blob[off + 27:off + 27 + nsegs]
         body_len = sum(segs)
         body = blob[off + 27 + nsegs:off + 27 + nsegs + body_len]
@@ -967,7 +973,8 @@ def _scan_blob_meta(blob: bytes) -> tuple:
         off += 27 + nsegs + body_len
     if not rate or not channels or last_granule is None:
         raise ValueError("no complete Vorbis stream in blob")
-    return last_granule / rate, int(last_granule), int(channels), int(rate)
+    return (last_granule / rate, int(last_granule), int(channels),
+            int(rate), n_bos)
 
 
 def _corpus_link_ceiling(blobs: Sequence[bytes], out_i16: bool,
@@ -992,7 +999,7 @@ def _corpus_link_ceiling(blobs: Sequence[bytes], out_i16: bool,
     h2d_bytes = d2h_bytes = skipped = 0
     for blob in blobs:
         try:
-            secs, samples, ch, _rate = _scan_blob_meta(bytes(blob))
+            secs, samples, ch, _rate, _n_bos = _scan_blob_meta(bytes(blob))
         except ValueError:
             skipped += 1  # undecodable blobs are the strict= contract's job
             continue
@@ -1075,7 +1082,14 @@ def _resolve_auto_route(blobs: Sequence[bytes], out_i16: bool) -> str:
         ceiling, corpus_ev = _corpus_link_ceiling(blobs, out_i16, link)
         ceiling = round(ceiling, 1)
     except Exception as exc:
-        return decide("device", reason="auto calibration failed: %s" % exc)
+        # the device-route ceiling could not be computed (e.g. a dead
+        # link probed at 0 MB/s) but the native route measured good just
+        # above — unlike the pre-calibration failures, falling to the
+        # device path here would pick the one route we have no evidence
+        # for precisely when the link is suspect
+        return decide("native", reason="device ceiling computation failed "
+                      "(%s); native measured %sx" % (exc, native_rtf),
+                      link=link, native_rtf_measured=native_rtf)
     route = "device" if ceiling > native_rtf else "native"
     return decide(
         route, reason="link-implied device ceiling %sx vs measured native "

@@ -229,6 +229,19 @@ def test_native_i16_copyout_bit_equals_numpy_contract():
         for (p32, r32), (p16, r16) in zip(f32, i16):
             assert r32 == r16 and p16.dtype == np.int16
             np.testing.assert_array_equal(pcm_f32_to_i16(p32), p16)
+    # a CHAINED blob takes the general handle path (the decode-into fast
+    # path skips multi-BOS blobs), so this leg exercises the
+    # pov_pcm_get_i16 copy-out itself, which single-stream blobs above
+    # never reach anymore
+    chained = (open(MONO_OGG, "rb").read() + open(STEREO_OGG, "rb").read())
+    f32 = decode_pcm_native(chained)
+    i16 = decode_pcm_native(chained, out_i16=True)
+    assert len(f32) == len(i16) == 2
+    for (p32, _), (p16, _) in zip(f32, i16):
+        assert p16.dtype == np.int16
+        np.testing.assert_array_equal(pcm_f32_to_i16(p32), p16)
+
+
 def test_native_decode_into_fast_path_and_fallbacks():
     """pov_decode_pcm_into writes PCM straight into the caller's buffer
     (sized by the same page scan route=auto uses).  Its results must be

@@ -149,13 +149,17 @@ def test_scan_blob_meta_matches_full_parse():
     from parseoggvorbis_tpu.runtime.batch import parse_stream
 
     for blob in _bench_corpus_blobs():
-        secs, samples, ch, rate = batch._scan_blob_meta(blob)
+        secs, samples, ch, rate, n_bos = batch._scan_blob_meta(blob)
         sf = parse_stream(blob)
         assert rate == sf.sample_rate
         assert ch == sf.channels
         emitted = min(int(sf.granules[-1]), int(sum(sf.frame_n)) // 2)
         assert samples == emitted
         assert secs == emitted / sf.sample_rate
+        assert n_bos == 1
+    # chained blob: the BOS count flags it for the fast path's skip
+    a, b = _bench_corpus_blobs()[-2:]
+    assert batch._scan_blob_meta(a + b)[4] == 2
 
 
 def test_scan_blob_meta_rejects_garbage():
@@ -211,6 +215,25 @@ def test_auto_route_varied_corpus_slowish_link_picks_native(fresh_caches,
     assert d["device_ceiling_rtf"] < 400
     assert d["native_rtf_measured"] > d["device_ceiling_rtf"]
     assert d["corpus"]["audio_seconds"] == pytest.approx(173.5, abs=0.5)
+
+
+def test_auto_route_ceiling_failure_picks_measured_native(fresh_caches,
+                                                          monkeypatch):
+    """If the device ceiling cannot be computed (dead link probed at
+    0 MB/s) but native calibration measured good, the router must pick
+    the route it has evidence for — native — not fall to the device
+    path precisely when the link is suspect."""
+    if not native_frontend.available():
+        pytest.skip("native front-end not built")
+    import jax
+
+    monkeypatch.setattr(jax, "devices", lambda: [_FakeTpu()])
+    _fake_link(monkeypatch, mb_per_s=0.0)  # dead tunnel
+    route = batch._resolve_auto_route([_mono_blob()], out_i16=True)
+    assert route == "native"
+    d = batch.ROUTE_DECISION
+    assert "ceiling computation failed" in d["reason"]
+    assert d["native_rtf_measured"] > 0
 
 
 def test_auto_route_calibration_failure_falls_to_device(fresh_caches,
