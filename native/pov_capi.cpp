@@ -913,9 +913,10 @@ struct ScalarStream {
   // tap-staging copies are built only when a dump sink is active.
   std::vector<std::vector<float>> sc_floor, sc_res;
   std::vector<uint8_t> sc_floor_decoded, sc_floor_used, sc_curve, sc_flag;
-  std::vector<float> sc_out, sc_pcm;
+  std::vector<float> sc_out, sc_pcm, sc_res_tmp;
   std::vector<uint32_t> sc_tap32;
   std::vector<int64_t> sc_ys, sc_fin;
+  std::vector<uint8_t> sc_cls;
 
   void parse_headers_packet(const uint8_t* pkt, size_t len) {
     if (packet_count == 0) {
@@ -1167,11 +1168,11 @@ struct ScalarStream {
         // residue decode accumulates) — skips the staging copy
         std::fill_n(res[chans[0]].data(), (size_t)half, 0.f);
         r.decode(br, setup.codebooks, 1, chan_used.data(), half,
-                 res[chans[0]].data());
+                 res[chans[0]].data(), -1, &sc_res_tmp, &sc_cls);
       } else {
         sc_out.assign((size_t)chans.size() * half, 0.f);
         r.decode(br, setup.codebooks, (int)chans.size(), chan_used.data(),
-                 half, sc_out.data());
+                 half, sc_out.data(), -1, &sc_res_tmp, &sc_cls);
         for (size_t k = 0; k < chans.size(); ++k)
           memcpy(res[chans[k]].data(), &sc_out[k * half],
                  sizeof(float) * half);

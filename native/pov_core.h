@@ -764,19 +764,29 @@ struct Residue {
         if (cascades[i] & (1u << j)) books[i * 8 + j] = (int16_t)br.read(8);
   }
 
-  // decode into out[ch][decode_len] (row-major float buffer, C channels)
+  // decode into out[ch][decode_len] (row-major float buffer, C channels).
+  // `tmp_scratch`/`cls_scratch`, when given, back the type-2 interleaved
+  // buffer and the classification array with caller-retained capacity —
+  // without them each audio packet pays an alloc + zero-fill (up to
+  // ~32 KB per stereo long-block packet; residue decode was the top
+  // profile entry before these were hoisted to ScalarStream scratch)
   void decode(BitReader& br, const std::vector<Codebook>& cbs, int num_channel,
               const uint8_t* channel_used, uint32_t decode_len, float* out,
-              int type_override = -1) const {
+              int type_override = -1,
+              std::vector<float>* tmp_scratch = nullptr,
+              std::vector<uint8_t>* cls_scratch = nullptr) const {
     int t = type_override >= 0 ? type_override : type;
     if (t == 2) {
       bool any_used = false;
       for (int j = 0; j < num_channel; ++j)
         any_used = any_used || channel_used[j];
       if (!any_used) return;  // spec 8.6.4: all vectors unused -> skip
-      std::vector<float> tmp((size_t)num_channel * decode_len, 0.f);
+      std::vector<float> local;
+      std::vector<float>& tmp = tmp_scratch ? *tmp_scratch : local;
+      tmp.assign((size_t)num_channel * decode_len, 0.f);
       uint8_t used = 1;
-      decode(br, cbs, 1, &used, num_channel * decode_len, tmp.data(), 1);
+      decode(br, cbs, 1, &used, num_channel * decode_len, tmp.data(), 1,
+             nullptr, cls_scratch);
       for (int j = 0; j < num_channel; ++j)
         for (uint32_t i = 0; i < decode_len; ++i)
           out[(size_t)j * decode_len + i] = tmp[(size_t)j + (size_t)num_channel * i];
@@ -792,7 +802,9 @@ struct Residue {
     if (!n_to_read) return;
     uint32_t partitions = n_to_read / partition_size;
     uint32_t count_per_ch = partitions + cw_per;
-    std::vector<uint8_t> cls((size_t)num_channel * count_per_ch, 0);
+    std::vector<uint8_t> cls_local;
+    std::vector<uint8_t>& cls = cls_scratch ? *cls_scratch : cls_local;
+    cls.assign((size_t)num_channel * count_per_ch, 0);
 
     for (int pass = 0; pass < 8; ++pass) {
       uint32_t pcount = 0;
@@ -865,17 +877,20 @@ struct Residue {
   // the deinterleave copy the stored path needs.  Floors-only parse path.
   void decode_discard(BitReader& br, const std::vector<Codebook>& cbs,
                       int num_channel, const uint8_t* channel_used,
-                      uint32_t decode_len, float* scratch) const {
+                      uint32_t decode_len, float* scratch,
+                      std::vector<uint8_t>* cls_scratch = nullptr) const {
     if (type == 2) {
       bool any_used = false;
       for (int j = 0; j < num_channel; ++j)
         any_used = any_used || channel_used[j];
       if (!any_used) return;  // spec 8.6.4: all vectors unused -> skip
       uint8_t used = 1;
-      decode(br, cbs, 1, &used, num_channel * decode_len, scratch, 1);
+      decode(br, cbs, 1, &used, num_channel * decode_len, scratch, 1,
+             nullptr, cls_scratch);
       return;
     }
-    decode(br, cbs, num_channel, channel_used, decode_len, scratch);
+    decode(br, cbs, num_channel, channel_used, decode_len, scratch, -1,
+           nullptr, cls_scratch);
   }
 };
 
@@ -1063,6 +1078,10 @@ struct ParsedFile {
   // curve/residue/fenv; the curve/residue exporters reject the handle.
   bool floors_only = false;
   std::vector<float> res_scratch;
+  // retained-capacity scratch for Residue::decode's type-2 interleave
+  // buffer and classification array (otherwise re-allocated per packet)
+  std::vector<float> res_tmp;
+  std::vector<uint8_t> res_cls;
 };
 
 static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
@@ -1172,7 +1191,8 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
       if (pf.res_scratch.size() < (size_t)C * half)
         pf.res_scratch.assign((size_t)C * half, 0.f);
       res.decode_discard(br, su.codebooks, (int)chans.size(),
-                         chan_used.data(), half, pf.res_scratch.data());
+                         chan_used.data(), half, pf.res_scratch.data(),
+                         &pf.res_cls);
       continue;
     }
     // common case (one submap covering channels in order): decode straight
@@ -1182,11 +1202,11 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
       if (chans[k] != (int)k) direct = false;
     if (direct) {
       res.decode(br, su.codebooks, (int)chans.size(), chan_used.data(), half,
-                 fr.residue.data());
+                 fr.residue.data(), -1, &pf.res_tmp, &pf.res_cls);
     } else {
       std::vector<float> out((size_t)chans.size() * half, 0.f);
       res.decode(br, su.codebooks, (int)chans.size(), chan_used.data(), half,
-                 out.data());
+                 out.data(), -1, &pf.res_tmp, &pf.res_cls);
       for (size_t k = 0; k < chans.size(); ++k)
         memcpy(fr.residue.data() + (size_t)chans[k] * half,
                out.data() + (size_t)k * half, sizeof(float) * half);
