@@ -913,10 +913,11 @@ struct ScalarStream {
   // tap-staging copies are built only when a dump sink is active.
   std::vector<std::vector<float>> sc_floor, sc_res;
   std::vector<uint8_t> sc_floor_decoded, sc_floor_used, sc_curve, sc_flag;
-  std::vector<float> sc_out, sc_pcm, sc_res_tmp;
+  std::vector<float> sc_pcm, sc_res_tmp;
   std::vector<uint32_t> sc_tap32;
   std::vector<int64_t> sc_ys, sc_fin;
-  std::vector<uint8_t> sc_cls;
+  std::vector<uint8_t> sc_cls, sc_chan_used;
+  std::vector<int> sc_chans;
 
   void parse_headers_packet(const uint8_t* pkt, size_t len) {
     if (packet_count == 0) {
@@ -1153,50 +1154,50 @@ struct ScalarStream {
     // 4.3.4 residue decode
     std::vector<std::vector<float>>& res = sc_res;
     // grow-only: every channel belongs to exactly one submap, so the
-    // memcpy below fully overwrites res[ch][0, half) each frame
+    // zero-fill + decode below fully rewrites res[ch][0, half) each frame
     for (int ch = 0; ch < C; ++ch)
       if ((int)res[ch].size() < half) res[ch].resize(half);
     for (size_t si = 0; si < mapping.submaps.size(); ++si) {
-      std::vector<int> chans;
+      std::vector<int>& chans = sc_chans;
+      chans.clear();
       for (int ch = 0; ch < C; ++ch)
         if (mapping.muxs[ch] == si) chans.push_back(ch);
-      std::vector<uint8_t> chan_used(chans.size());
+      std::vector<uint8_t>& chan_used = sc_chan_used;
+      chan_used.assign(chans.size(), 0);
       for (size_t k = 0; k < chans.size(); ++k) chan_used[k] = floor_used[chans[k]];
       const pov::Residue& r = setup.residues[mapping.submaps[si].residue];
-      if (chans.size() == 1) {
-        // decode straight into the channel plane (it must be zeroed first:
-        // residue decode accumulates) — skips the staging copy
-        std::fill_n(res[chans[0]].data(), (size_t)half, 0.f);
-        r.decode(br, setup.codebooks, 1, chan_used.data(), half,
-                 res[chans[0]].data(), -1, &sc_res_tmp, &sc_cls);
-      } else {
-        sc_out.assign((size_t)chans.size() * half, 0.f);
-        r.decode(br, setup.codebooks, (int)chans.size(), chan_used.data(),
-                 half, sc_out.data(), -1, &sc_res_tmp, &sc_cls);
-        for (size_t k = 0; k < chans.size(); ++k)
-          memcpy(res[chans[k]].data(), &sc_out[k * half],
-                 sizeof(float) * half);
+      // decode straight into the channel planes (zeroed first: residue
+      // decode accumulates) — no staging buffer, no per-channel memcpy
+      POV_CHECK(chans.size() <= 256, "submap channels");
+      float* planes[256];
+      for (size_t k = 0; k < chans.size(); ++k) {
+        planes[k] = res[chans[k]].data();
+        std::fill_n(planes[k], (size_t)half, 0.f);
       }
+      r.decode_planes(br, setup.codebooks, (int)chans.size(),
+                      chan_used.data(), half, planes, -1, &sc_res_tmp,
+                      &sc_cls);
     }
     for (int ch = 0; ch < C; ++ch)
       push_data_float(this, "after_residue", ch, res[ch].data(), half);
 
-    // 4.3.5 inverse coupling (reverse order)
+    // 4.3.5 inverse coupling (reverse order).  Branchless form of the
+    // spec 4.3.5 sign cases: with t = (m>0 ? a : -a), the four branches
+    // collapse to (a>0) ? {M=m, A=m-t} : {M=m+t, A=m} — the SAME single
+    // add per element as the branchy form (selects only route values),
+    // so results are bit-identical while the loop vectorizes (blends)
+    // instead of branch-missing on sign-random spectra
     for (size_t i = mapping.couplings.size(); i > 0; --i) {
       auto& cp = mapping.couplings[i - 1];
-      float* M = res[cp.first].data();
-      float* A = res[cp.second].data();
+      float* __restrict M = res[cp.first].data();
+      float* __restrict A = res[cp.second].data();
+#pragma GCC ivdep
       for (int j = 0; j < half; ++j) {
-        float m = M[j], a = A[j], nm = m, na = a;
-        if (m > 0) {
-          if (a > 0) na = m - a;
-          else { na = m; nm = m + a; }
-        } else {
-          if (a > 0) na = m + a;
-          else { na = m; nm = m - a; }
-        }
-        M[j] = nm;
-        A[j] = na;
+        float m = M[j], a = A[j];
+        float t = (m > 0.f) ? a : -a;
+        bool pos = a > 0.f;
+        M[j] = pos ? m : m + t;
+        A[j] = pos ? m - t : m;
       }
     }
 

@@ -764,17 +764,22 @@ struct Residue {
         if (cascades[i] & (1u << j)) books[i * 8 + j] = (int16_t)br.read(8);
   }
 
-  // decode into out[ch][decode_len] (row-major float buffer, C channels).
-  // `tmp_scratch`/`cls_scratch`, when given, back the type-2 interleaved
-  // buffer and the classification array with caller-retained capacity —
-  // without them each audio packet pays an alloc + zero-fill (up to
-  // ~32 KB per stereo long-block packet; residue decode was the top
-  // profile entry before these were hoisted to ScalarStream scratch)
-  void decode(BitReader& br, const std::vector<Codebook>& cbs, int num_channel,
-              const uint8_t* channel_used, uint32_t decode_len, float* out,
-              int type_override = -1,
-              std::vector<float>* tmp_scratch = nullptr,
-              std::vector<uint8_t>* cls_scratch = nullptr) const {
+  // decode into per-channel planes outs[ch][0..decode_len) (each already
+  // zeroed by the caller: residue decode ACCUMULATES).  Taking plane
+  // pointers instead of one flat buffer lets callers hand their real
+  // destination rows directly — the coupled-stereo hot path previously
+  // staged through a zeroed flat scratch plus a per-channel memcpy every
+  // packet (~20% of decode wall in libc, gprofng).  `tmp_scratch`/
+  // `cls_scratch`, when given, back the type-2 interleaved buffer and
+  // the classification array with caller-retained capacity — without
+  // them each audio packet pays an alloc + zero-fill (up to ~32 KB per
+  // stereo long-block packet).
+  void decode_planes(BitReader& br, const std::vector<Codebook>& cbs,
+                     int num_channel, const uint8_t* channel_used,
+                     uint32_t decode_len, float* const* outs,
+                     int type_override = -1,
+                     std::vector<float>* tmp_scratch = nullptr,
+                     std::vector<uint8_t>* cls_scratch = nullptr) const {
     int t = type_override >= 0 ? type_override : type;
     if (t == 2) {
       bool any_used = false;
@@ -785,11 +790,15 @@ struct Residue {
       std::vector<float>& tmp = tmp_scratch ? *tmp_scratch : local;
       tmp.assign((size_t)num_channel * decode_len, 0.f);
       uint8_t used = 1;
-      decode(br, cbs, 1, &used, num_channel * decode_len, tmp.data(), 1,
-             nullptr, cls_scratch);
-      for (int j = 0; j < num_channel; ++j)
+      float* tmp_plane = tmp.data();
+      decode_planes(br, cbs, 1, &used, num_channel * decode_len, &tmp_plane,
+                    1, nullptr, cls_scratch);
+      for (int j = 0; j < num_channel; ++j) {
+        float* __restrict dst = outs[j];
+        const float* __restrict src = tmp.data() + j;
         for (uint32_t i = 0; i < decode_len; ++i)
-          out[(size_t)j * decode_len + i] = tmp[(size_t)j + (size_t)num_channel * i];
+          dst[i] = src[(size_t)num_channel * i];
+      }
       return;
     }
     uint32_t limit_begin = std::min(begin, decode_len);
@@ -836,7 +845,7 @@ struct Residue {
                           "residue book out of range");
                 const Codebook& vq = cbs[book];
                 POV_CHECK(vq.lookup_type != 0, "residue VQ book has no lookup");
-                float* v = out + (size_t)j * decode_len;
+                float* v = outs[j];
                 uint32_t offset = limit_begin + pcount * partition_size;
                 uint16_t dims = vq.dims;
                 if (t == 0) {
@@ -868,6 +877,20 @@ struct Residue {
         }
       }
     }
+  }
+  // Flat-buffer convenience face over decode_planes: out is row-major
+  // [num_channel][decode_len], already zeroed by the caller.
+  void decode(BitReader& br, const std::vector<Codebook>& cbs, int num_channel,
+              const uint8_t* channel_used, uint32_t decode_len, float* out,
+              int type_override = -1,
+              std::vector<float>* tmp_scratch = nullptr,
+              std::vector<uint8_t>* cls_scratch = nullptr) const {
+    POV_CHECK(num_channel >= 0 && num_channel <= 256, "residue channels");
+    float* ptrs[256];
+    for (int j = 0; j < num_channel; ++j)
+      ptrs[j] = out + (size_t)j * decode_len;
+    decode_planes(br, cbs, num_channel, channel_used, decode_len, ptrs,
+                  type_override, tmp_scratch, cls_scratch);
   }
   // Decode-and-discard: advance the bit position over this submap's
   // residue symbols (every VQ read moves it — skipping outright is
@@ -1195,22 +1218,15 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
                          &pf.res_cls);
       continue;
     }
-    // common case (one submap covering channels in order): decode straight
-    // into fr.residue (already zeroed), skipping a temp alloc + copy
-    bool direct = chans.size() == (size_t)C;
-    for (size_t k = 0; direct && k < chans.size(); ++k)
-      if (chans[k] != (int)k) direct = false;
-    if (direct) {
-      res.decode(br, su.codebooks, (int)chans.size(), chan_used.data(), half,
-                 fr.residue.data(), -1, &pf.res_tmp, &pf.res_cls);
-    } else {
-      std::vector<float> out((size_t)chans.size() * half, 0.f);
-      res.decode(br, su.codebooks, (int)chans.size(), chan_used.data(), half,
-                 out.data(), -1, &pf.res_tmp, &pf.res_cls);
-      for (size_t k = 0; k < chans.size(); ++k)
-        memcpy(fr.residue.data() + (size_t)chans[k] * half,
-               out.data() + (size_t)k * half, sizeof(float) * half);
-    }
+    // decode straight into the (already zeroed) fr.residue rows of this
+    // submap's channels — plane pointers express any channel->submap
+    // mapping without a staging buffer or copy
+    POV_CHECK(chans.size() <= 256, "submap channels");
+    float* planes[256];
+    for (size_t k = 0; k < chans.size(); ++k)
+      planes[k] = fr.residue.data() + (size_t)chans[k] * half;
+    res.decode_planes(br, su.codebooks, (int)chans.size(), chan_used.data(),
+                      half, planes, -1, &pf.res_tmp, &pf.res_cls);
   }
   pf.frames.emplace_back(std::move(fr));
 }
