@@ -8,7 +8,11 @@ then drives it from real Python threads two ways:
    --multi_threaded load) through the ctypes front-end;
 2. concurrent `ogg_vorbis_full_read` with per-thread dump sinks — the
    Callbacks registry's documented contract (registry mutex +
-   thread-local pending config).
+   thread-local pending config);
+3. the PCM consumer routes (pov_decode_pcm + the pov_decode_pcm_into
+   zero-copy fast path, float32 and int16) racing dump-armed
+   full_reads — the PCM routes must never touch the registry or
+   another thread's pending dump config.
 
 One suppression is required: glibc's `_dl_deallocate_tls` freeing an
 exited thread's TLS block races, in TSan's view, with that thread's own
@@ -17,8 +21,9 @@ in uninstrumented ld-linux/libc, whose internal synchronization TSan
 cannot observe — a known loader artifact with dlopen'd libraries using
 C++ thread_locals, not a defect in the registry.  Nothing else reports.
 
-Measured on this host: 0 warnings across both workloads (8 threads x 6
-parses + incremental windows; 6 threads x 4 full_read+dump).
+Measured on this host: 0 warnings across all three workloads (8
+threads x 6 parses + incremental windows; 6 threads x 4 full_read+dump;
+4 PCM threads racing 2 dump threads).
 
 Usage: python3 tools/tsan_native.py
 """
@@ -104,6 +109,28 @@ def drive(lib_path):
 
     threads = [threading.Thread(target=capi_worker, args=(i,))
                for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    # 3. the PCM consumer routes (pov_decode_pcm handle API + the
+    # pov_decode_pcm_into zero-copy fast path, both dtypes) concurrently
+    # WITH dump-armed full_reads: the PCM routes must skip the decoder
+    # registry entirely (never consuming another thread's pending dump
+    # config) while the dump threads exercise it under its mutex
+    def pcm_worker(i):
+        for k in range(4):
+            outs = frontend.decode_pcm_native(data[i % 2],
+                                              out_i16=bool(k % 2))
+            assert outs and outs[0][0].size > 0
+            chained = frontend.decode_pcm_native(data[0] + data[1])
+            assert len(chained) == 2
+
+    threads = ([threading.Thread(target=pcm_worker, args=(i,))
+                for i in range(4)]
+               + [threading.Thread(target=capi_worker, args=(i,))
+                  for i in range(2)])
     for t in threads:
         t.start()
     for t in threads:
