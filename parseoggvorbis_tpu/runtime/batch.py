@@ -21,6 +21,7 @@ Flow:
 
 from __future__ import annotations
 
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -914,6 +915,14 @@ def _decode_corpus_native(blobs, out_i16: bool, strict: bool,
         return res
 
     items = list(enumerate(blobs))
+    # never run more threads than cores: the decode is CPU-bound C with
+    # the GIL released, so extra threads add only contention (measured
+    # ~10-15% slower at 8 threads on a 1-core host)
+    try:
+        cores = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):  # pragma: no cover - non-Linux
+        cores = os.cpu_count() or 1
+    host_threads = max(1, min(host_threads, cores))
     if host_threads > 1 and len(blobs) > 1:
         with ThreadPoolExecutor(max_workers=host_threads) as ex:
             per_blob = list(ex.map(one, items))
@@ -1151,12 +1160,10 @@ def decode_corpus(
     The native route supports neither ``ranges`` (splices need the
     granule-anchored device accounting) nor ``mesh``.
     """
-    import os as _os
-
     from . import device_decoder as dd
 
     explicit = route is not None
-    route = route or _os.environ.get("POV_ROUTE", "device")
+    route = route or os.environ.get("POV_ROUTE", "device")
     check(route in ("device", "native", "auto"),
           "route must be device|native|auto")
     if route == "auto":
