@@ -1104,7 +1104,8 @@ struct ParsedFile {
   // retained-capacity scratch for Residue::decode's type-2 interleave
   // buffer and classification array (otherwise re-allocated per packet)
   std::vector<float> res_tmp;
-  std::vector<uint8_t> res_cls;
+  std::vector<uint8_t> res_cls, sub_used;
+  std::vector<int> sub_chans;
 };
 
 static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
@@ -1200,10 +1201,12 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
   }
   // residue decode per submap
   for (size_t si = 0; si < mapping.submaps.size(); ++si) {
-    std::vector<int> chans;
+    std::vector<int>& chans = pf.sub_chans;
+    chans.clear();
     for (int ch = 0; ch < C; ++ch)
       if (mapping.muxs[ch] == si) chans.push_back(ch);
-    std::vector<uint8_t> chan_used(chans.size());
+    std::vector<uint8_t>& chan_used = pf.sub_used;
+    chan_used.assign(chans.size(), 0);
     for (size_t k = 0; k < chans.size(); ++k) chan_used[k] = fr.used[chans[k]];
     const Residue& res = su.residues[mapping.submaps[si].residue];
     if (floors_only) {
