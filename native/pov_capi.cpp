@@ -913,7 +913,7 @@ struct ScalarStream {
   // tap-staging copies are built only when a dump sink is active.
   std::vector<std::vector<float>> sc_floor, sc_res;
   std::vector<uint8_t> sc_floor_decoded, sc_floor_used, sc_curve, sc_flag;
-  std::vector<float> sc_pcm, sc_res_tmp;
+  std::vector<float> sc_pcm;
   std::vector<uint32_t> sc_tap32;
   std::vector<int64_t> sc_ys, sc_fin;
   std::vector<uint8_t> sc_cls, sc_chan_used;
@@ -1175,8 +1175,7 @@ struct ScalarStream {
         std::fill_n(planes[k], (size_t)half, 0.f);
       }
       r.decode_planes(br, setup.codebooks, (int)chans.size(),
-                      chan_used.data(), half, planes, -1, &sc_res_tmp,
-                      &sc_cls);
+                      chan_used.data(), half, planes, -1, &sc_cls);
     }
     for (int ch = 0; ch < C; ++ch)
       push_data_float(this, "after_residue", ch, res[ch].data(), half);

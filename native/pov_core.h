@@ -814,20 +814,18 @@ struct Residue {
   }
 
   // decode into per-channel planes outs[ch][0..decode_len) (each already
-  // zeroed by the caller: residue decode ACCUMULATES).  Taking plane
-  // pointers instead of one flat buffer lets callers hand their real
-  // destination rows directly — the coupled-stereo hot path previously
-  // staged through a zeroed flat scratch plus a per-channel memcpy every
-  // packet (~20% of decode wall in libc, gprofng).  `tmp_scratch`/
-  // `cls_scratch`, when given, back the type-2 interleaved buffer and
-  // the classification array with caller-retained capacity — without
-  // them each audio packet pays an alloc + zero-fill (up to ~32 KB per
-  // stereo long-block packet).
+  // zeroed by the caller: residue decode ACCUMULATES — this holds for
+  // type 2 as well, whose interleaved vector now lands deinterleaved
+  // straight in the planes).  Taking plane pointers instead of one flat
+  // buffer lets callers hand their real destination rows directly — the
+  // coupled-stereo hot path previously staged through a zeroed flat
+  // scratch plus a per-channel memcpy every packet (~20% of decode wall
+  // in libc, gprofng).  `cls_scratch`, when given, backs the
+  // classification array with caller-retained capacity.
   void decode_planes(BitReader& br, const std::vector<Codebook>& cbs,
                      int num_channel, const uint8_t* channel_used,
                      uint32_t decode_len, float* const* outs,
                      int type_override = -1,
-                     std::vector<float>* tmp_scratch = nullptr,
                      std::vector<uint8_t>* cls_scratch = nullptr) const {
     int t = type_override >= 0 ? type_override : type;
     if (t == 2) {
@@ -835,18 +833,89 @@ struct Residue {
       for (int j = 0; j < num_channel; ++j)
         any_used = any_used || channel_used[j];
       if (!any_used) return;  // spec 8.6.4: all vectors unused -> skip
-      std::vector<float> local;
-      std::vector<float>& tmp = tmp_scratch ? *tmp_scratch : local;
-      tmp.assign((size_t)num_channel * decode_len, 0.f);
-      uint8_t used = 1;
-      float* tmp_plane = tmp.data();
-      decode_planes(br, cbs, 1, &used, num_channel * decode_len, &tmp_plane,
-                    1, nullptr, cls_scratch);
-      for (int j = 0; j < num_channel; ++j) {
-        float* __restrict dst = outs[j];
-        const float* __restrict src = tmp.data() + j;
-        for (uint32_t i = 0; i < decode_len; ++i)
-          dst[i] = src[(size_t)num_channel * i];
+      if (num_channel == 1) {
+        // one channel: the interleaved vector IS the plane; decode it
+        // with format-1 codeword packing (spec 8.6.4 / res2_inverse)
+        decode_planes(br, cbs, 1, channel_used, decode_len, outs, 1,
+                      cls_scratch);
+        return;
+      }
+      // C >= 2: decode the single interleaved vector of length
+      // C*decode_len, writing element g to outs[g % C][g / C] directly —
+      // libvorbis res2_inverse's channel-cycling write (res0.c) — instead
+      // of staging through a zero-filled interleave buffer plus a strided
+      // deinterleave pass per packet (a ~16 KB memset + ~8 KB strided
+      // copy per stereo long-block packet, measured ~8% of decode wall).
+      // Bit reads and float additions happen in the identical order, so
+      // the planes are bit-exact vs the staged form.
+      const uint32_t C = (uint32_t)num_channel;
+      uint32_t total = C * decode_len;
+      uint32_t limit_begin = std::min(begin, total);
+      uint32_t limit_end = std::min(end, total);
+      POV_CHECK(limit_begin <= limit_end, "residue limits");
+      POV_CHECK(classbook < cbs.size(), "residue classbook out of range");
+      const Codebook& class_cb = cbs[classbook];
+      uint32_t cw_per = class_cb.dims;
+      uint32_t n_to_read = limit_end - limit_begin;
+      if (!n_to_read) return;
+      uint32_t partitions = n_to_read / partition_size;
+      std::vector<uint8_t> cls_local;
+      std::vector<uint8_t>& cls = cls_scratch ? *cls_scratch : cls_local;
+      cls.assign((size_t)partitions + cw_per, 0);
+      for (int pass = 0; pass < 8; ++pass) {
+        uint32_t pcount = 0;
+        while (pcount < partitions) {
+          if (pass == 0) {
+            uint32_t temp = class_cb.decode_scalar(br);
+            for (uint32_t i = cw_per; i > 0; --i) {
+              cls[i - 1 + pcount] = (uint8_t)(temp % num_classifications);
+              temp /= num_classifications;
+            }
+          }
+          for (uint32_t i = 0; i < cw_per && pcount < partitions;
+               ++i, ++pcount) {
+            uint8_t vq_class = cls[pcount];
+            int16_t book = books[(size_t)vq_class * 8 + pass];
+            if (book < 0) continue;
+            POV_CHECK((size_t)book < cbs.size(), "residue book out of range");
+            const Codebook& vq = cbs[book];
+            POV_CHECK(vq.lookup_type != 0, "residue VQ book has no lookup");
+            uint16_t dims = vq.dims;
+            uint32_t g = limit_begin + pcount * partition_size;
+            uint32_t ch = g % C, pos = g / C;
+            if (C == 2 && ((g | dims) & 1) == 0 &&
+                partition_size % dims == 0) {
+              // stereo with even geometry and dims | partition_size (the
+              // overwhelmingly common coupled-stereo shape): the format-1
+              // clamp never truncates a codeword and channel parity stays
+              // aligned across the whole partition, so the cycling branch
+              // collapses to two independent plane cursors — same
+              // additions, same order
+              float* __restrict o0 = outs[0] + pos;
+              float* __restrict o1 = outs[1] + pos;
+              for (uint32_t k = 0; k < partition_size; k += dims) {
+                uint32_t idx = vq.decode_scalar(br);
+                POV_CHECK(idx < vq.entries, "residue VQ entry");
+                const float* row = &vq.vq[(size_t)idx * dims];
+                for (uint16_t l = 0; l < dims; l += 2) {
+                  *o0++ += row[l];
+                  *o1++ += row[l + 1];
+                }
+              }
+              continue;
+            }
+            for (uint32_t k = 0; k < partition_size;) {
+              uint32_t idx = vq.decode_scalar(br);
+              POV_CHECK(idx < vq.entries, "residue VQ entry");
+              const float* row = &vq.vq[(size_t)idx * dims];
+              // k-bound INSIDE the dims loop: see the format-1 clamp below
+              for (uint16_t l = 0; l < dims && k < partition_size; ++l, ++k) {
+                outs[ch][pos] += row[l];
+                if (++ch == C) { ch = 0; ++pos; }
+              }
+            }
+          }
+        }
       }
       return;
     }
@@ -932,14 +1001,13 @@ struct Residue {
   void decode(BitReader& br, const std::vector<Codebook>& cbs, int num_channel,
               const uint8_t* channel_used, uint32_t decode_len, float* out,
               int type_override = -1,
-              std::vector<float>* tmp_scratch = nullptr,
               std::vector<uint8_t>* cls_scratch = nullptr) const {
     POV_CHECK(num_channel >= 0 && num_channel <= 256, "residue channels");
     float* ptrs[256];
     for (int j = 0; j < num_channel; ++j)
       ptrs[j] = out + (size_t)j * decode_len;
     decode_planes(br, cbs, num_channel, channel_used, decode_len, ptrs,
-                  type_override, tmp_scratch, cls_scratch);
+                  type_override, cls_scratch);
   }
   // Decode-and-discard: advance the bit position over this submap's
   // residue symbols (every VQ read moves it — skipping outright is
@@ -958,11 +1026,11 @@ struct Residue {
       if (!any_used) return;  // spec 8.6.4: all vectors unused -> skip
       uint8_t used = 1;
       decode(br, cbs, 1, &used, num_channel * decode_len, scratch, 1,
-             nullptr, cls_scratch);
+             cls_scratch);
       return;
     }
     decode(br, cbs, num_channel, channel_used, decode_len, scratch, -1,
-           nullptr, cls_scratch);
+           cls_scratch);
   }
 };
 
@@ -1150,9 +1218,8 @@ struct ParsedFile {
   // curve/residue/fenv; the curve/residue exporters reject the handle.
   bool floors_only = false;
   std::vector<float> res_scratch;
-  // retained-capacity scratch for Residue::decode's type-2 interleave
-  // buffer and classification array (otherwise re-allocated per packet)
-  std::vector<float> res_tmp;
+  // retained-capacity scratch for Residue::decode's classification array
+  // (otherwise re-allocated per packet)
   std::vector<uint8_t> res_cls, sub_used;
   std::vector<int> sub_chans;
 };
@@ -1278,7 +1345,7 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
     for (size_t k = 0; k < chans.size(); ++k)
       planes[k] = fr.residue.data() + (size_t)chans[k] * half;
     res.decode_planes(br, su.codebooks, (int)chans.size(), chan_used.data(),
-                      half, planes, -1, &pf.res_tmp, &pf.res_cls);
+                      half, planes, -1, &pf.res_cls);
   }
   pf.frames.emplace_back(std::move(fr));
 }
