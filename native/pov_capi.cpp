@@ -1308,6 +1308,11 @@ static void full_read(const uint8_t* data, size_t len,
       soff += 27 + ns + dl;
     }
   }
+  // page-loop scratch, hoisted: a fresh pair of vectors per page is an
+  // alloc/free pair every ~4KB of input (thousands per file)
+  struct Pkt { const uint8_t* p; size_t len; };
+  std::vector<Pkt> completed;
+  std::vector<uint8_t> assembled;
   size_t off = 0;
   while (off < len) {
     POV_CHECK(off + 27 <= len, "truncated page header");
@@ -1361,9 +1366,7 @@ static void full_read(const uint8_t* data, size_t len,
 
     // cross-page packet reassembly (page-spanning packets; granule
     // attaches to the last packet completed on the page, RFC 3533)
-    struct Pkt { const uint8_t* p; size_t len; };
-    std::vector<Pkt> completed;
-    std::vector<uint8_t> assembled;
+    completed.clear();
     size_t poff = 0, plen = 0;
     bool first_run = true;
     for (int i = 0; i < nseg; ++i) {
