@@ -63,52 +63,56 @@ struct ParseError : std::exception {
 
 // ------------------------------------------------------------- bitreader --
 
-// LSb-first bit reader with a 64-bit refill cache.  Reads past the end
-// produce zero bits and latch reached_end (Vorbis end-of-packet semantics).
+// LSb-first bit reader with a cached 64-bit window.  `window` holds the
+// stream bits [bitpos, bitpos + avail) (zero bits past the end, per the
+// Vorbis end-of-packet semantics); the hot peek/skip pair — one per
+// Huffman symbol — runs without touching memory until the window drains
+// (a refill every ~57 consumed bits instead of an 8-byte reload per
+// symbol).  Reads past the end produce zero bits and latch reached_end.
+// Max single read/peek width is 57 bits (Vorbis needs 32).
 struct BitReader {
   const uint8_t* data;
   size_t len;
   size_t bitpos = 0;
   bool reached_end = false;
+  uint64_t window = 0;
+  int avail = 0;
 
   BitReader(const uint8_t* d, size_t n) : data(d), len(n) {}
 
-  inline uint64_t peek(int num) const {
-    size_t total = len * 8;
-    size_t pos = bitpos;
-    if (pos >= total) return 0;
-    size_t byte = pos >> 3;
+  inline void refill() {
+    size_t byte = bitpos >> 3;
+    const int sh = (int)(bitpos & 7);
     uint64_t chunk = 0;
-    size_t avail = len - byte;
-    if (avail >= 8) {
-      memcpy(&chunk, data + byte, 8);
-    } else {
-      memcpy(&chunk, data + byte, avail);
+    if (byte < len) {
+      size_t nb = len - byte;
+      if (nb > 8) nb = 8;
+      memcpy(&chunk, data + byte, nb);  // little-endian load; high zeros
     }
-    chunk >>= (pos & 7);
-    int got = (int)(((avail >= 8 ? 64 : avail * 8)) - (pos & 7));
-    if (got < num && byte + 8 < len) {
-      // straddles the 8-byte window: extend with the next byte(s)
-      uint64_t hi = 0;
-      size_t hbytes = std::min<size_t>(len - (byte + 8), 8);
-      memcpy(&hi, data + byte + 8, hbytes);
-      chunk |= hi << got;
-    }
-    if (num >= 64) return chunk;
-    return chunk & ((1ULL << num) - 1);
+    window = chunk >> sh;
+    avail = 64 - sh;  // >= 57: counts the zero padding past the end too
+  }
+
+  inline uint64_t peek(int num) {
+    if (avail < num) refill();
+    return window & ((1ULL << num) - 1);
   }
 
   inline uint64_t read(int num) {
     size_t total = len * 8;
     if (bitpos + (size_t)num > total) {
       // partial/over-the-end read: remaining bits at in-stream positions
-      uint64_t out = peek((int)std::min<size_t>(num, total > bitpos ? total - bitpos : 0));
+      uint64_t out =
+          peek((int)std::min<size_t>(num, total > bitpos ? total - bitpos : 0));
       reached_end = true;
       bitpos = total;
+      avail = 0;
       return out;
     }
     uint64_t out = peek(num);
     bitpos += num;
+    window >>= num;
+    avail -= num;
     return out;
   }
 
@@ -120,6 +124,12 @@ struct BitReader {
     if (bitpos > total) {
       reached_end = true;
       bitpos = total;
+      avail = 0;
+    } else if (num < avail) {
+      window >>= num;
+      avail -= num;
+    } else {
+      avail = 0;
     }
   }
 };
