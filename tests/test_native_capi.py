@@ -376,3 +376,28 @@ def test_native_route_no_vorbis_stream_is_a_parse_error():
     outs = decode_corpus([page, m], route="native", strict=False)
     assert not outs[0].ok and "vorbis" in outs[0].error
     assert outs[1].ok and outs[1].blob_index == 1
+
+
+def test_native_crc32_matches_python_reference():
+    """pov_crc32's slice-by-8 fold (native/pov_core.h) equals the
+    canonical byte-serial utils/crc.py table loop — every length class
+    the 8-byte fold can hit (empty, sub-word tails, exact folds, odd
+    straddles) and chained inits, plus real page bytes."""
+    import numpy as np
+
+    from conftest import STEREO_OGG
+    from parseoggvorbis_tpu.native import frontend
+    from parseoggvorbis_tpu.utils.crc import update_crc
+
+    if frontend.crc32(b"") is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(1234)
+    for n in (0, 1, 2, 3, 7, 8, 9, 15, 16, 17, 23, 24, 27, 255, 256, 4095):
+        buf = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        for init in (0, 1, 0xDEADBEEF, 0xFFFFFFFF):
+            assert frontend.crc32(buf, init) == update_crc(init, buf), (n, init)
+    page = open(STEREO_OGG, "rb").read()[:8192]
+    assert frontend.crc32(page) == update_crc(0, page)
+    # chaining property: crc(a+b) == crc(b, chained from crc(a))
+    a, b = page[:1003], page[1003:2005]
+    assert frontend.crc32(b, frontend.crc32(a)) == frontend.crc32(a + b)
