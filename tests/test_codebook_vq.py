@@ -213,3 +213,29 @@ def test_zero_used_entry_codebook_end_to_end_vs_libvorbis():
     if available():
         ref, _ = decode_ogg(blob)
         assert np.abs(out.pcm - ref).max() <= 1e-6
+
+
+@pytest.mark.parametrize("rtype", [0, 1])
+def test_nondividing_vq_dims_clamp_vs_libvorbis(rtype):
+    """VQ book dims that do NOT divide partition_size — legal, emitted by
+    no encoder.  Format 1 truncates the final codeword of each partition
+    (vorbis_book_decodev_add's k<n clamp, mirrored at
+    native/pov_core.h's 'k-bound INSIDE the dims loop'); format 0 reads
+    only floor(ps/dims) codewords (decodevs_add).  End-to-end vs the
+    system libvorbis, Python and native front-ends bit-equal."""
+    import vorbis_oracle
+
+    from make_synth_vorbis import SynthStream
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    if not vorbis_oracle.available():
+        pytest.skip("system libvorbis not available")
+    blob = SynthStream(bs0=512, bs1=2048, seed=3, residue_type=rtype,
+                       vq_dims=5).make(num_frames=12)
+    ref, rate = vorbis_oracle.decode_ogg(blob)
+    scale = max(float(np.abs(ref).max()), 1e-20)
+    ours = decode_bytes(blob)
+    assert ours.sample_rate == rate and ours.pcm.shape == ref.shape
+    assert float(np.abs(ours.pcm - ref).max()) / scale <= 1e-5
+    py = decode_bytes(blob, prefer_native=False)
+    np.testing.assert_array_equal(py.pcm, ours.pcm)

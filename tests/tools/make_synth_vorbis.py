@@ -107,7 +107,7 @@ class SynthStream:
                  lsp_order: int = None, vq_sequence_p: bool = False,
                  lsp_dims: int = None, coupling_steps: int = 0,
                  single_entry_floor_book: bool = False,
-                 unused_empty_book: bool = False):
+                 unused_empty_book: bool = False, vq_dims: int = None):
         assert bs0 <= bs1 <= 8192
         assert floor_kind in ("floor1", "floor0", "mixed")
         # repeated (0,1) square-polar steps on the stereo stream: legal per
@@ -152,6 +152,15 @@ class SynthStream:
         self.channels = 2 if floor_kind == "mixed" else 1
         self.floor_book = _Flat(self.FLOOR_ENTRIES, 6)
         self.class_book = _Flat(self.CLASSES ** 2, 2)  # dims 2
+        # vq_dims that does NOT divide PART_SIZE is legal (no encoder emits
+        # it): format 1 then truncates the FINAL codeword of each partition
+        # (vorbis_book_decodev_add's k<n clamp), format 0 reads only
+        # floor(PART_SIZE/dims) codewords (decodevs_add's step loop) — the
+        # two formats' bitstreams differ in that case, handled in
+        # write_residue_one_channel
+        if vq_dims is not None:
+            assert 1 <= vq_dims <= self.PART_SIZE
+            self.VQ_DIMS = vq_dims
         self.value_book = _Flat(self.VQ_ENTRIES, 4)
         # spec 3.2.1 step 10 (cumulative dims) — never set by libvorbis'
         # encoder, so only a synthetic stream can cover it end-to-end
@@ -422,7 +431,14 @@ class SynthStream:
                     if j + k >= parts:
                         break
                     if classes[j + k] == 1:
-                        for _ in range(self.PART_SIZE // self.VQ_DIMS):
+                        # format 1 consumes ceil(ps/dims) codewords (the
+                        # last one partially applied when dims does not
+                        # divide ps); format 0 consumes floor(ps/dims)
+                        if self.residue_type == 1:
+                            ncw = -(-self.PART_SIZE // self.VQ_DIMS)
+                        else:
+                            ncw = self.PART_SIZE // self.VQ_DIMS
+                        for _ in range(ncw):
                             self.value_book.write_entry(
                                 w, int(self.rng.randint(0, self.VQ_ENTRIES)))
                 j += 2
