@@ -1087,7 +1087,7 @@ struct ScalarStream {
       push_data_u8(this, "floor_number", ch, &fl, 1);
       if (setup.floor_types[fl] == 0) {
         // LSP floor (spec 6.2) — beyond the reference, which rejects here
-        int amp = 0;
+        int64_t amp = 0;
         std::vector<float> coeffs;
         if (setup.floor0s[fl].decode_coeffs(br, setup.codebooks, &amp,
                                             coeffs)) {

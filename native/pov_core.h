@@ -69,7 +69,8 @@ struct ParseError : std::exception {
 // Huffman symbol — runs without touching memory until the window drains
 // (a refill every ~57 consumed bits instead of an 8-byte reload per
 // symbol).  Reads past the end produce zero bits and latch reached_end.
-// Max single read/peek width is 57 bits (Vorbis needs 32).
+// Single read/peek width up to 63 bits (beyond the 57-bit refill
+// guarantee via peek_slow — floor0's ampbits reaches 63).
 struct BitReader {
   const uint8_t* data;
   size_t len;
@@ -94,8 +95,32 @@ struct BitReader {
   }
 
   inline uint64_t peek(int num) {
-    if (avail < num) refill();
+    if (avail < num) {
+      refill();
+      if (avail < num) return peek_slow(num);  // num in (57, 64), misaligned
+    }
     return window & ((1ULL << num) - 1);
+  }
+
+  // cold: a misaligned peek wider than one refill window (possible only
+  // for num > 57; Vorbis reaches it through floor0's read(ampbits) with
+  // ampbits up to 63).  Assembles the straddling byte like the
+  // pre-cached-window reader did.
+  uint64_t peek_slow(int num) const {
+    size_t byte = bitpos >> 3;
+    const int sh = (int)(bitpos & 7);
+    uint64_t chunk = 0;
+    const size_t nb = byte < len ? std::min<size_t>(len - byte, 8) : 0;
+    if (nb) memcpy(&chunk, data + byte, nb);
+    chunk >>= sh;
+    const int got = (int)(nb * 8) - sh;
+    if (got < num && byte + 8 < len) {  // implies nb == 8, got = 64-sh > 0
+      uint64_t hi = 0;
+      memcpy(&hi, data + byte + 8, std::min<size_t>(len - (byte + 8), 8));
+      chunk |= hi << got;
+    }
+    if (num >= 64) return chunk;
+    return chunk & ((1ULL << num) - 1);
   }
 
   inline uint64_t read(int num) {
@@ -111,8 +136,12 @@ struct BitReader {
     }
     uint64_t out = peek(num);
     bitpos += num;
-    window >>= num;
-    avail -= num;
+    if (num < avail) {  // a peek_slow-served width can exceed the window
+      window >>= num;
+      avail -= num;
+    } else {
+      avail = 0;
+    }
     return out;
   }
 
@@ -466,8 +495,10 @@ struct Floor0 {
   // spec 6.2.2: amplitude + book number + ceil(order/dim) VQ vectors with
   // the cumulative per-block offset.  Returns false for an unused channel.
   bool decode_coeffs(BitReader& br, const std::vector<Codebook>& cbs,
-                     int* amp_out, std::vector<float>& coeffs) {
-    int amp = (int)br.read(ampbits);
+                     int64_t* amp_out, std::vector<float>& coeffs) {
+    // int64: ampbits reaches 63 (read(6)); a 32-bit truncation here
+    // could flip a used channel to unused (amp <= 0) on hostile headers
+    int64_t amp = (int64_t)br.read(ampbits);
     if (amp <= 0) return false;
     int booknum = (int)br.read(ilog((uint32_t)books.size()));
     if (booknum >= (int)books.size()) return false;  // oracle: 'be paranoid'
@@ -493,11 +524,15 @@ struct Floor0 {
   }
 
   // spec 6.2.3 / oracle vorbis_lsp_to_curve: float32 envelope of n/2 bins
-  void curve(int amp_raw, const std::vector<float>& coeffs, int half,
+  void curve(int64_t amp_raw, const std::vector<float>& coeffs, int half,
              float* env) {
     int m = order;
-    long maxval = (1L << ampbits) - 1;
-    float amp = (float)amp_raw / maxval * ampdB;
+    // unsigned shift: ampbits reaches 63, where 1L << 63 is signed
+    // overflow; unreachable for ampbits == 0 (amp <= 0 is "unused").
+    // Arithmetic stays strict float32 — the Python front-end computes
+    // np.float32(amp_raw)/np.float32(maxval)*np.float32(ampdB)
+    float maxval = (float)((1ULL << ampbits) - 1);
+    float amp = (float)amp_raw / maxval * (float)ampdB;
     std::vector<float> lsp((size_t)m);
     for (int i = 0; i < m; ++i) lsp[(size_t)i] = 2.f * cos(coeffs[(size_t)i]);
     float wdel = (float)(M_PI / barkmap);
@@ -1311,7 +1346,7 @@ static void parse_audio_packet(ParsedFile& pf, const uint8_t* data, size_t len,
     uint8_t fl = mapping.submaps[submap].floor;
     if (su.floor_types[fl] == 0) {
       // LSP floor decode (spec 6.2) — beyond the reference, which rejects
-      int amp = 0;
+      int64_t amp = 0;
       std::vector<float> coeffs;
       if (su.floor0s[fl].decode_coeffs(br, su.codebooks, &amp, coeffs)) {
         fr.decoded[ch] = 1;

@@ -245,3 +245,26 @@ def test_floor0_multi_vector_block_offset(oracle, order, dims):
     assert float(np.abs(ours.pcm - ref).max()) / scale <= 1e-5
     py = decode_bytes(blob, prefer_native=False)
     assert float(np.abs(py.pcm - ref).max()) / scale <= 1e-5
+
+
+@pytest.mark.parametrize("amp_bits", [33, 58, 63])
+def test_floor0_wide_amplitude_bits(amp_bits):
+    """ampbits > 32 (spec allows up to 63; read(6)) — beyond libvorbis'
+    oggpack_read limit, so the two front-ends pin each other: the native
+    BitReader serves >57-bit misaligned reads through peek_slow and the
+    amplitude must not be 32-bit truncated (a truncation can flip a used
+    channel to unused).  Python (arbitrary-precision reads) == native
+    bit-equal, with at least one genuinely used floor0 frame."""
+    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+
+    from make_synth_vorbis import SynthStream
+
+    blob = SynthStream(bs0=512, bs1=512, seed=7, floor_kind="floor0",
+                       amp_bits=amp_bits).make(num_frames=16)
+    py = decode_bytes(blob, prefer_native=False)
+    nat = decode_bytes(blob, prefer_native=True)
+    assert py.pcm.shape == nat.pcm.shape
+    np.testing.assert_array_equal(py.pcm, nat.pcm)
+    # the wide-amp path must actually render: a truncated-to-zero (or
+    # negative) amplitude chain would emit all-silent PCM
+    assert float(np.abs(py.pcm).max()) > 0.0

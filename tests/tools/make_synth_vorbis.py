@@ -107,7 +107,8 @@ class SynthStream:
                  lsp_order: int = None, vq_sequence_p: bool = False,
                  lsp_dims: int = None, coupling_steps: int = 0,
                  single_entry_floor_book: bool = False,
-                 unused_empty_book: bool = False, vq_dims: int = None):
+                 unused_empty_book: bool = False, vq_dims: int = None,
+                 amp_bits: int = 6):
         assert bs0 <= bs1 <= 8192
         assert floor_kind in ("floor1", "floor0", "mixed")
         # repeated (0,1) square-polar steps on the stereo stream: legal per
@@ -161,6 +162,11 @@ class SynthStream:
         if vq_dims is not None:
             assert 1 <= vq_dims <= self.PART_SIZE
             self.VQ_DIMS = vq_dims
+        # floor0 amplitude width: spec allows up to 63 (read(6)); >32 is
+        # beyond libvorbis' oggpack_read limit, so only our two front-ends
+        # can be differentially compared there
+        assert 1 <= amp_bits <= 63
+        self.amp_bits = amp_bits
         self.value_book = _Flat(self.VQ_ENTRIES, 4)
         # spec 3.2.1 step 10 (cumulative dims) — never set by libvorbis'
         # encoder, so only a synthetic stream can cover it end-to-end
@@ -275,7 +281,7 @@ class SynthStream:
             w.write(self.LSP_ORDER, 8)           # order
             w.write(self.rate, 16)               # rate
             w.write(self.LSP_LN, 16)             # bark_map_size
-            w.write(6, 6)                        # amplitude bits
+            w.write(self.amp_bits, 6)            # amplitude bits
             w.write(8, 8)                        # amplitude offset (dB)
             w.write(1 - 1, 4)                    # one book
             w.write(3, 8)                        # the lsp book
@@ -384,7 +390,11 @@ class SynthStream:
             amp_hi = 20 if self.LSP_DIMS < self.LSP_ORDER else 64
             amp = (0 if self.rng.randint(0, 8) == 0
                    else int(self.rng.randint(1, amp_hi)))
-            w.write(amp, 6)
+            if self.amp_bits != 6 and amp:
+                # keep the amp/maxval ratio of the 6-bit default so the
+                # rendered envelope stays in the validated range
+                amp = max(1, (((1 << self.amp_bits) - 1) * amp) // 63)
+            w.write(amp, self.amp_bits)
             if amp == 0:
                 return False
             w.write(0, 1)
