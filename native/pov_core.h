@@ -224,10 +224,19 @@ struct Codebook {
   }
 
   inline uint32_t decode_scalar(BitReader& br) const {
-    uint64_t window = br.peek(fast_bits);
-    int32_t packed = fast[window];
+    // fused peek+consume on the reader's cached window: the table hit
+    // guarantees L <= fast_bits <= avail, so no clamping is needed here —
+    // bitpos may drift past the end (a hit on zero padding), where every
+    // later peek/read degrades to zero bits exactly as skip's clamp did
+    // (reached_end is only consulted by setup parsing, which never
+    // decodes through this path)
+    if (br.avail < fast_bits) br.refill();
+    const int32_t packed = fast[br.window & ((1ULL << fast_bits) - 1)];
     if (packed >= 0) {
-      br.skip(packed & 63);
+      const int L = packed & 63;
+      br.bitpos += (size_t)L;
+      br.window >>= L;
+      br.avail -= L;
       return (uint32_t)(packed >> 6);
     }
     uint32_t word = 0;
