@@ -223,22 +223,36 @@ struct Codebook {
     }
   }
 
-  inline uint32_t decode_scalar(BitReader& br) const {
-    // fused peek+consume on the reader's cached window: the table hit
-    // guarantees L <= fast_bits <= avail, so no clamping is needed here —
-    // bitpos may drift past the end (a hit on zero padding), where every
-    // later peek/read degrades to zero bits exactly as skip's clamp did
-    // (reached_end is only consulted by setup parsing, which never
-    // decodes through this path)
+  // Fast path forced inline at the (hot, one-call-per-symbol) decode
+  // sites — gcc otherwise keeps the whole function out-of-line because
+  // of the slow loop + throw, paying a call/spill per symbol.  Fused
+  // peek+consume on the reader's cached window: the table hit
+  // guarantees L <= fast_bits <= avail, so no clamping is needed here —
+  // bitpos may drift past the end (a hit on zero padding), where every
+  // later peek/read degrades to zero bits exactly as skip's clamp did
+  // (reached_end is only consulted by setup parsing, which never
+  // decodes through this path).
+#if defined(__GNUC__)
+  __attribute__((always_inline))
+#endif
+  inline uint32_t
+  decode_scalar(BitReader& br) const {
     if (br.avail < fast_bits) br.refill();
     const int32_t packed = fast[br.window & ((1ULL << fast_bits) - 1)];
-    if (packed >= 0) {
+    if (__builtin_expect(packed >= 0, 1)) {
       const int L = packed & 63;
       br.bitpos += (size_t)L;
       br.window >>= L;
       br.avail -= L;
       return (uint32_t)(packed >> 6);
     }
+    return decode_scalar_slow(br);
+  }
+
+#if defined(__GNUC__)
+  __attribute__((noinline))
+#endif
+  uint32_t decode_scalar_slow(BitReader& br) const {
     uint32_t word = 0;
     for (int length = 1; length <= max_len; ++length) {
       word = (word << 1) | (uint32_t)br.read(1);
