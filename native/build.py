@@ -24,8 +24,14 @@ OUT_DIR = os.path.join(REPO, "parseoggvorbis_tpu", "native")
 OUT = os.path.join(OUT_DIR, "_libpov.so")
 
 SANITIZE = os.environ.get("POV_SANITIZE", "")
+# -fno-semantic-interposition + -fvisibility-inlines-hidden: without them
+# -fPIC keeps every exported C++ method interposable, so hot intra-library
+# calls (e.g. parse_audio -> BitReader::read) go through the PLT and are
+# never inlined across functions; the C API stays dlsym/ctypes-visible.
+_PIC_FLAGS = ["-fno-semantic-interposition", "-fvisibility-inlines-hidden"]
 _SAN_FLAGS = (["-fsanitize=%s" % SANITIZE, "-fno-omit-frame-pointer",
                "-O1", "-g"] if SANITIZE else ["-O3", "-march=native"])
+_SAN_FLAGS = _PIC_FLAGS + _SAN_FLAGS
 
 
 def _drop_unsupported(cmd):
