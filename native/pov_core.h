@@ -123,7 +123,11 @@ struct BitReader {
     return chunk & ((1ULL << num) - 1);
   }
 
-  inline uint64_t read(int num) {
+#if defined(__GNUC__)
+  __attribute__((always_inline))
+#endif
+  inline uint64_t
+  read(int num) {
     size_t total = len * 8;
     if (bitpos + (size_t)num > total) {
       // partial/over-the-end read: remaining bits at in-stream positions
