@@ -47,6 +47,7 @@ or ``python -m parseoggvorbis_tpu.serving --port 8080``.
 from __future__ import annotations
 
 import json
+import os
 import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -87,6 +88,15 @@ class _Batcher(threading.Thread):
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.mesh = mesh  # jax.sharding.Mesh: shard decode batches over it
+        if route is None and mesh is None and not os.environ.get("POV_ROUTE"):
+            # serving default: the link-aware router.  decode_corpus's own
+            # bare default stays "device" (library compat), but a server is
+            # the production face: on a tunnel-capped host the device route
+            # serves ~100x realtime where native serves ~900x, and a 900 s
+            # soak showed the tunnel client layer growing per device
+            # dispatch (framework-only soak is flat — ROUND5.md §18).
+            # POV_ROUTE and an explicit route= still override.
+            route = "auto"
         self.route = route  # decode_corpus backend (None = POV_ROUTE env)
         # ranged/recover requests run per-request (isolated); dispatching
         # them to a pool keeps one slow full-file recover from stalling
@@ -107,7 +117,11 @@ class _Batcher(threading.Thread):
     @property
     def stats(self) -> dict:
         with self._stats_lock:
-            return dict(self._stats)
+            out = dict(self._stats)
+        # observability: the configured decode route ("auto" = link-aware
+        # default; null = POV_ROUTE env / decode_corpus default)
+        out["route"] = self.route
+        return out
 
     def submit(self, p: _Pending) -> None:
         if self._stopping:

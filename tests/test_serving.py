@@ -36,7 +36,7 @@ def _post(port, path, blob):
 
 
 def test_decode_endpoint_matches_direct_api(server):
-    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
 
     blob = open(STEREO_OGG, "rb").read()
     status, headers, body = _post(server.port, "/decode?fmt=i16", blob)
@@ -44,12 +44,16 @@ def test_decode_endpoint_matches_direct_api(server):
     c, n = int(headers["X-Channels"]), int(headers["X-Samples"])
     assert int(headers["X-Sample-Rate"]) == 44100
     pcm = np.frombuffer(body, dtype=np.int16).reshape(c, n)
-    direct = decode_bytes(blob, out_i16=True)
+    # the server defaults to the link-aware route="auto"; compare against
+    # the direct API on the SAME route (resolution is cached per process,
+    # so both resolve identically) — the two backends agree to 1e-6 f32
+    # but can differ by 1 i16 ulp at round-to-even boundaries
+    direct = decode_corpus([blob], out_i16=True, route="auto")[0]
     np.testing.assert_array_equal(pcm, direct.pcm)
 
 
 def test_concurrent_requests_batch_together(server):
-    from parseoggvorbis_tpu.runtime.batch import decode_bytes
+    from parseoggvorbis_tpu.runtime.batch import decode_corpus
 
     blobs = [open(MONO_OGG, "rb").read(), open(STEREO_OGG, "rb").read()] * 3
     want = {44100: None}
@@ -70,7 +74,8 @@ def test_concurrent_requests_batch_together(server):
         "http://127.0.0.1:%d/stats" % server.port).read())
     for i, (status, headers, body) in enumerate(results):
         assert status == 200
-        direct = decode_bytes(blobs[i], out_i16=True)
+        # route-consistent comparison (see test_decode_endpoint_matches_*)
+        direct = decode_corpus([blobs[i]], out_i16=True, route="auto")[0]
         pcm = np.frombuffer(body, np.int16).reshape(
             int(headers["X-Channels"]), int(headers["X-Samples"]))
         np.testing.assert_array_equal(pcm, direct.pcm)
@@ -473,3 +478,22 @@ def test_server_native_route():
     # native route + mesh is a startup error, not blanket 422s
     with pytest.raises(ValueError):
         DecodeServer(route="native", mesh=object())
+
+
+def test_server_defaults_to_link_aware_route(monkeypatch):
+    """A bare DecodeServer (no route=, no POV_ROUTE, no mesh) uses the
+    link-aware route="auto" — the production face must not assume
+    accelerator-present == accelerator-fastest (ROUND5.md §18); explicit
+    route= and the POV_ROUTE env still override."""
+    from parseoggvorbis_tpu.serving import DecodeServer, _Batcher
+
+    monkeypatch.delenv("POV_ROUTE", raising=False)
+    s = DecodeServer()
+    assert s.batcher.route == "auto"
+    assert s.batcher.stats["route"] == "auto"
+    assert DecodeServer(route="native").batcher.route == "native"
+    monkeypatch.setenv("POV_ROUTE", "device")
+    assert DecodeServer().batcher.route is None  # env decides downstream
+    monkeypatch.delenv("POV_ROUTE", raising=False)
+    # mesh servers stay on the device path (native/auto cannot shard)
+    assert _Batcher(8, 10.0, mesh=object()).route is None
